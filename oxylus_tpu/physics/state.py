@@ -1,0 +1,167 @@
+"""Batched rigid-body physics state.
+
+TPU-native replacement for the per-scene `JPH::PhysicsSystem` the reference configures at
+`/root/reference/Oxylus/src/Physics/Physics.cpp:100-115`. All bodies live in fixed-capacity
+SoA arrays and advance together in one fused XLA step — no islands, no job graph.
+
+Shape model (collider components, `Components.hpp:306-354`):
+- box       → half extents (size field)
+- sphere    → capsule with half_length 0
+- capsule   → segment + radius (axis = local Y, like Jolt)
+- cylinder  → approximated as a capsule of the same radius/height (round-1 narrowphase;
+              exact cylinder support planned)
+- tapered capsule → approximated as capsule with max radius
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# body_type codes (match RigidBodyComponent::BodyType order, `Components.hpp:269`)
+BODY_STATIC = 0
+BODY_KINEMATIC = 1
+BODY_DYNAMIC = 2
+
+# shape codes
+SHAPE_BOX = 0
+SHAPE_CAPSULE = 1  # sphere == capsule with half_length 0
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["gravity", "baumgarte", "penetration_slop", "speculative_margin", "restitution_threshold"],
+    meta_fields=["velocity_iterations", "max_pairs", "points_per_pair"],
+)
+@dataclasses.dataclass(frozen=True)
+class PhysicsParams:
+    """Solver configuration. Defaults follow Jolt's PhysicsSettings (the reference runs
+    Jolt with defaults): Baumgarte 0.2, penetration slop 0.02, 10 velocity iterations."""
+
+    gravity: Array = dataclasses.field(
+        default_factory=lambda: jnp.array([0.0, -9.81, 0.0], jnp.float32)
+    )
+    baumgarte: Array = dataclasses.field(default_factory=lambda: jnp.float32(0.2))
+    penetration_slop: Array = dataclasses.field(default_factory=lambda: jnp.float32(0.02))
+    speculative_margin: Array = dataclasses.field(default_factory=lambda: jnp.float32(0.02))
+    restitution_threshold: Array = dataclasses.field(default_factory=lambda: jnp.float32(1.0))
+    velocity_iterations: int = 10
+    max_pairs: int = 4096
+    points_per_pair: int = 4
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "active", "entity", "body_type", "shape_type",
+        "pos", "quat", "linvel", "angvel",
+        "prev_pos", "prev_quat",
+        "inv_mass", "inv_inertia",
+        "half_extent", "radius", "half_length", "offset",
+        "friction", "restitution", "gravity_factor",
+        "linear_drag", "angular_drag", "dof_mask_lin", "dof_mask_ang", "is_sensor",
+        "accumulator",
+    ],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class PhysicsState:
+    # identity
+    active: Array          # (B,) bool
+    entity: Array          # (B,) i32 — owning entity slot, -1 if none
+    body_type: Array       # (B,) i32
+    shape_type: Array      # (B,) i32
+    # pose & motion
+    pos: Array             # (B, 3) f32
+    quat: Array            # (B, 4) f32 xyzw
+    linvel: Array          # (B, 3)
+    angvel: Array          # (B, 3)
+    prev_pos: Array        # (B, 3)  pose at previous fixed tick (for interpolation,
+    prev_quat: Array       # (B, 4)  mirrors RigidBodyComponent previous_* fields)
+    # mass
+    inv_mass: Array        # (B,)
+    inv_inertia: Array     # (B, 3) diagonal inverse inertia in body frame
+    # shape
+    half_extent: Array     # (B, 3) box half extents
+    radius: Array          # (B,)   capsule radius
+    half_length: Array     # (B,)   capsule half segment length (local Y)
+    offset: Array          # (B, 3) collider local offset
+    # material / flags
+    friction: Array        # (B,)
+    restitution: Array     # (B,)
+    gravity_factor: Array  # (B,)
+    linear_drag: Array     # (B,)
+    angular_drag: Array    # (B,)
+    dof_mask_lin: Array    # (B, 3) 1.0 where translation DOF allowed
+    dof_mask_ang: Array    # (B, 3) 1.0 where rotation DOF allowed
+    is_sensor: Array       # (B,) bool
+    # fixed-step accumulator (scalar)
+    accumulator: Array
+
+    @property
+    def num_slots(self) -> int:
+        return self.active.shape[0]
+
+
+def empty_physics_state(max_bodies: int) -> PhysicsState:
+    b = max_bodies
+    z3 = jnp.zeros((b, 3), jnp.float32)
+    return PhysicsState(
+        active=jnp.zeros((b,), jnp.bool_),
+        entity=jnp.full((b,), -1, jnp.int32),
+        body_type=jnp.zeros((b,), jnp.int32),
+        shape_type=jnp.zeros((b,), jnp.int32),
+        pos=z3,
+        quat=jnp.zeros((b, 4), jnp.float32).at[:, 3].set(1.0),
+        linvel=z3,
+        angvel=z3,
+        prev_pos=z3,
+        prev_quat=jnp.zeros((b, 4), jnp.float32).at[:, 3].set(1.0),
+        inv_mass=jnp.zeros((b,), jnp.float32),
+        inv_inertia=z3,
+        half_extent=z3,
+        radius=jnp.zeros((b,), jnp.float32),
+        half_length=jnp.zeros((b,), jnp.float32),
+        offset=z3,
+        friction=jnp.zeros((b,), jnp.float32),
+        restitution=jnp.zeros((b,), jnp.float32),
+        gravity_factor=jnp.ones((b,), jnp.float32),
+        linear_drag=jnp.zeros((b,), jnp.float32),
+        angular_drag=jnp.zeros((b,), jnp.float32),
+        dof_mask_lin=jnp.ones((b, 3), jnp.float32),
+        dof_mask_ang=jnp.ones((b, 3), jnp.float32),
+        is_sensor=jnp.zeros((b,), jnp.bool_),
+        accumulator=jnp.zeros((), jnp.float32),
+    )
+
+
+def box_inertia(mass: Array, half: Array) -> Array:
+    """Solid-box diagonal inertia: (1/3) m (h_j² + h_k²)."""
+    hx2, hy2, hz2 = half[..., 0] ** 2, half[..., 1] ** 2, half[..., 2] ** 2
+    return (mass[..., None] / 3.0) * jnp.stack([hy2 + hz2, hx2 + hz2, hx2 + hy2], axis=-1)
+
+
+def capsule_inertia(mass: Array, radius: Array, half_length: Array) -> Array:
+    """Capsule (axis Y) inertia: cylinder + two hemispheres composite."""
+    r, h = radius, half_length * 2.0
+    # volume split
+    v_cyl = jnp.pi * r**2 * h
+    v_sph = (4.0 / 3.0) * jnp.pi * r**3
+    v_tot = jnp.maximum(v_cyl + v_sph, 1e-12)
+    m_cyl = mass * v_cyl / v_tot
+    m_sph = mass * v_sph / v_tot
+    # cylinder about its center
+    i_cyl_y = 0.5 * m_cyl * r**2
+    i_cyl_x = m_cyl * (r**2 / 4.0 + h**2 / 12.0)
+    # sphere split into two hemispheres at the ends (parallel-axis)
+    i_sph_y = 0.4 * m_sph * r**2
+    d = h / 2.0 + 3.0 * r / 8.0  # hemisphere COM offset from capsule center
+    i_sph_x = 0.4 * m_sph * r**2 + m_sph * d**2
+    ix = i_cyl_x + i_sph_x
+    iy = i_cyl_y + i_sph_y
+    return jnp.stack([ix, iy, ix], axis=-1)

@@ -1,0 +1,477 @@
+"""One fixed-timestep rigid-body substep: broadphase → narrowphase → solver → integrate.
+
+TPU-first re-design of what the reference delegates to Jolt
+(`JPH::PhysicsSystem::Update`, driven at `/root/reference/Oxylus/src/Scene/Scene.cpp:722-729`):
+
+- broadphase: dense all-pairs AABB overlap (B×B bitmatrix) + fixed-capacity compaction —
+  the quadtree is replaced by vectorized work the VPU does for free at these body counts.
+- narrowphase: analytic contacts for box/capsule primitives (sphere = zero-length capsule),
+  up to 4 manifold points per pair, fixed shapes everywhere.
+- solver: mass-splitting projected Jacobi impulse iterations (the parallel-friendly
+  equivalent of Jolt's sequential-impulse Gauss-Seidel), Baumgarte stabilization,
+  Coulomb friction (geometric-mean combine), restitution (max combine) — Jolt's combine
+  rules, so trajectories track the reference engine.
+- integrate: semi-implicit Euler, quaternion exponential-map rotation update.
+
+Everything is fixed-shape; overflowing pair capacity drops pairs (counted in the debug
+stats) rather than reallocating.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import math3d
+from .state import (
+    BODY_DYNAMIC,
+    BODY_STATIC,
+    SHAPE_BOX,
+    SHAPE_CAPSULE,
+    PhysicsParams,
+    PhysicsState,
+)
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Broadphase
+# ---------------------------------------------------------------------------
+
+def shape_local_halfbox(ps: PhysicsState) -> Array:
+    """Conservative local-frame half extents of each collider."""
+    box = ps.half_extent
+    cap = jnp.stack([ps.radius, ps.half_length + ps.radius, ps.radius], axis=-1)
+    return jnp.where((ps.shape_type == SHAPE_BOX)[:, None], box, cap)
+
+
+def world_aabbs(ps: PhysicsState, dt, margin) -> tuple[Array, Array]:
+    rot = math3d.quat_to_mat3(ps.quat)  # (B,3,3)
+    center = ps.pos + jnp.einsum("bij,bj->bi", rot, ps.offset)
+    half = jnp.einsum("bij,bj->bi", jnp.abs(rot), shape_local_halfbox(ps))
+    half = half + margin + jnp.abs(ps.linvel) * dt
+    return center - half, center + half
+
+
+def broadphase_pairs(ps: PhysicsState, params: PhysicsParams, dt) -> tuple[Array, Array, Array]:
+    """All-pairs AABB overlap → compacted (ia, ib, valid) with capacity max_pairs.
+
+    Replaces Jolt's quadtree broadphase with a dense (B,B) test: at the reference's
+    1024-body capacity this is ~1M lane-ops, ideal VPU work, with a cumsum compaction
+    in place of the indirect dispatch the GPU engine uses (SURVEY §2.8)."""
+    b = ps.num_slots
+    p = params.max_pairs
+    bmin, bmax = world_aabbs(ps, dt, params.speculative_margin)
+
+    overlap = jnp.all(
+        (bmin[:, None, :] <= bmax[None, :, :]) & (bmin[None, :, :] <= bmax[:, None, :]),
+        axis=-1,
+    )
+    ii = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    upper = ii < jj
+    act = ps.active
+    dyn = ps.body_type == BODY_DYNAMIC
+    some_dynamic = dyn[:, None] | dyn[None, :]
+    mask = overlap & upper & act[:, None] & act[None, :] & some_dynamic
+
+    flat = mask.reshape(-1)
+    slots = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    target = jnp.where(flat, jnp.minimum(slots, p), p)  # overflow + non-pairs → slot p
+    src = jax.lax.broadcasted_iota(jnp.int32, (b * b, 1), 0)[:, 0]
+    pair_flat = jnp.zeros((p + 1,), jnp.int32).at[target].set(src, mode="drop")
+    count = jnp.minimum(jnp.sum(flat.astype(jnp.int32)), p)
+    valid = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)[:, 0] < count
+    ia = pair_flat[:p] // b
+    ib = pair_flat[:p] % b
+    return ia, ib, valid
+
+
+# ---------------------------------------------------------------------------
+# Narrowphase
+# ---------------------------------------------------------------------------
+
+def _closest_segment_segment(p1, q1, p2, q2):
+    """Closest points between segments [p1,q1], [p2,q2]; batched, branch-free."""
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = jnp.sum(d1 * d1, axis=-1)
+    e = jnp.sum(d2 * d2, axis=-1)
+    f = jnp.sum(d2 * r, axis=-1)
+    c = jnp.sum(d1 * r, axis=-1)
+    bb = jnp.sum(d1 * d2, axis=-1)
+    denom = a * e - bb * bb
+    s = jnp.where(denom > 1e-12, jnp.clip((bb * f - c * e) / jnp.maximum(denom, 1e-12), 0.0, 1.0), 0.0)
+    t = jnp.where(e > 1e-12, (bb * s + f) / jnp.maximum(e, 1e-12), 0.0)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s = jnp.where(e > 1e-12, jnp.clip((bb * t_cl - c) / jnp.maximum(a, 1e-12), 0.0, 1.0), s)
+    s = jnp.where(a > 1e-12, s, 0.0)
+    c1 = p1 + d1 * s[..., None]
+    c2 = p2 + d2 * t_cl[..., None]
+    return c1, c2
+
+
+def _capsule_segment(center, rot, half_length):
+    axis = rot[..., :, 1]  # local Y column
+    e = axis * half_length[..., None]
+    return center - e, center + e
+
+
+def _contact_capsule_capsule(ca, ra_rot, hla, rad_a, cb, rb_rot, hlb, rad_b):
+    p1, q1 = _capsule_segment(ca, ra_rot, hla)
+    p2, q2 = _capsule_segment(cb, rb_rot, hlb)
+    c1, c2 = _closest_segment_segment(p1, q1, p2, q2)
+    d = c2 - c1
+    dist = jnp.linalg.norm(d, axis=-1)
+    # degenerate (concentric) fallback: push up
+    safe = dist > 1e-9
+    n = jnp.where(safe[..., None], d / jnp.maximum(dist, 1e-9)[..., None], jnp.array([0.0, 1.0, 0.0]))
+    depth = rad_a + rad_b - dist
+    point = (c1 + n * rad_a[..., None] + c2 - n * rad_b[..., None]) * 0.5
+    return n, point, depth
+
+
+def _point_box_signed(p_local, half):
+    """Signed distance of a point to a box in box frame + outward closest feature.
+
+    Returns (closest_local, normal_local, depth): depth > 0 means penetrating."""
+    clamped = jnp.clip(p_local, -half, half)
+    delta = p_local - clamped
+    out_dist = jnp.linalg.norm(delta, axis=-1)
+    outside = out_dist > 1e-9
+    n_out = delta / jnp.maximum(out_dist, 1e-9)[..., None]
+    # inside: push out along the axis of least penetration
+    face_dist = half - jnp.abs(p_local)  # (..., 3) >= 0 when inside
+    axis = jnp.argmin(face_dist, axis=-1)
+    sign = jnp.sign(jnp.take_along_axis(p_local, axis[..., None], axis=-1))[..., 0]
+    sign = jnp.where(sign == 0.0, 1.0, sign)
+    n_in = jax.nn.one_hot(axis, 3, dtype=p_local.dtype) * sign[..., None]
+    min_face = jnp.min(face_dist, axis=-1)
+    inside_closest = p_local + n_in * min_face[..., None]
+    closest = jnp.where(outside[..., None], clamped, inside_closest)
+    normal = jnp.where(outside[..., None], n_out, n_in)
+    depth = jnp.where(outside, -out_dist, min_face)
+    return closest, normal, depth
+
+
+def _contact_box_capsule(cb_box, rot_box, half, cc, rot_cap, hl, rad, k_points):
+    """Box (a) vs capsule/sphere (b): sample points along the capsule segment,
+    closest-feature test in box frame. Exact for spheres. Normal points a→b."""
+    p2, q2 = _capsule_segment(cc, rot_cap, hl)
+    ts = jnp.linspace(0.0, 1.0, 3)
+    normals, points, depths = [], [], []
+    for t in ts:
+        sp = p2 + (q2 - p2) * t  # sample point on segment, world
+        local = jnp.einsum("...ji,...j->...i", rot_box, sp - cb_box)  # R^T (p - c)
+        closest_l, n_l, sd = _point_box_signed(local, half)
+        n_w = jnp.einsum("...ij,...j->...i", rot_box, n_l)
+        surf = cb_box + jnp.einsum("...ij,...j->...i", rot_box, closest_l)
+        depth = sd + rad  # sd negative outside: depth = rad - dist
+        point = (surf + (sp - n_w * rad[..., None])) * 0.5
+        normals.append(n_w)
+        points.append(point)
+        depths.append(depth)
+    n = jnp.stack(normals, axis=-2)  # (P, 3, 3)
+    pt = jnp.stack(points, axis=-2)
+    dp = jnp.stack(depths, axis=-1)
+    pad = k_points - 3
+    if pad > 0:
+        n = jnp.concatenate([n, jnp.zeros_like(n[..., :pad, :])], axis=-2)
+        pt = jnp.concatenate([pt, jnp.zeros_like(pt[..., :pad, :])], axis=-2)
+        dp = jnp.concatenate([dp, jnp.full_like(dp[..., :pad], -1e9)], axis=-1)
+    # a sphere only needs one sample; drop the duplicate ends
+    dup = (hl[..., None] <= 1e-6) & (jax.lax.broadcasted_iota(jnp.int32, dp.shape, dp.ndim - 1) > 0)
+    dp = jnp.where(dup, -1e9, dp)
+    return n, pt, dp
+
+
+_BOX_CORNERS = jnp.array(
+    [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)],
+    jnp.float32,
+)  # (8, 3)
+
+
+def _contact_box_box(ca, rot_a, half_a, cb, rot_b, half_b, k_points):
+    """Box-box: face-axis SAT for the contact normal; manifold from the deepest
+    corners of each box inside the other (up to k_points).
+
+    (Edge-edge SAT axes are deferred to the full GJK/EPA path; corner manifolds cover
+    resting stacks and face contacts, the dominant regime in the falling-boxes baseline.)
+    """
+    d = cb - ca  # (P,3)
+
+    # 6 candidate face axes in world space: a's columns then b's columns
+    axes = jnp.concatenate([jnp.moveaxis(rot_a, -1, -2), jnp.moveaxis(rot_b, -1, -2)], axis=-2)  # (P,6,3)
+    # projection radius of a box onto axis L: Σ_j |(R^T L)_j| h_j
+    axes_in_a = jnp.einsum("...ni,...ij->...nj", axes, rot_a)  # (P,6,3)
+    axes_in_b = jnp.einsum("...ni,...ij->...nj", axes, rot_b)
+    proj_a = jnp.einsum("...nj,...j->...n", jnp.abs(axes_in_a), half_a)
+    proj_b = jnp.einsum("...nj,...j->...n", jnp.abs(axes_in_b), half_b)
+    dist_on_axis = jnp.abs(jnp.einsum("...ki,...i->...k", axes, d))
+    overlap = proj_a + proj_b - dist_on_axis  # (P,6)
+    separated = jnp.any(overlap < 0.0, axis=-1)
+    best = jnp.argmin(overlap, axis=-1)
+    n = jnp.take_along_axis(axes, best[..., None, None].astype(jnp.int32), axis=-2)[..., 0, :]
+    # orient a→b
+    n = n * jnp.sign(jnp.sum(n * d, axis=-1, keepdims=True) + 1e-12)
+
+    # candidate points: corners of b tested against a, and corners of a against b
+    local_corners_b = _BOX_CORNERS[None, :, :] * half_b[..., None, :]  # (P,8,3)
+    local_corners_a = _BOX_CORNERS[None, :, :] * half_a[..., None, :]
+    corners_b = cb[..., None, :] + jnp.einsum("...ij,...kj->...ki", rot_b, local_corners_b)
+    corners_a = ca[..., None, :] + jnp.einsum("...ij,...kj->...ki", rot_a, local_corners_a)
+
+    def corner_depths(corners, box_c, box_rot, box_half):
+        local = jnp.einsum("...ji,...kj->...ki", box_rot, corners - box_c[..., None, :])
+        _, _, sd = _point_box_signed(local, box_half[..., None, :])
+        return sd  # >0 inside
+
+    dp_b_in_a = corner_depths(corners_b, ca, rot_a, half_a)  # (P,8)
+    dp_a_in_b = corner_depths(corners_a, cb, rot_b, half_b)  # (P,8)
+    cand_pts = jnp.concatenate([corners_b, corners_a], axis=-2)  # (P,16,3)
+    cand_dp = jnp.concatenate([dp_b_in_a, dp_a_in_b], axis=-1)  # (P,16)
+    cand_dp = jnp.where(separated[..., None], -1e9, cand_dp)
+
+    # top-k deepest
+    top_dp, top_idx = jax.lax.top_k(cand_dp, k_points)
+    top_pts = jnp.take_along_axis(cand_pts, top_idx[..., None].astype(jnp.int32), axis=-2)
+    # all manifold points share the SAT normal; depth measured per corner
+    n_k = jnp.broadcast_to(n[..., None, :], top_pts.shape)
+    return n_k, top_pts, top_dp
+
+
+def narrowphase(ps: PhysicsState, params: PhysicsParams, ia: Array, ib: Array, pair_valid: Array):
+    """Vectorized contact generation. Returns per-contact-point arrays flattened to
+    (P*K,): normal (a→b), point, depth, valid, plus pair index mapping."""
+    k = params.points_per_pair
+    rot = math3d.quat_to_mat3(ps.quat)
+    center = ps.pos + jnp.einsum("bij,bj->bi", rot, ps.offset)
+
+    g = lambda arr, idx: arr[idx]
+    ca, cb = g(center, ia), g(center, ib)
+    ra, rb = g(rot, ia), g(rot, ib)
+    ha, hb = g(ps.half_extent, ia), g(ps.half_extent, ib)
+    rad_a, rad_b = g(ps.radius, ia), g(ps.radius, ib)
+    hla, hlb = g(ps.half_length, ia), g(ps.half_length, ib)
+    ta, tb = g(ps.shape_type, ia), g(ps.shape_type, ib)
+
+    p = ia.shape[0]
+
+    # capsule-capsule
+    n_cc, pt_cc, dp_cc = _contact_capsule_capsule(ca, ra, hla, rad_a, cb, rb, hlb, rad_b)
+    n_cc = jnp.broadcast_to(n_cc[:, None, :], (p, k, 3))
+    pt_cc = jnp.broadcast_to(pt_cc[:, None, :], (p, k, 3))
+    dp_cc = jnp.concatenate([dp_cc[:, None], jnp.full((p, k - 1), -1e9)], axis=-1)
+
+    # box(a)-capsule(b) and capsule(a)-box(b)
+    n_bc, pt_bc, dp_bc = _contact_box_capsule(ca, ra, ha, cb, rb, hlb, rad_b, k)
+    n_cb, pt_cb, dp_cb = _contact_box_capsule(cb, rb, hb, ca, ra, hla, rad_a, k)
+    n_cb = -n_cb  # flip so normal is a→b
+
+    # box-box
+    n_bb, pt_bb, dp_bb = _contact_box_box(ca, ra, ha, cb, rb, hb, k)
+
+    a_box = (ta == SHAPE_BOX)[:, None]
+    b_box = (tb == SHAPE_BOX)[:, None]
+
+    def sel(cc, bc, cb_, bb):
+        both_cap = (~a_box) & (~b_box)
+        only_a_box = a_box & (~b_box)
+        only_b_box = (~a_box) & b_box
+        out = jnp.where(both_cap[..., None] if cc.ndim == 3 else both_cap, cc, bb)
+        out = jnp.where(only_a_box[..., None] if cc.ndim == 3 else only_a_box, bc, out)
+        out = jnp.where(only_b_box[..., None] if cc.ndim == 3 else only_b_box, cb_, out)
+        return out
+
+    normal = sel(n_cc, n_bc, n_cb, n_bb)  # (P,K,3)
+    point = sel(pt_cc, pt_bc, pt_cb, pt_bb)
+    depth = sel(dp_cc, dp_bc, dp_cb, dp_bb)  # (P,K)
+
+    sensor = g(ps.is_sensor, ia) | g(ps.is_sensor, ib)
+    valid = (
+        (depth > -params.speculative_margin)
+        & pair_valid[:, None]
+        & ~sensor[:, None]
+    )
+    touching = jnp.any((depth > 0.0) & pair_valid[:, None] & ~(g(ps.is_sensor, ia) & g(ps.is_sensor, ib))[:, None], axis=-1)
+
+    # flatten (P,K) → (P*K,)
+    c_ia = jnp.repeat(ia, k)
+    c_ib = jnp.repeat(ib, k)
+    return (
+        normal.reshape(p * k, 3),
+        point.reshape(p * k, 3),
+        depth.reshape(p * k),
+        valid.reshape(p * k),
+        c_ia,
+        c_ib,
+        touching,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Solver
+# ---------------------------------------------------------------------------
+
+def _world_inv_inertia(ps: PhysicsState) -> Array:
+    rot = math3d.quat_to_mat3(ps.quat)
+    return jnp.einsum("bij,bj,bkj->bik", rot, ps.inv_inertia, rot)
+
+
+def solve_velocity(
+    ps: PhysicsState,
+    params: PhysicsParams,
+    dt,
+    normal: Array,
+    point: Array,
+    depth: Array,
+    valid: Array,
+    c_ia: Array,
+    c_ib: Array,
+) -> tuple[Array, Array]:
+    """Mass-splitting projected-Jacobi impulse solver. Returns (linvel, angvel)."""
+    b = ps.num_slots
+    inv_iw = _world_inv_inertia(ps)  # (B,3,3)
+    validf = valid.astype(jnp.float32)
+
+    # per-body contact counts → mass splitting factors
+    cnt = (
+        jax.ops.segment_sum(validf, c_ia, num_segments=b)
+        + jax.ops.segment_sum(validf, c_ib, num_segments=b)
+    )
+    split = jnp.maximum(cnt, 1.0)
+
+    g = lambda arr, idx: arr[idx]
+    im_a = g(ps.inv_mass * split, c_ia)
+    im_b = g(ps.inv_mass * split, c_ib)
+    ii_a = g(inv_iw * split[:, None, None], c_ia)
+    ii_b = g(inv_iw * split[:, None, None], c_ib)
+    r_a = point - g(ps.pos, c_ia)
+    r_b = point - g(ps.pos, c_ib)
+
+    # effective mass along normal
+    def k_along(dirn):
+        rxn_a = jnp.cross(r_a, dirn)
+        rxn_b = jnp.cross(r_b, dirn)
+        ang_a = jnp.sum(jnp.einsum("cij,cj->ci", ii_a, rxn_a) * rxn_a, axis=-1)
+        ang_b = jnp.sum(jnp.einsum("cij,cj->ci", ii_b, rxn_b) * rxn_b, axis=-1)
+        return im_a + im_b + ang_a + ang_b
+
+    kn = jnp.maximum(k_along(normal), 1e-9)
+
+    # tangent basis
+    ref = jnp.where(jnp.abs(normal[:, 1:2]) < 0.9, jnp.array([0.0, 1.0, 0.0]), jnp.array([1.0, 0.0, 0.0]))
+    t1 = jnp.cross(normal, ref)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+    t2 = jnp.cross(normal, t1)
+    kt1 = jnp.maximum(k_along(t1), 1e-9)
+    kt2 = jnp.maximum(k_along(t2), 1e-9)
+
+    # combine rules (Jolt defaults): restitution max, friction geometric mean
+    e = jnp.maximum(g(ps.restitution, c_ia), g(ps.restitution, c_ib))
+    mu = jnp.sqrt(g(ps.friction, c_ia) * g(ps.friction, c_ib))
+
+    def rel_normal_vel(lv, av):
+        va = g(lv, c_ia) + jnp.cross(g(av, c_ia), r_a)
+        vb = g(lv, c_ib) + jnp.cross(g(av, c_ib), r_b)
+        return vb - va
+
+    vn0 = jnp.sum(rel_normal_vel(ps.linvel, ps.angvel) * normal, axis=-1)
+    bounce = jnp.where(vn0 < -params.restitution_threshold, -e * vn0, 0.0)
+    bias = (params.baumgarte / dt) * jnp.maximum(depth - params.penetration_slop, 0.0)
+    target = jnp.maximum(bounce, bias)  # desired separating normal velocity
+
+    dof_lin = ps.dof_mask_lin
+    dof_ang = ps.dof_mask_ang
+
+    def body(_, carry):
+        lv, av, acc_n, acc_t1, acc_t2 = carry
+        vrel = rel_normal_vel(lv, av)
+        vn = jnp.sum(vrel * normal, axis=-1)
+        dl = -(vn - target) / kn
+        new_acc = jnp.maximum(acc_n + dl, 0.0)
+        dl = jnp.where(valid, new_acc - acc_n, 0.0)
+        acc_n = jnp.where(valid, new_acc, acc_n)
+
+        vt1 = jnp.sum(vrel * t1, axis=-1)
+        vt2 = jnp.sum(vrel * t2, axis=-1)
+        max_f = mu * acc_n
+        new_t1 = jnp.clip(acc_t1 - vt1 / kt1, -max_f, max_f)
+        new_t2 = jnp.clip(acc_t2 - vt2 / kt2, -max_f, max_f)
+        dt1 = jnp.where(valid, new_t1 - acc_t1, 0.0)
+        dt2 = jnp.where(valid, new_t2 - acc_t2, 0.0)
+        acc_t1 = jnp.where(valid, new_t1, acc_t1)
+        acc_t2 = jnp.where(valid, new_t2, acc_t2)
+
+        # apply (b gains +j, a gains -j), scattered with one segment-sum per side
+        j = normal * dl[:, None] + t1 * dt1[:, None] + t2 * dt2[:, None]  # impulse on b
+        jsum_b = jax.ops.segment_sum(j, c_ib, num_segments=b)
+        jsum_a = jax.ops.segment_sum(j, c_ia, num_segments=b)
+        tsum_b = jax.ops.segment_sum(jnp.cross(r_b, j), c_ib, num_segments=b)
+        tsum_a = jax.ops.segment_sum(jnp.cross(r_a, j), c_ia, num_segments=b)
+        lv = lv + ((jsum_b - jsum_a) * ps.inv_mass[:, None]) * dof_lin
+        av = av + jnp.einsum("bij,bj->bi", inv_iw, tsum_b - tsum_a) * dof_ang
+        return lv, av, acc_n, acc_t1, acc_t2
+
+    zeros_c = jnp.zeros_like(depth)
+    lv, av, _, _, _ = jax.lax.fori_loop(
+        0,
+        params.velocity_iterations,
+        body,
+        (ps.linvel, ps.angvel, zeros_c, zeros_c, zeros_c),
+    )
+    return lv, av
+
+
+# ---------------------------------------------------------------------------
+# Full substep
+# ---------------------------------------------------------------------------
+
+def physics_substep(ps: PhysicsState, params: PhysicsParams, dt: float) -> PhysicsState:
+    """Advance all bodies by one fixed timestep `dt` (the 1/60 s tick of
+    `Scene.cpp:720-729`)."""
+    dyn = (ps.body_type == BODY_DYNAMIC) & ps.active
+    dynf = dyn.astype(jnp.float32)[:, None]
+
+    # roll previous pose (reference keeps previous_translation/rotation for interpolation)
+    prev_pos, prev_quat = ps.pos, ps.quat
+
+    # integrate forces: gravity + drag (Jolt damping: v *= max(0, 1 - c*dt))
+    lv = ps.linvel + params.gravity[None, :] * (ps.gravity_factor[:, None] * dt) * dynf
+    lv = lv * jnp.maximum(0.0, 1.0 - ps.linear_drag[:, None] * dt)
+    av = ps.angvel * jnp.maximum(0.0, 1.0 - ps.angular_drag[:, None] * dt)
+    lv = lv * ps.dof_mask_lin * dynf
+    av = av * ps.dof_mask_ang * dynf
+    ps = dataclasses.replace(ps, linvel=lv, angvel=av)
+
+    # collide
+    ia, ib, pair_valid = broadphase_pairs(ps, params, dt)
+    normal, point, depth, valid, c_ia, c_ib, _ = narrowphase(ps, params, ia, ib, pair_valid)
+
+    # solve
+    lv, av = solve_velocity(ps, params, dt, normal, point, depth, valid, c_ia, c_ib)
+    movable = dyn
+    lv = jnp.where(movable[:, None], lv, ps.linvel)
+    av = jnp.where(movable[:, None], av, ps.angvel)
+
+    # integrate positions (kinematic bodies also move by their velocity, like Jolt)
+    kin_or_dyn = ps.active & (ps.body_type != BODY_STATIC)
+    new_pos = jnp.where(kin_or_dyn[:, None], ps.pos + lv * dt, ps.pos)
+    new_quat = jnp.where(
+        kin_or_dyn[:, None], math3d.quat_integrate(ps.quat, av, dt), ps.quat
+    )
+
+    return dataclasses.replace(
+        ps,
+        pos=new_pos,
+        quat=new_quat,
+        linvel=lv,
+        angvel=av,
+        prev_pos=prev_pos,
+        prev_quat=prev_quat,
+    )

@@ -1,0 +1,140 @@
+"""The jit'd frame step: one `Scene::runtime_update` as a pure function.
+
+Composes the reference's flecs pipeline phases (`/root/reference/Oxylus/src/Scene/
+Scene.cpp:1139-1256`, systems registered `:432-1038`) into a single traced function:
+
+  OnUpdate  — fixed-60Hz physics accumulator → N substeps (`physics_step`, `:720-729`),
+              body→component pose sync (`rigidbody_update`, `:731-751`),
+              per-frame pose interpolation into transforms (`physics_interpolate`, `:753-768`)
+  PostUpdate — particle systems, sprite animation (`:988-1037`),
+              batched world-matrix propagation (replaces observer-driven dirty tracking)
+
+Everything below runs on device under one `jax.jit`; the host loop only feeds `dt`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..physics.state import BODY_STATIC, PhysicsParams, PhysicsState
+from ..physics.step import physics_substep
+from ..utils import math3d
+from .state import SceneSpec, SceneState, propagate_transforms
+
+
+def sync_bodies_to_components(state: SceneState, ps: PhysicsState) -> SceneState:
+    """`rigidbody_update`: copy body pose into RigidBodyComponent keeping previous
+    values (`Scene.cpp:731-751`). Scatter by owning entity index."""
+    rb = dict(state.comp["RigidBodyComponent"])
+    ent = jnp.maximum(ps.entity, 0)
+    has_ent = (ps.entity >= 0) & ps.active & (ps.body_type != BODY_STATIC)
+
+    def scatter(dst: jax.Array, src: jax.Array) -> jax.Array:
+        safe_ent = jnp.where(has_ent, ent, dst.shape[0] - 1)
+        upd = dst.at[safe_ent].set(jnp.where(has_ent[:, None], src, dst[safe_ent]))
+        return upd
+
+    rb["previous_translation"] = scatter(rb["previous_translation"], ps.prev_pos)
+    rb["previous_rotation"] = scatter(rb["previous_rotation"], ps.prev_quat)
+    rb["translation"] = scatter(rb["translation"], ps.pos)
+    rb["rotation"] = scatter(rb["rotation"], ps.quat)
+    comp = dict(state.comp)
+    comp["RigidBodyComponent"] = rb
+    return dataclasses.replace(state, comp=comp)
+
+
+def physics_interpolate(state: SceneState, ps: PhysicsState, alpha) -> SceneState:
+    """`physics_interpolate` (`Scene.cpp:753-768`): every frame, blend body pose into
+    TransformComponent by the accumulator alpha. Bodies with the interpolation flag
+    lerp/slerp previous→current; others snap to current."""
+    rb = state.comp["RigidBodyComponent"]
+    mask = state.mask["RigidBodyComponent"] & state.alive
+    interp = rb["interpolation"]
+
+    pos_lerp = rb["previous_translation"] + (rb["translation"] - rb["previous_translation"]) * alpha
+    rot_slerp = math3d.quat_slerp(rb["previous_rotation"], rb["rotation"], alpha)
+    new_pos = jnp.where(interp[:, None], pos_lerp, rb["translation"])
+    new_rot = jnp.where(interp[:, None], rot_slerp, rb["rotation"])
+
+    t = dict(state.comp["TransformComponent"])
+    t["position"] = jnp.where(mask[:, None], new_pos, t["position"])
+    t["rotation"] = jnp.where(mask[:, None], new_rot, t["rotation"])
+    comp = dict(state.comp)
+    comp["TransformComponent"] = t
+    return dataclasses.replace(state, comp=comp)
+
+
+def sprite_animation_update(state: SceneState, dt) -> SceneState:
+    """`sprite_animation_update` (`Scene.cpp:988-1037`): advance animation clocks.
+    The current frame's UV window is derived at render time from current_time."""
+    sa = dict(state.comp["SpriteAnimationComponent"])
+    mask = state.mask["SpriteAnimationComponent"] & state.alive
+    fps = sa["fps"].astype(jnp.float32)
+    num = jnp.maximum(sa["num_frames"].astype(jnp.float32), 1.0)
+    duration = jnp.where(fps > 0.0, num / jnp.maximum(fps, 1e-6), 0.0)
+    t = sa["current_time"] + dt
+    looped = jnp.where((duration > 0.0) & sa["loop"], jnp.mod(t, duration), jnp.minimum(t, duration))
+    sa["current_time"] = jnp.where(mask, looped, sa["current_time"])
+    comp = dict(state.comp)
+    comp["SpriteAnimationComponent"] = sa
+    return dataclasses.replace(state, comp=comp)
+
+
+def step_physics_accumulated(
+    ps: PhysicsState, params: PhysicsParams, spec: SceneSpec, dt
+) -> tuple[PhysicsState, jax.Array]:
+    """Fixed-interval accumulator driving up to `max_substeps` 1/60s substeps per frame
+    (flecs `interval(physics_interval)` timer semantics, `Scene.cpp:720-729`).
+    Returns (state, alpha) where alpha is the interpolation fraction."""
+    h = spec.physics_interval
+    acc = ps.accumulator + dt
+    nsub = jnp.minimum(jnp.floor(acc / h).astype(jnp.int32), spec.max_substeps)
+
+    def body(i, p):
+        return jax.lax.cond(i < nsub, lambda q: physics_substep(q, params, h), lambda q: q, p)
+
+    ps = jax.lax.fori_loop(0, spec.max_substeps, body, ps)
+    acc = acc - nsub.astype(jnp.float32) * h
+    acc = jnp.minimum(acc, h)  # spiral-of-death clamp
+    ps = dataclasses.replace(ps, accumulator=acc)
+    alpha = jnp.clip(acc / h, 0.0, 1.0)
+    return ps, alpha
+
+
+@partial(jax.jit, static_argnames=("spec",), donate_argnums=(0, 1))
+def frame_step(
+    state: SceneState,
+    ps: PhysicsState,
+    params: PhysicsParams,
+    dt: jax.Array,
+    spec: SceneSpec,
+) -> tuple[SceneState, PhysicsState]:
+    """Advance the whole scene by one frame. Buffers are donated: the previous frame's
+    state is consumed in place (the reference's double-buffered frame model)."""
+    from .particles import particle_update  # local import to avoid cycle
+
+    dt = jnp.asarray(dt, jnp.float32)
+
+    # --- OnUpdate: physics
+    ps, alpha = step_physics_accumulated(ps, params, spec, dt)
+    state = sync_bodies_to_components(state, ps)
+    state = physics_interpolate(state, ps, alpha)
+
+    # --- PostUpdate: simulation systems
+    state = particle_update(state, spec, dt)
+    state = sprite_animation_update(state, dt)
+
+    # --- transform hierarchy → world matrices (+ previous roll)
+    new_world = propagate_transforms(state, spec)
+    state = dataclasses.replace(
+        state,
+        previous_world=state.world,
+        world=new_world,
+        time=state.time + dt,
+        frame=state.frame + 1,
+    )
+    return state, ps
