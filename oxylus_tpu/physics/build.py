@@ -43,7 +43,11 @@ def build_physics_state(scene) -> PhysicsState:
     spec = scene.spec
     ps = empty_physics_state(spec.max_bodies)
 
-    host = {f.name: np.asarray(getattr(ps, f.name)) for f in dataclasses.fields(ps) if f.name != "accumulator"}
+    host = {
+        f.name: np.array(getattr(ps, f.name))  # np.array: writable host copy
+        for f in dataclasses.fields(ps)
+        if f.name != "accumulator"
+    }
 
     slot = 0
     tc = scene._comp_data["TransformComponent"]

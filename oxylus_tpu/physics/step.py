@@ -220,21 +220,38 @@ def _contact_box_box(ca, rot_a, half_a, cb, rot_b, half_b, k_points):
     # orient a→b
     n = n * jnp.sign(jnp.sum(n * d, axis=-1, keepdims=True) + 1e-12)
 
+    # support radii of both boxes along the chosen axis
+    s_a = jnp.take_along_axis(proj_a, best[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    s_b = jnp.take_along_axis(proj_b, best[..., None].astype(jnp.int32), axis=-1)[..., 0]
+
     # candidate points: corners of b tested against a, and corners of a against b
     local_corners_b = _BOX_CORNERS[None, :, :] * half_b[..., None, :]  # (P,8,3)
     local_corners_a = _BOX_CORNERS[None, :, :] * half_a[..., None, :]
     corners_b = cb[..., None, :] + jnp.einsum("...ij,...kj->...ki", rot_b, local_corners_b)
     corners_a = ca[..., None, :] + jnp.einsum("...ij,...kj->...ki", rot_a, local_corners_a)
 
-    def corner_depths(corners, box_c, box_rot, box_half):
+    def corner_inclusion(corners, box_c, box_rot, box_half):
+        """Signed distance of corners into the other box (>0 inside) — used as a
+        lateral inclusion filter, NOT as penetration depth."""
         local = jnp.einsum("...ji,...kj->...ki", box_rot, corners - box_c[..., None, :])
         _, _, sd = _point_box_signed(local, box_half[..., None, :])
-        return sd  # >0 inside
+        return sd
 
-    dp_b_in_a = corner_depths(corners_b, ca, rot_a, half_a)  # (P,8)
-    dp_a_in_b = corner_depths(corners_a, cb, rot_b, half_b)  # (P,8)
+    inc_b = corner_inclusion(corners_b, ca, rot_a, half_a)  # (P,8)
+    inc_a = corner_inclusion(corners_a, cb, rot_b, half_b)  # (P,8)
+
+    # penetration measured ALONG the SAT normal against the opposing face's support
+    # plane (corner min-face distance would be wrong for flush, equal-size boxes):
+    #   corners of b vs a's face plane {x : (x-ca)·n = s_a}
+    #   corners of a vs b's face plane {x : (x-cb)·(-n) = s_b}
+    dp_b = s_a[..., None] - jnp.einsum("...ki,...i->...k", corners_b - ca[..., None, :], n)
+    dp_a = s_b[..., None] + jnp.einsum("...ki,...i->...k", corners_a - cb[..., None, :], n)
+
+    eps = 1e-3
+    dp_b = jnp.where(inc_b > -eps, dp_b, -1e9)
+    dp_a = jnp.where(inc_a > -eps, dp_a, -1e9)
     cand_pts = jnp.concatenate([corners_b, corners_a], axis=-2)  # (P,16,3)
-    cand_dp = jnp.concatenate([dp_b_in_a, dp_a_in_b], axis=-1)  # (P,16)
+    cand_dp = jnp.concatenate([dp_b, dp_a], axis=-1)  # (P,16)
     cand_dp = jnp.where(separated[..., None], -1e9, cand_dp)
 
     # top-k deepest
@@ -441,12 +458,18 @@ def physics_substep(ps: PhysicsState, params: PhysicsParams, dt: float) -> Physi
     # roll previous pose (reference keeps previous_translation/rotation for interpolation)
     prev_pos, prev_quat = ps.pos, ps.quat
 
-    # integrate forces: gravity + drag (Jolt damping: v *= max(0, 1 - c*dt))
+    # integrate forces: gravity + drag (Jolt damping: v *= max(0, 1 - c*dt));
+    # dynamic bodies only — kinematic bodies keep their driven velocity
     lv = ps.linvel + params.gravity[None, :] * (ps.gravity_factor[:, None] * dt) * dynf
-    lv = lv * jnp.maximum(0.0, 1.0 - ps.linear_drag[:, None] * dt)
-    av = ps.angvel * jnp.maximum(0.0, 1.0 - ps.angular_drag[:, None] * dt)
-    lv = lv * ps.dof_mask_lin * dynf
-    av = av * ps.dof_mask_ang * dynf
+    drag_l = jnp.where(dyn[:, None], jnp.maximum(0.0, 1.0 - ps.linear_drag[:, None] * dt), 1.0)
+    drag_a = jnp.where(dyn[:, None], jnp.maximum(0.0, 1.0 - ps.angular_drag[:, None] * dt), 1.0)
+    lv = lv * drag_l
+    av = ps.angvel * drag_a
+    lv = jnp.where(dyn[:, None], lv * ps.dof_mask_lin, lv)
+    av = jnp.where(dyn[:, None], av * ps.dof_mask_ang, av)
+    static = (ps.body_type == BODY_STATIC) | ~ps.active
+    lv = jnp.where(static[:, None], 0.0, lv)
+    av = jnp.where(static[:, None], 0.0, av)
     ps = dataclasses.replace(ps, linvel=lv, angvel=av)
 
     # collide
