@@ -112,11 +112,12 @@ def rasterize_sprites(
     )  # (T, S)
     slot = jnp.cumsum(overlap.astype(jnp.int32), axis=1) - 1  # position within tile list
     keep = overlap & (slot < k_per_tile)
-    target = jnp.where(keep, slot, k_per_tile)  # overflow slot
+    target = jnp.where(keep, slot, k_per_tile)  # out of range → dropped (unique scatter)
     src = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, s), 1)
-    tile_list = jnp.full((n_tiles, k_per_tile + 1), -1, jnp.int32)
-    tile_list = jax.vmap(lambda tl, tg, sr: tl.at[tg].set(sr, mode="drop"))(tile_list, target, src)
-    tile_list = tile_list[:, :k_per_tile]  # (T, K) sorted-sprite indices or -1
+    tile_list = jnp.full((n_tiles, k_per_tile), -1, jnp.int32)
+    tile_list = jax.vmap(
+        lambda tl, tg, sr: tl.at[tg].set(sr, mode="drop", unique_indices=True)
+    )(tile_list, target, src)  # (T, K) sorted-sprite indices or -1
 
     # --- per-tile ordered composite -----------------------------------------
     # pixel coordinates per tile (T, TILE, TILE)

@@ -81,13 +81,16 @@ def broadphase_pairs(ps: PhysicsState, params: PhysicsParams, dt) -> tuple[Array
 
     flat = mask.reshape(-1)
     slots = jnp.cumsum(flat.astype(jnp.int32)) - 1
-    target = jnp.where(flat, jnp.minimum(slots, p), p)  # overflow + non-pairs → slot p
+    # compaction scatter: targets are unique by construction (cumsum), overflow and
+    # non-pairs go out of range and are dropped — this lowers to a fast permutation
+    # scatter on TPU instead of a serialized read-modify-write
+    target = jnp.where(flat & (slots < p), slots, b * b)
     src = jax.lax.broadcasted_iota(jnp.int32, (b * b, 1), 0)[:, 0]
-    pair_flat = jnp.zeros((p + 1,), jnp.int32).at[target].set(src, mode="drop")
+    pair_flat = jnp.zeros((p,), jnp.int32).at[target].set(src, mode="drop", unique_indices=True)
     count = jnp.minimum(jnp.sum(flat.astype(jnp.int32)), p)
     valid = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)[:, 0] < count
-    ia = pair_flat[:p] // b
-    ib = pair_flat[:p] % b
+    ia = pair_flat // b
+    ib = pair_flat % b
     return ia, ib, valid
 
 
@@ -340,6 +343,30 @@ def _world_inv_inertia(ps: PhysicsState) -> Array:
     return jnp.einsum("bij,bj,bkj->bik", rot, ps.inv_inertia, rot)
 
 
+def make_segment_reducer(idx: Array, num_segments: int):
+    """Sort-based segmented sum: TPU-friendly replacement for scatter-add.
+
+    Scatter-add with duplicate indices serializes on TPU; instead we sort the contact
+    rows by body index ONCE, and each reduction becomes gather → cumsum → boundary
+    differences — all vectorizable. Returns reduce(values (C, …)) → (num_segments, …).
+    """
+    c = idx.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)[:, 0]
+    sorted_idx, order = jax.lax.sort((idx, iota), num_keys=1)
+    seg_ids = jax.lax.broadcasted_iota(jnp.int32, (num_segments, 1), 0)[:, 0]
+    ends = jnp.searchsorted(sorted_idx, seg_ids, side="right")
+    starts = jnp.searchsorted(sorted_idx, seg_ids, side="left")
+
+    def reduce(values: Array) -> Array:
+        v = values[order]
+        csum = jnp.cumsum(v, axis=0)
+        zero = jnp.zeros((1,) + v.shape[1:], v.dtype)
+        csum = jnp.concatenate([zero, csum], axis=0)
+        return csum[ends] - csum[starts]
+
+    return reduce
+
+
 def solve_velocity(
     ps: PhysicsState,
     params: PhysicsParams,
@@ -356,11 +383,11 @@ def solve_velocity(
     inv_iw = _world_inv_inertia(ps)  # (B,3,3)
     validf = valid.astype(jnp.float32)
 
+    reduce_a = make_segment_reducer(c_ia, b)
+    reduce_b = make_segment_reducer(c_ib, b)
+
     # per-body contact counts → mass splitting factors
-    cnt = (
-        jax.ops.segment_sum(validf, c_ia, num_segments=b)
-        + jax.ops.segment_sum(validf, c_ib, num_segments=b)
-    )
+    cnt = reduce_a(validf) + reduce_b(validf)
     split = jnp.maximum(cnt, 1.0)
 
     g = lambda arr, idx: arr[idx]
@@ -425,12 +452,12 @@ def solve_velocity(
         acc_t1 = jnp.where(valid, new_t1, acc_t1)
         acc_t2 = jnp.where(valid, new_t2, acc_t2)
 
-        # apply (b gains +j, a gains -j), scattered with one segment-sum per side
+        # apply (b gains +j, a gains -j) via sort-based segmented sums (no scatters)
         j = normal * dl[:, None] + t1 * dt1[:, None] + t2 * dt2[:, None]  # impulse on b
-        jsum_b = jax.ops.segment_sum(j, c_ib, num_segments=b)
-        jsum_a = jax.ops.segment_sum(j, c_ia, num_segments=b)
-        tsum_b = jax.ops.segment_sum(jnp.cross(r_b, j), c_ib, num_segments=b)
-        tsum_a = jax.ops.segment_sum(jnp.cross(r_a, j), c_ia, num_segments=b)
+        jsum_b = reduce_b(j)
+        jsum_a = reduce_a(j)
+        tsum_b = reduce_b(jnp.cross(r_b, j))
+        tsum_a = reduce_a(jnp.cross(r_a, j))
         lv = lv + ((jsum_b - jsum_a) * ps.inv_mass[:, None]) * dof_lin
         av = av + jnp.einsum("bij,bj->bi", inv_iw, tsum_b - tsum_a) * dof_ang
         return lv, av, acc_n, acc_t1, acc_t2

@@ -30,13 +30,13 @@ def sync_bodies_to_components(state: SceneState, ps: PhysicsState) -> SceneState
     """`rigidbody_update`: copy body pose into RigidBodyComponent keeping previous
     values (`Scene.cpp:731-751`). Scatter by owning entity index."""
     rb = dict(state.comp["RigidBodyComponent"])
-    ent = jnp.maximum(ps.entity, 0)
     has_ent = (ps.entity >= 0) & ps.active & (ps.body_type != BODY_STATIC)
+    n = state.alive.shape[0]
+    # out-of-range target → dropped; one body per entity → unique permutation scatter
+    target = jnp.where(has_ent, ps.entity, n)
 
     def scatter(dst: jax.Array, src: jax.Array) -> jax.Array:
-        safe_ent = jnp.where(has_ent, ent, dst.shape[0] - 1)
-        upd = dst.at[safe_ent].set(jnp.where(has_ent[:, None], src, dst[safe_ent]))
-        return upd
+        return dst.at[target].set(src, mode="drop", unique_indices=True)
 
     rb["previous_translation"] = scatter(rb["previous_translation"], ps.prev_pos)
     rb["previous_rotation"] = scatter(rb["previous_rotation"], ps.prev_quat)

@@ -103,14 +103,12 @@ def particle_update(state: SceneState, spec: SceneSpec, dt) -> SceneState:
     spawn_vel = g("start_velocity")
     spawn_life = g("start_lifetime")
 
-    safe_slot = jnp.where(spawn_valid, slot, spec.max_particles - 1)
+    # ring slots are unique within one frame's spawn budget; invalid → dropped
+    safe_slot = jnp.where(spawn_valid, slot, spec.max_particles)
 
     def scatter(dst, src, fill_mask):
-        cur = dst[safe_slot]
-        sel = jnp.where(
-            fill_mask[:, None] if src.ndim == 2 else fill_mask, src, cur
-        )
-        return dst.at[safe_slot].set(sel)
+        del fill_mask  # invalid rows are dropped by the out-of-range target
+        return dst.at[safe_slot].set(src, mode="drop", unique_indices=True)
 
     new_pool = ParticlePool(
         alive=scatter(pool.alive, jnp.ones_like(spawn_valid), spawn_valid),
