@@ -367,6 +367,37 @@ def make_segment_reducer(idx: Array, num_segments: int):
     return reduce
 
 
+# vec3 as tuple-of-(C,)-arrays: every op uses full 128-wide lanes, unlike (C, 3)
+# layouts that leave 125 of 128 lanes idle (the dominant cost in the first cut).
+
+def _split3(v: Array):
+    return (v[..., 0], v[..., 1], v[..., 2])
+
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _cross3(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _scale3(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def _add3(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _sub3(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
 def solve_velocity(
     ps: PhysicsState,
     params: PhysicsParams,
@@ -378,7 +409,10 @@ def solve_velocity(
     c_ia: Array,
     c_ib: Array,
 ) -> tuple[Array, Array]:
-    """Mass-splitting projected-Jacobi impulse solver. Returns (linvel, angvel)."""
+    """Mass-splitting projected-Jacobi impulse solver. Returns (linvel, angvel).
+
+    Laid out as structure-of-component (C,) arrays throughout: full VPU lanes, 1-D
+    gathers, and sort-based segmented sums (see `make_segment_reducer`)."""
     b = ps.num_slots
     inv_iw = _world_inv_inertia(ps)  # (B,3,3)
     validf = valid.astype(jnp.float32)
@@ -393,26 +427,53 @@ def solve_velocity(
     g = lambda arr, idx: arr[idx]
     im_a = g(ps.inv_mass * split, c_ia)
     im_b = g(ps.inv_mass * split, c_ib)
-    ii_a = g(inv_iw * split[:, None, None], c_ia)
-    ii_b = g(inv_iw * split[:, None, None], c_ib)
-    r_a = point - g(ps.pos, c_ia)
-    r_b = point - g(ps.pos, c_ib)
+    # world inverse inertia (symmetric): 6 unique component arrays per side
+    iw_s = inv_iw * split[:, None, None]
 
-    # effective mass along normal
-    def k_along(dirn):
-        rxn_a = jnp.cross(r_a, dirn)
-        rxn_b = jnp.cross(r_b, dirn)
-        ang_a = jnp.sum(jnp.einsum("cij,cj->ci", ii_a, rxn_a) * rxn_a, axis=-1)
-        ang_b = jnp.sum(jnp.einsum("cij,cj->ci", ii_b, rxn_b) * rxn_b, axis=-1)
-        return im_a + im_b + ang_a + ang_b
+    def gather_ii(idx):
+        return {
+            "xx": g(iw_s[:, 0, 0], idx), "xy": g(iw_s[:, 0, 1], idx), "xz": g(iw_s[:, 0, 2], idx),
+            "yy": g(iw_s[:, 1, 1], idx), "yz": g(iw_s[:, 1, 2], idx), "zz": g(iw_s[:, 2, 2], idx),
+        }
 
-    kn = jnp.maximum(k_along(normal), 1e-9)
+    ii_a = gather_ii(c_ia)
+    ii_b = gather_ii(c_ib)
+
+    def ii_mul(ii, v):
+        return (
+            ii["xx"] * v[0] + ii["xy"] * v[1] + ii["xz"] * v[2],
+            ii["xy"] * v[0] + ii["yy"] * v[1] + ii["yz"] * v[2],
+            ii["xz"] * v[0] + ii["yz"] * v[1] + ii["zz"] * v[2],
+        )
+
+    n3 = _split3(normal)
+    pt3 = _split3(point)
+    pa = _split3(ps.pos)
+    r_a = _sub3(pt3, tuple(c[c_ia] for c in pa))
+    r_b = _sub3(pt3, tuple(c[c_ib] for c in pa))
+
+    def k_along(d3):
+        rxn_a = _cross3(r_a, d3)
+        rxn_b = _cross3(r_b, d3)
+        return (
+            im_a + im_b
+            + _dot3(ii_mul(ii_a, rxn_a), rxn_a)
+            + _dot3(ii_mul(ii_b, rxn_b), rxn_b)
+        )
+
+    kn = jnp.maximum(k_along(n3), 1e-9)
 
     # tangent basis
-    ref = jnp.where(jnp.abs(normal[:, 1:2]) < 0.9, jnp.array([0.0, 1.0, 0.0]), jnp.array([1.0, 0.0, 0.0]))
-    t1 = jnp.cross(normal, ref)
-    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
-    t2 = jnp.cross(normal, t1)
+    up_dominant = jnp.abs(n3[1]) < 0.9
+    ref = (
+        jnp.where(up_dominant, 0.0, 1.0),
+        jnp.where(up_dominant, 1.0, 0.0),
+        jnp.zeros_like(n3[0]),
+    )
+    t1 = _cross3(n3, ref)
+    t1_len = jnp.maximum(jnp.sqrt(_dot3(t1, t1)), 1e-9)
+    t1 = _scale3(t1, 1.0 / t1_len)
+    t2 = _cross3(n3, t1)
     kt1 = jnp.maximum(k_along(t1), 1e-9)
     kt2 = jnp.maximum(k_along(t2), 1e-9)
 
@@ -420,30 +481,39 @@ def solve_velocity(
     e = jnp.maximum(g(ps.restitution, c_ia), g(ps.restitution, c_ib))
     mu = jnp.sqrt(g(ps.friction, c_ia) * g(ps.friction, c_ib))
 
-    def rel_normal_vel(lv, av):
-        va = g(lv, c_ia) + jnp.cross(g(av, c_ia), r_a)
-        vb = g(lv, c_ib) + jnp.cross(g(av, c_ib), r_b)
-        return vb - va
+    def rel_vel(lv3, av3):
+        va = _add3(tuple(c[c_ia] for c in lv3), _cross3(tuple(c[c_ia] for c in av3), r_a))
+        vb = _add3(tuple(c[c_ib] for c in lv3), _cross3(tuple(c[c_ib] for c in av3), r_b))
+        return _sub3(vb, va)
 
-    vn0 = jnp.sum(rel_normal_vel(ps.linvel, ps.angvel) * normal, axis=-1)
+    lv0 = _split3(ps.linvel)
+    av0 = _split3(ps.angvel)
+    vn0 = _dot3(rel_vel(lv0, av0), n3)
     bounce = jnp.where(vn0 < -params.restitution_threshold, -e * vn0, 0.0)
     bias = (params.baumgarte / dt) * jnp.maximum(depth - params.penetration_slop, 0.0)
     target = jnp.maximum(bounce, bias)  # desired separating normal velocity
 
-    dof_lin = ps.dof_mask_lin
-    dof_ang = ps.dof_mask_ang
+    dof_lin = _split3(ps.dof_mask_lin)
+    dof_ang = _split3(ps.dof_mask_ang)
+    inv_mass = ps.inv_mass
+    iw = {
+        "xx": inv_iw[:, 0, 0], "xy": inv_iw[:, 0, 1], "xz": inv_iw[:, 0, 2],
+        "yy": inv_iw[:, 1, 1], "yz": inv_iw[:, 1, 2], "zz": inv_iw[:, 2, 2],
+    }
 
     def body(_, carry):
-        lv, av, acc_n, acc_t1, acc_t2 = carry
-        vrel = rel_normal_vel(lv, av)
-        vn = jnp.sum(vrel * normal, axis=-1)
+        lvx, lvy, lvz, avx, avy, avz, acc_n, acc_t1, acc_t2 = carry
+        lv3 = (lvx, lvy, lvz)
+        av3 = (avx, avy, avz)
+        vrel = rel_vel(lv3, av3)
+        vn = _dot3(vrel, n3)
         dl = -(vn - target) / kn
         new_acc = jnp.maximum(acc_n + dl, 0.0)
         dl = jnp.where(valid, new_acc - acc_n, 0.0)
         acc_n = jnp.where(valid, new_acc, acc_n)
 
-        vt1 = jnp.sum(vrel * t1, axis=-1)
-        vt2 = jnp.sum(vrel * t2, axis=-1)
+        vt1 = _dot3(vrel, t1)
+        vt2 = _dot3(vrel, t2)
         max_f = mu * acc_n
         new_t1 = jnp.clip(acc_t1 - vt1 / kt1, -max_f, max_f)
         new_t2 = jnp.clip(acc_t2 - vt2 / kt2, -max_f, max_f)
@@ -452,23 +522,32 @@ def solve_velocity(
         acc_t1 = jnp.where(valid, new_t1, acc_t1)
         acc_t2 = jnp.where(valid, new_t2, acc_t2)
 
-        # apply (b gains +j, a gains -j) via sort-based segmented sums (no scatters)
-        j = normal * dl[:, None] + t1 * dt1[:, None] + t2 * dt2[:, None]  # impulse on b
-        jsum_b = reduce_b(j)
-        jsum_a = reduce_a(j)
-        tsum_b = reduce_b(jnp.cross(r_b, j))
-        tsum_a = reduce_a(jnp.cross(r_a, j))
-        lv = lv + ((jsum_b - jsum_a) * ps.inv_mass[:, None]) * dof_lin
-        av = av + jnp.einsum("bij,bj->bi", inv_iw, tsum_b - tsum_a) * dof_ang
-        return lv, av, acc_n, acc_t1, acc_t2
+        # impulse on b; a gets -j
+        j = _add3(_add3(_scale3(n3, dl), _scale3(t1, dt1)), _scale3(t2, dt2))
+        tq_b = _cross3(r_b, j)
+        tq_a = _cross3(r_a, j)
+        dj = tuple(reduce_b(j[k]) - reduce_a(j[k]) for k in range(3))
+        dtq = tuple(reduce_b(tq_b[k]) - reduce_a(tq_a[k]) for k in range(3))
+        lvx = lvx + dj[0] * inv_mass * dof_lin[0]
+        lvy = lvy + dj[1] * inv_mass * dof_lin[1]
+        lvz = lvz + dj[2] * inv_mass * dof_lin[2]
+        davx = iw["xx"] * dtq[0] + iw["xy"] * dtq[1] + iw["xz"] * dtq[2]
+        davy = iw["xy"] * dtq[0] + iw["yy"] * dtq[1] + iw["yz"] * dtq[2]
+        davz = iw["xz"] * dtq[0] + iw["yz"] * dtq[1] + iw["zz"] * dtq[2]
+        avx = avx + davx * dof_ang[0]
+        avy = avy + davy * dof_ang[1]
+        avz = avz + davz * dof_ang[2]
+        return lvx, lvy, lvz, avx, avy, avz, acc_n, acc_t1, acc_t2
 
     zeros_c = jnp.zeros_like(depth)
-    lv, av, _, _, _ = jax.lax.fori_loop(
+    out = jax.lax.fori_loop(
         0,
         params.velocity_iterations,
         body,
-        (ps.linvel, ps.angvel, zeros_c, zeros_c, zeros_c),
+        (*lv0, *av0, zeros_c, zeros_c, zeros_c),
     )
+    lv = jnp.stack(out[0:3], axis=-1)
+    av = jnp.stack(out[3:6], axis=-1)
     return lv, av
 
 

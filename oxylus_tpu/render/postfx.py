@@ -1,0 +1,293 @@
+"""Post-processing stack as fused fullscreen array ops.
+
+Reference pass semantics pinned from SURVEY A.5/A.6 and the pass drivers
+(`/root/reference/Oxylus/src/Render/Passes/PostProcess.cpp`):
+
+- auto-exposure: 256-bin log2-luminance histogram, dark-bin-0 excluded, EV100 exposure
+  with exponential temporal adaptation (`histogram_average.slang:22-51`),
+- bloom: bright-pass prefilter with soft knee → downsample mip chain → upsample+blend
+  (`PostProcess.cpp:79-205`),
+- tonemap: ACES fitted / AgX / GT7 + chromatic aberration + film grain + vignette in
+  one pass (`tonemap.slang`),
+- FXAA: luminance-based edge blend (`fxaa` pass).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+HISTOGRAM_BINS = 256
+
+
+# ---------------------------------------------------------------------------
+# Auto exposure
+# ---------------------------------------------------------------------------
+
+def luminance(rgb: Array) -> Array:
+    return rgb[..., 0] * 0.2127 + rgb[..., 1] * 0.7152 + rgb[..., 2] * 0.0722
+
+
+def luminance_histogram(hdr: Array, min_log2: Array, inv_log2_range: Array) -> Array:
+    """256-bin log-luminance histogram (`histogram_generate` pass). Bin 0 collects
+    below-threshold pixels (excluded from the average)."""
+    lum = luminance(hdr)
+    log_lum = jnp.log2(jnp.maximum(lum, 1e-9))
+    t = jnp.clip((log_lum - min_log2) * inv_log2_range, 0.0, 1.0)
+    bins = jnp.where(lum < 1e-4, 0, (t * 254.0 + 1.0).astype(jnp.int32))
+    one_hot_counts = jnp.zeros(HISTOGRAM_BINS, jnp.int32).at[bins.reshape(-1)].add(1)
+    return one_hot_counts
+
+
+def adapt_exposure(
+    histogram: Array,
+    prev_luminance: Array,
+    dt: Array,
+    min_exposure: float = -11.5,
+    max_exposure: float = 18.0,
+    adaptation_speed: float = 1.1,
+    ev100_bias: float = 1.0,
+) -> tuple[Array, Array]:
+    """`histogram_average.slang:22-51`: weighted-average bin → desired luminance →
+    exponential adaptation → exposure multiplier. Returns (exposure, new_luminance)."""
+    counts = histogram.astype(jnp.float32)
+    total = jnp.maximum(jnp.sum(counts[1:]), 1.0)
+    weighted = jnp.sum(counts * jnp.arange(HISTOGRAM_BINS, dtype=jnp.float32))
+    avg_bin = weighted / total - 1.0
+    log2_range = max_exposure - min_exposure
+    desired = jnp.exp2(avg_bin / 254.0 * log2_range + min_exposure)
+    time_coeff = 1.0 - jnp.exp(-dt * adaptation_speed)
+    new_lum = prev_luminance + (desired - prev_luminance) * time_coeff
+    ev100 = jnp.log2(jnp.maximum(new_lum, 1e-9) * 100.0 * ev100_bias / 12.5)
+    exposure = 1.0 / (jnp.exp2(ev100) * 1.2)
+    return exposure, new_lum
+
+
+# ---------------------------------------------------------------------------
+# Bloom
+# ---------------------------------------------------------------------------
+
+def _downsample2x(img: Array) -> Array:
+    h, w = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2
+    x = img[:h, :w]
+    return (x[0::2, 0::2] + x[1::2, 0::2] + x[0::2, 1::2] + x[1::2, 1::2]) * 0.25
+
+
+def _upsample2x(img: Array, target_hw: tuple[int, int]) -> Array:
+    th, tw = target_hw
+    up = jnp.repeat(jnp.repeat(img, 2, axis=0), 2, axis=1)
+    up = up[:th, :tw]
+    pad_h, pad_w = th - up.shape[0], tw - up.shape[1]
+    if pad_h or pad_w:
+        up = jnp.pad(up, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+    return up
+
+
+def apply_bloom(
+    hdr: Array,
+    threshold: float = 1.0,
+    soft_threshold: float = 0.125,
+    intensity: float = 0.1,
+    clamp_value: float = 4.0,
+    mips: int = 5,
+) -> Array:
+    """Prefilter → down chain → up chain blend (`PostProcess.cpp:79-205`)."""
+    lum = luminance(hdr)[..., None]
+    knee = threshold * soft_threshold
+    soft = jnp.clip(lum - threshold + knee, 0.0, 2.0 * knee)
+    soft = soft * soft / jnp.maximum(4.0 * knee, 1e-5)
+    contribution = jnp.maximum(soft, lum - threshold) / jnp.maximum(lum, 1e-5)
+    pre = jnp.minimum(hdr * contribution, clamp_value)
+
+    chain = [pre]
+    for _ in range(mips - 1):
+        if min(chain[-1].shape[:2]) < 4:
+            break
+        chain.append(_downsample2x(chain[-1]))
+    acc = chain[-1]
+    for i in range(len(chain) - 2, -1, -1):
+        acc = chain[i] + _upsample2x(acc, chain[i].shape[:2])
+    return hdr + acc * (intensity / max(len(chain), 1))
+
+
+# ---------------------------------------------------------------------------
+# Tonemapping (tonemap.slang)
+# ---------------------------------------------------------------------------
+
+_ACES_IN = jnp.array(
+    [[0.59719, 0.35458, 0.04823], [0.07600, 0.90834, 0.01566], [0.02840, 0.13383, 0.83777]],
+    jnp.float32,
+)
+_ACES_OUT = jnp.array(
+    [[1.60475, -0.53108, -0.07367], [-0.10208, 1.10813, -0.00605], [-0.00327, -0.07276, 1.07602]],
+    jnp.float32,
+)
+
+
+def tonemap_aces(c: Array) -> Array:
+    v = jnp.einsum("ij,...j->...i", _ACES_IN, c)
+    a = v * (v + 0.0245786) - 0.000090537
+    b = v * (0.983729 * v + 0.4329510) + 0.238081
+    v = a / jnp.maximum(b, 1e-9)
+    return jnp.clip(jnp.einsum("ij,...j->...i", _ACES_OUT, v), 0.0, 1.0)
+
+
+_AGX_IN = jnp.array(
+    [[0.842479, 0.0784336, 0.0792237], [0.0423282, 0.878469, 0.0791661], [0.0423756, 0.0784336, 0.879142]],
+    jnp.float32,
+)
+_AGX_OUT = jnp.array(
+    [[1.19688, -0.0980209, -0.0990297], [-0.0528969, 1.15190, -0.0989612], [-0.0529716, -0.0980435, 1.15107]],
+    jnp.float32,
+)
+
+
+def _agx_sigmoid(x: Array) -> Array:
+    x2 = x * x
+    x4 = x2 * x2
+    return (
+        15.5 * x4 * x2
+        - 40.14 * x4 * x
+        + 31.96 * x4
+        - 6.868 * x2 * x
+        + 0.4298 * x2
+        + 0.1191 * x
+        - 0.00232
+    )
+
+
+def tonemap_agx(c: Array, look_saturation: float = 1.3) -> Array:
+    """AgX with punchy-look saturation (tonemap.slang:74-120; EV range [-12.47, 4.03])."""
+    v = jnp.einsum("ij,...j->...i", _AGX_IN, c)
+    min_ev, max_ev = -12.47393, 4.026069
+    v = jnp.clip(jnp.log2(jnp.maximum(v, 1e-10)), min_ev, max_ev)
+    v = (v - min_ev) / (max_ev - min_ev)
+    v = _agx_sigmoid(v)
+    lum = luminance(v)[..., None]
+    v = lum + look_saturation * (v - lum)
+    v = jnp.einsum("ij,...j->...i", _AGX_OUT, v)
+    return jnp.clip(v, 0.0, 1.0)
+
+
+def tonemap_gt7(c: Array) -> Array:
+    """Gran Turismo-style filmic curve (GT7 preset)."""
+    p, a, m, l, cc, b = 1.0, 1.0, 0.22, 0.4, 1.33, 0.0
+    l0 = (p - m) * l / a
+    s0 = m + l0
+    s1 = m + a * l0
+    c2 = a * p / (p - s1)
+    w0 = 1.0 - jax.nn.sigmoid((c - m) * 10.0)
+    toe = m * jnp.maximum(c / jnp.maximum(m, 1e-5), 1e-5) ** cc
+    shoulder = p - (p - s1) * jnp.exp(-c2 * (c - s0) / p)
+    linear = m + a * (c - m)
+    out = jnp.where(c < m, toe, jnp.where(c < s0, linear, shoulder))
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def apply_tonemap(
+    hdr: Array,
+    tonemapper: int | Array = 0,
+    exposure: Array | float = 1.0,
+    gamma: float = 2.2,
+    chromatic_aberration: float = 0.0,
+    film_grain: float = 0.0,
+    film_grain_scale: float = 0.7,
+    vignette: float = 0.0,
+    frame: Array | int = 0,
+) -> Array:
+    """Final color pass: exposure → CA → tonemap → vignette → grain → gamma.
+    tonemapper: 0 None(+gamma) 1 ACES 2 AgX 3 GT7 (GPU::TonemapType order)."""
+    h, w = hdr.shape[:2]
+    c = hdr * exposure
+
+    if chromatic_aberration:
+        # radial RGB shift (tonemap.slang CA)
+        yy = (jnp.arange(h, dtype=jnp.float32) / h - 0.5)[:, None]
+        xx = (jnp.arange(w, dtype=jnp.float32) / w - 0.5)[None, :]
+        shift = (chromatic_aberration * 8.0 * jnp.stack([xx + 0.0 * yy, yy + 0.0 * xx], -1)).astype(jnp.int32)
+        ix = jnp.clip(jnp.arange(w)[None, :] + shift[..., 0], 0, w - 1)
+        iy = jnp.clip(jnp.arange(h)[:, None] + shift[..., 1], 0, h - 1)
+        r = c[iy, ix, 0]
+        b_ix = jnp.clip(jnp.arange(w)[None, :] - shift[..., 0], 0, w - 1)
+        b_iy = jnp.clip(jnp.arange(h)[:, None] - shift[..., 1], 0, h - 1)
+        b = c[b_iy, b_ix, 2]
+        c = jnp.stack([r, c[..., 1], b], axis=-1)
+
+    t = jnp.asarray(tonemapper)
+    mapped = jax.lax.switch(
+        jnp.clip(t, 0, 3),
+        [lambda x: jnp.clip(x, 0.0, 1.0), tonemap_aces, tonemap_agx, tonemap_gt7],
+        c,
+    )
+
+    if vignette:
+        yy = (jnp.arange(h, dtype=jnp.float32) / h - 0.5)[:, None]
+        xx = (jnp.arange(w, dtype=jnp.float32) / w - 0.5)[None, :]
+        d = jnp.sqrt(xx * xx + yy * yy) * 2.0
+        vig = jnp.clip(1.0 - vignette * d * d, 0.0, 1.0)
+        mapped = mapped * vig[..., None]
+
+    if film_grain:
+        key = jax.random.fold_in(jax.random.PRNGKey(0x617), jnp.asarray(frame) % 16)
+        gh = max(int(h * film_grain_scale), 1)
+        gw = max(int(w * film_grain_scale), 1)
+        noise = jax.random.uniform(key, (gh, gw, 1)) - 0.5
+        noise = jnp.resize(noise, (h, w, 1))
+        mapped = jnp.clip(mapped + noise * film_grain * 0.15, 0.0, 1.0)
+
+    return jnp.clip(mapped, 0.0, 1.0) ** (1.0 / gamma)
+
+
+# ---------------------------------------------------------------------------
+# FXAA
+# ---------------------------------------------------------------------------
+
+def apply_fxaa(ldr: Array, span_max: float = 8.0) -> Array:
+    """Luma-gradient directional blur on edges (console-FXAA shape)."""
+    lum = luminance(ldr)
+    pad = jnp.pad(lum, 1, mode="edge")
+    nw = pad[:-2, :-2]
+    ne = pad[:-2, 2:]
+    sw = pad[2:, :-2]
+    se = pad[2:, 2:]
+    m = lum
+
+    lmin = jnp.minimum(m, jnp.minimum(jnp.minimum(nw, ne), jnp.minimum(sw, se)))
+    lmax = jnp.maximum(m, jnp.maximum(jnp.maximum(nw, ne), jnp.maximum(sw, se)))
+
+    dir_x = -((nw + ne) - (sw + se))
+    dir_y = (nw + sw) - (ne + se)
+    dir_reduce = jnp.maximum((nw + ne + sw + se) * 0.25 * 0.125, 1.0 / 128.0)
+    rcp = 1.0 / (jnp.minimum(jnp.abs(dir_x), jnp.abs(dir_y)) + dir_reduce)
+    dx = jnp.clip(dir_x * rcp, -span_max, span_max)
+    dy = jnp.clip(dir_y * rcp, -span_max, span_max)
+
+    h, w = lum.shape
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+
+    def sample(offset_scale):
+        fy = jnp.clip(ys + dy * offset_scale, 0.0, h - 1.0)
+        fx = jnp.clip(xs + dx * offset_scale, 0.0, w - 1.0)
+        y0 = jnp.floor(fy).astype(jnp.int32)
+        x0 = jnp.floor(fx).astype(jnp.int32)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        wy = (fy - y0)[..., None]
+        wx = (fx - x0)[..., None]
+        return (
+            ldr[y0, x0] * (1 - wy) * (1 - wx)
+            + ldr[y0, x1] * (1 - wy) * wx
+            + ldr[y1, x0] * wy * (1 - wx)
+            + ldr[y1, x1] * wy * wx
+        )
+
+    a = (sample(-0.1666) + sample(0.1666)) * 0.5
+    b = a * 0.5 + (sample(-0.5) + sample(0.5)) * 0.25
+    blum = luminance(b)
+    use_a = (blum < lmin) | (blum > lmax)
+    out = jnp.where(use_a[..., None], a, b)
+    edge = (lmax - lmin) > jnp.maximum(0.0312, lmax * 0.125)
+    return jnp.where(edge[..., None], out, ldr)
