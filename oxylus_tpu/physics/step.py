@@ -411,17 +411,31 @@ def solve_velocity(
 ) -> tuple[Array, Array]:
     """Mass-splitting projected-Jacobi impulse solver. Returns (linvel, angvel).
 
-    Laid out as structure-of-component (C,) arrays throughout: full VPU lanes, 1-D
-    gathers, and sort-based segmented sums (see `make_segment_reducer`)."""
+    Communication strategy (measured on-chip, see scripts/micro_probe.py): every
+    distinct non-fusable XLA op costs ~300µs on this target regardless of size, so the
+    contact↔body exchange per iteration is TWO incidence matmuls per side — a one-hot
+    (C, B) matrix gathers body velocities as `G @ V` and reduces impulses as `Gᵀ @ J`
+    on the MXU — instead of dozens of gather/cumsum kernels. Everything else is one
+    fused elementwise chain per iteration."""
     b = ps.num_slots
     inv_iw = _world_inv_inertia(ps)  # (B,3,3)
     validf = valid.astype(jnp.float32)
 
-    reduce_a = make_segment_reducer(c_ia, b)
-    reduce_b = make_segment_reducer(c_ib, b)
+    # incidence matrices: G[c, body] = 1 (valid contacts only)
+    bodies = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+    g_a = ((c_ia[:, None] == bodies) & valid[:, None]).astype(jnp.float32)  # (C, B)
+    g_b = ((c_ib[:, None] == bodies) & valid[:, None]).astype(jnp.float32)
+
+    def reduce_a(vals: Array) -> Array:  # (C, …) → (B, …)
+        flat = vals.reshape(vals.shape[0], -1)
+        return jnp.einsum("cb,cf->bf", g_a, flat).reshape((b,) + vals.shape[1:])
+
+    def reduce_b(vals: Array) -> Array:
+        flat = vals.reshape(vals.shape[0], -1)
+        return jnp.einsum("cb,cf->bf", g_b, flat).reshape((b,) + vals.shape[1:])
 
     # per-body contact counts → mass splitting factors
-    cnt = reduce_a(validf) + reduce_b(validf)
+    cnt = reduce_a(validf[:, None])[:, 0] + reduce_b(validf[:, None])[:, 0]
     split = jnp.maximum(cnt, 1.0)
 
     g = lambda arr, idx: arr[idx]
@@ -481,14 +495,20 @@ def solve_velocity(
     e = jnp.maximum(g(ps.restitution, c_ia), g(ps.restitution, c_ib))
     mu = jnp.sqrt(g(ps.friction, c_ia) * g(ps.friction, c_ib))
 
-    def rel_vel(lv3, av3):
-        va = _add3(tuple(c[c_ia] for c in lv3), _cross3(tuple(c[c_ia] for c in av3), r_a))
-        vb = _add3(tuple(c[c_ib] for c in lv3), _cross3(tuple(c[c_ib] for c in av3), r_b))
+    def rel_vel_from(va6, vb6):
+        """Contact-frame relative velocity from gathered (C, 6) [linvel|angvel] rows."""
+        va = _add3((va6[:, 0], va6[:, 1], va6[:, 2]), _cross3((va6[:, 3], va6[:, 4], va6[:, 5]), r_a))
+        vb = _add3((vb6[:, 0], vb6[:, 1], vb6[:, 2]), _cross3((vb6[:, 3], vb6[:, 4], vb6[:, 5]), r_b))
         return _sub3(vb, va)
 
-    lv0 = _split3(ps.linvel)
-    av0 = _split3(ps.angvel)
-    vn0 = _dot3(rel_vel(lv0, av0), n3)
+    def gather_vel6(v6):
+        return jnp.dot(g_a, v6, preferred_element_type=jnp.float32), jnp.dot(
+            g_b, v6, preferred_element_type=jnp.float32
+        )
+
+    v6_0 = jnp.concatenate([ps.linvel, ps.angvel], axis=-1)  # (B, 6)
+    va6_0, vb6_0 = gather_vel6(v6_0)
+    vn0 = _dot3(rel_vel_from(va6_0, vb6_0), n3)
     bounce = jnp.where(vn0 < -params.restitution_threshold, -e * vn0, 0.0)
     bias = (params.baumgarte / dt) * jnp.maximum(depth - params.penetration_slop, 0.0)
     target = jnp.maximum(bounce, bias)  # desired separating normal velocity
@@ -502,10 +522,9 @@ def solve_velocity(
     }
 
     def body(_, carry):
-        lvx, lvy, lvz, avx, avy, avz, acc_n, acc_t1, acc_t2 = carry
-        lv3 = (lvx, lvy, lvz)
-        av3 = (avx, avy, avz)
-        vrel = rel_vel(lv3, av3)
+        v6, acc_n, acc_t1, acc_t2 = carry
+        va6, vb6 = gather_vel6(v6)  # 2 MXU kernels
+        vrel = rel_vel_from(va6, vb6)
         vn = _dot3(vrel, n3)
         dl = -(vn - target) / kn
         new_acc = jnp.maximum(acc_n + dl, 0.0)
@@ -522,33 +541,34 @@ def solve_velocity(
         acc_t1 = jnp.where(valid, new_t1, acc_t1)
         acc_t2 = jnp.where(valid, new_t2, acc_t2)
 
-        # impulse on b; a gets -j
+        # impulse on b; a gets -j. One (C,6) reduce matmul per side.
         j = _add3(_add3(_scale3(n3, dl), _scale3(t1, dt1)), _scale3(t2, dt2))
         tq_b = _cross3(r_b, j)
         tq_a = _cross3(r_a, j)
-        dj = tuple(reduce_b(j[k]) - reduce_a(j[k]) for k in range(3))
-        dtq = tuple(reduce_b(tq_b[k]) - reduce_a(tq_a[k]) for k in range(3))
-        lvx = lvx + dj[0] * inv_mass * dof_lin[0]
-        lvy = lvy + dj[1] * inv_mass * dof_lin[1]
-        lvz = lvz + dj[2] * inv_mass * dof_lin[2]
+        jt_b = jnp.stack([j[0], j[1], j[2], tq_b[0], tq_b[1], tq_b[2]], axis=-1)  # (C,6)
+        jt_a = jnp.stack([j[0], j[1], j[2], tq_a[0], tq_a[1], tq_a[2]], axis=-1)
+        d6 = reduce_b(jt_b) - reduce_a(jt_a)  # (B, 6): [Σj | Στq]
+        dj = (d6[:, 0], d6[:, 1], d6[:, 2])
+        dtq = (d6[:, 3], d6[:, 4], d6[:, 5])
+        dlv = jnp.stack(
+            [dj[k] * inv_mass * dof_lin[k] for k in range(3)], axis=-1
+        )
         davx = iw["xx"] * dtq[0] + iw["xy"] * dtq[1] + iw["xz"] * dtq[2]
         davy = iw["xy"] * dtq[0] + iw["yy"] * dtq[1] + iw["yz"] * dtq[2]
         davz = iw["xz"] * dtq[0] + iw["yz"] * dtq[1] + iw["zz"] * dtq[2]
-        avx = avx + davx * dof_ang[0]
-        avy = avy + davy * dof_ang[1]
-        avz = avz + davz * dof_ang[2]
-        return lvx, lvy, lvz, avx, avy, avz, acc_n, acc_t1, acc_t2
+        dav = jnp.stack([davx * dof_ang[0], davy * dof_ang[1], davz * dof_ang[2]], axis=-1)
+        v6 = v6 + jnp.concatenate([dlv, dav], axis=-1)
+        return v6, acc_n, acc_t1, acc_t2
 
     zeros_c = jnp.zeros_like(depth)
     out = jax.lax.fori_loop(
         0,
         params.velocity_iterations,
         body,
-        (*lv0, *av0, zeros_c, zeros_c, zeros_c),
+        (v6_0, zeros_c, zeros_c, zeros_c),
     )
-    lv = jnp.stack(out[0:3], axis=-1)
-    av = jnp.stack(out[3:6], axis=-1)
-    return lv, av
+    v6 = out[0]
+    return v6[:, :3], v6[:, 3:]
 
 
 # ---------------------------------------------------------------------------
