@@ -36,12 +36,16 @@ SHAPE_CAPSULE = 1  # sphere == capsule with half_length 0
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["gravity", "baumgarte", "penetration_slop", "speculative_margin", "restitution_threshold"],
-    meta_fields=["velocity_iterations", "max_pairs", "points_per_pair"],
+    meta_fields=["velocity_iterations", "max_pairs", "points_per_pair", "comm"],
 )
 @dataclasses.dataclass(frozen=True)
 class PhysicsParams:
     """Solver configuration. Defaults follow Jolt's PhysicsSettings (the reference runs
-    Jolt with defaults): Baumgarte 0.2, penetration slop 0.02, 10 velocity iterations."""
+    Jolt with defaults): Baumgarte 0.2, penetration slop 0.02, 10 velocity iterations.
+
+    `comm` picks the contact↔body exchange strategy: "matmul" (one-hot incidence
+    matmuls on the MXU — fastest single-world, memory ∝ P·B) or "scatter" (1-D
+    gather + scatter-add — memory-light, preferred for large vmapped world batches)."""
 
     gravity: Array = dataclasses.field(
         default_factory=lambda: jnp.array([0.0, -9.81, 0.0], jnp.float32)
@@ -53,6 +57,7 @@ class PhysicsParams:
     velocity_iterations: int = 10
     max_pairs: int = 4096
     points_per_pair: int = 4
+    comm: str = "matmul"
 
 
 @partial(

@@ -411,128 +411,123 @@ def solve_velocity(
 ) -> tuple[Array, Array]:
     """Mass-splitting projected-Jacobi impulse solver. Returns (linvel, angvel).
 
-    Communication strategy (measured on-chip, see scripts/micro_probe.py): every
-    distinct non-fusable XLA op costs ~300µs on this target regardless of size, so the
-    contact↔body exchange per iteration is TWO incidence matmuls per side — a one-hot
-    (C, B) matrix gathers body velocities as `G @ V` and reduces impulses as `Gᵀ @ J`
-    on the MXU — instead of dozens of gather/cumsum kernels. Everything else is one
-    fused elementwise chain per iteration."""
+    Communication strategy (measured on-chip, scripts/micro_probe.py): every distinct
+    non-fusable XLA op costs ~100-300us on this target regardless of size, so the
+    per-iteration contact<->body exchange is reduced to PAIR granularity and done with
+    two incidence matmuls per side on the MXU: a one-hot (P, B) matrix gathers body
+    velocities as `G @ V` and reduces summed pair impulses as `G^T @ J`. All per-point
+    manifold math (K points per pair) lives inside one fused elementwise chain."""
     b = ps.num_slots
+    k = params.points_per_pair
+    p_pairs = c_ia.shape[0] // k
     inv_iw = _world_inv_inertia(ps)  # (B,3,3)
+
+    # reshape per-point data to (P, K, ...)
+    normal = normal.reshape(p_pairs, k, 3)
+    point = point.reshape(p_pairs, k, 3)
+    depth = depth.reshape(p_pairs, k)
+    valid = valid.reshape(p_pairs, k)
+    ia = c_ia.reshape(p_pairs, k)[:, 0]
+    ib = c_ib.reshape(p_pairs, k)[:, 0]
+    pair_valid = jnp.any(valid, axis=1)
     validf = valid.astype(jnp.float32)
 
-    # incidence matrices: G[c, body] = 1 (valid contacts only)
-    bodies = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
-    g_a = ((c_ia[:, None] == bodies) & valid[:, None]).astype(jnp.float32)  # (C, B)
-    g_b = ((c_ib[:, None] == bodies) & valid[:, None]).astype(jnp.float32)
+    if params.comm == "matmul":
+        # pair-level incidence matrices: G[pair, body] = 1 for valid pairs
+        bodies = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+        g_a = ((ia[:, None] == bodies) & pair_valid[:, None]).astype(jnp.float32)  # (P, B)
+        g_b = ((ib[:, None] == bodies) & pair_valid[:, None]).astype(jnp.float32)
 
-    def reduce_a(vals: Array) -> Array:  # (C, …) → (B, …)
-        flat = vals.reshape(vals.shape[0], -1)
-        return jnp.einsum("cb,cf->bf", g_a, flat).reshape((b,) + vals.shape[1:])
+        def reduce_sides(vals_a: Array, vals_b: Array) -> Array:
+            """(P, F) per side -> (B, F): Gb^T vals_b - Ga^T vals_a."""
+            return jnp.einsum("pb,pf->bf", g_b, vals_b) - jnp.einsum("pb,pf->bf", g_a, vals_a)
 
-    def reduce_b(vals: Array) -> Array:
-        flat = vals.reshape(vals.shape[0], -1)
-        return jnp.einsum("cb,cf->bf", g_b, flat).reshape((b,) + vals.shape[1:])
+        def gather_vel6(v6: Array):
+            return (
+                jnp.dot(g_a, v6, preferred_element_type=jnp.float32),
+                jnp.dot(g_b, v6, preferred_element_type=jnp.float32),
+            )
 
-    # per-body contact counts → mass splitting factors
-    cnt = reduce_a(validf[:, None])[:, 0] + reduce_b(validf[:, None])[:, 0]
+        # per-body contact-point counts -> mass splitting factors
+        point_count = jnp.sum(validf, axis=1)  # (P,)
+        cnt = jnp.einsum("pb,p->b", g_a, point_count) + jnp.einsum("pb,p->b", g_b, point_count)
+    else:  # "scatter": memory-light 1-D gather + scatter-add (vmapped-worlds path)
+        ia_safe = jnp.where(pair_valid, ia, b)  # out of range → dropped
+        ib_safe = jnp.where(pair_valid, ib, b)
+
+        def reduce_sides(vals_a: Array, vals_b: Array) -> Array:
+            out = jnp.zeros((b, vals_a.shape[-1]), vals_a.dtype)
+            out = out.at[ib_safe].add(vals_b, mode="drop")
+            out = out.at[ia_safe].add(-vals_a, mode="drop")
+            return out
+
+        def gather_vel6(v6: Array):
+            return v6[jnp.minimum(ia, b - 1)], v6[jnp.minimum(ib, b - 1)]
+
+        point_count = jnp.sum(validf, axis=1)
+        cnt = (
+            jnp.zeros((b,), jnp.float32).at[ia_safe].add(point_count, mode="drop")
+            + jnp.zeros((b,), jnp.float32).at[ib_safe].add(point_count, mode="drop")
+        )
     split = jnp.maximum(cnt, 1.0)
 
     g = lambda arr, idx: arr[idx]
-    im_a = g(ps.inv_mass * split, c_ia)
-    im_b = g(ps.inv_mass * split, c_ib)
-    # world inverse inertia (symmetric): 6 unique component arrays per side
-    iw_s = inv_iw * split[:, None, None]
+    im_a = g(ps.inv_mass * split, ia)[:, None]          # (P,1)
+    im_b = g(ps.inv_mass * split, ib)[:, None]
+    ii_a = g(inv_iw * split[:, None, None], ia)          # (P,3,3)
+    ii_b = g(inv_iw * split[:, None, None], ib)
+    r_a = point - g(ps.pos, ia)[:, None, :]              # (P,K,3)
+    r_b = point - g(ps.pos, ib)[:, None, :]
 
-    def gather_ii(idx):
-        return {
-            "xx": g(iw_s[:, 0, 0], idx), "xy": g(iw_s[:, 0, 1], idx), "xz": g(iw_s[:, 0, 2], idx),
-            "yy": g(iw_s[:, 1, 1], idx), "yz": g(iw_s[:, 1, 2], idx), "zz": g(iw_s[:, 2, 2], idx),
-        }
+    def k_along(dirn: Array) -> Array:                   # dirn (P,K,3) -> (P,K)
+        rxn_a = jnp.cross(r_a, dirn)
+        rxn_b = jnp.cross(r_b, dirn)
+        ang_a = jnp.sum(jnp.einsum("pij,pkj->pki", ii_a, rxn_a) * rxn_a, axis=-1)
+        ang_b = jnp.sum(jnp.einsum("pij,pkj->pki", ii_b, rxn_b) * rxn_b, axis=-1)
+        return im_a + im_b + ang_a + ang_b
 
-    ii_a = gather_ii(c_ia)
-    ii_b = gather_ii(c_ib)
+    kn = jnp.maximum(k_along(normal), 1e-9)
 
-    def ii_mul(ii, v):
-        return (
-            ii["xx"] * v[0] + ii["xy"] * v[1] + ii["xz"] * v[2],
-            ii["xy"] * v[0] + ii["yy"] * v[1] + ii["yz"] * v[2],
-            ii["xz"] * v[0] + ii["yz"] * v[1] + ii["zz"] * v[2],
-        )
-
-    n3 = _split3(normal)
-    pt3 = _split3(point)
-    pa = _split3(ps.pos)
-    r_a = _sub3(pt3, tuple(c[c_ia] for c in pa))
-    r_b = _sub3(pt3, tuple(c[c_ib] for c in pa))
-
-    def k_along(d3):
-        rxn_a = _cross3(r_a, d3)
-        rxn_b = _cross3(r_b, d3)
-        return (
-            im_a + im_b
-            + _dot3(ii_mul(ii_a, rxn_a), rxn_a)
-            + _dot3(ii_mul(ii_b, rxn_b), rxn_b)
-        )
-
-    kn = jnp.maximum(k_along(n3), 1e-9)
-
-    # tangent basis
-    up_dominant = jnp.abs(n3[1]) < 0.9
-    ref = (
-        jnp.where(up_dominant, 0.0, 1.0),
-        jnp.where(up_dominant, 1.0, 0.0),
-        jnp.zeros_like(n3[0]),
-    )
-    t1 = _cross3(n3, ref)
-    t1_len = jnp.maximum(jnp.sqrt(_dot3(t1, t1)), 1e-9)
-    t1 = _scale3(t1, 1.0 / t1_len)
-    t2 = _cross3(n3, t1)
+    # tangent basis per point
+    up = jnp.abs(normal[..., 1:2]) < 0.9
+    ref = jnp.where(up, jnp.array([0.0, 1.0, 0.0]), jnp.array([1.0, 0.0, 0.0]))
+    t1 = jnp.cross(normal, ref)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+    t2 = jnp.cross(normal, t1)
     kt1 = jnp.maximum(k_along(t1), 1e-9)
     kt2 = jnp.maximum(k_along(t2), 1e-9)
 
     # combine rules (Jolt defaults): restitution max, friction geometric mean
-    e = jnp.maximum(g(ps.restitution, c_ia), g(ps.restitution, c_ib))
-    mu = jnp.sqrt(g(ps.friction, c_ia) * g(ps.friction, c_ib))
+    e = jnp.maximum(g(ps.restitution, ia), g(ps.restitution, ib))[:, None]
+    mu = jnp.sqrt(g(ps.friction, ia) * g(ps.friction, ib))[:, None]
 
-    def rel_vel_from(va6, vb6):
-        """Contact-frame relative velocity from gathered (C, 6) [linvel|angvel] rows."""
-        va = _add3((va6[:, 0], va6[:, 1], va6[:, 2]), _cross3((va6[:, 3], va6[:, 4], va6[:, 5]), r_a))
-        vb = _add3((vb6[:, 0], vb6[:, 1], vb6[:, 2]), _cross3((vb6[:, 3], vb6[:, 4], vb6[:, 5]), r_b))
-        return _sub3(vb, va)
+    def rel_vel(va6: Array, vb6: Array) -> Array:        # (P,6) each -> (P,K,3)
+        va = va6[:, None, :3] + jnp.cross(va6[:, None, 3:], r_a)
+        vb = vb6[:, None, :3] + jnp.cross(vb6[:, None, 3:], r_b)
+        return vb - va
 
-    def gather_vel6(v6):
-        return jnp.dot(g_a, v6, preferred_element_type=jnp.float32), jnp.dot(
-            g_b, v6, preferred_element_type=jnp.float32
-        )
-
-    v6_0 = jnp.concatenate([ps.linvel, ps.angvel], axis=-1)  # (B, 6)
+    v6_0 = jnp.concatenate([ps.linvel, ps.angvel], axis=-1)  # (B,6)
     va6_0, vb6_0 = gather_vel6(v6_0)
-    vn0 = _dot3(rel_vel_from(va6_0, vb6_0), n3)
+    vn0 = jnp.sum(rel_vel(va6_0, vb6_0) * normal, axis=-1)   # (P,K)
     bounce = jnp.where(vn0 < -params.restitution_threshold, -e * vn0, 0.0)
     bias = (params.baumgarte / dt) * jnp.maximum(depth - params.penetration_slop, 0.0)
-    target = jnp.maximum(bounce, bias)  # desired separating normal velocity
+    target = jnp.maximum(bounce, bias)
 
-    dof_lin = _split3(ps.dof_mask_lin)
-    dof_ang = _split3(ps.dof_mask_ang)
+    dof6 = jnp.concatenate([ps.dof_mask_lin, ps.dof_mask_ang], axis=-1)  # (B,6)
     inv_mass = ps.inv_mass
-    iw = {
-        "xx": inv_iw[:, 0, 0], "xy": inv_iw[:, 0, 1], "xz": inv_iw[:, 0, 2],
-        "yy": inv_iw[:, 1, 1], "yz": inv_iw[:, 1, 2], "zz": inv_iw[:, 2, 2],
-    }
 
     def body(_, carry):
         v6, acc_n, acc_t1, acc_t2 = carry
         va6, vb6 = gather_vel6(v6)  # 2 MXU kernels
-        vrel = rel_vel_from(va6, vb6)
-        vn = _dot3(vrel, n3)
+        vrel = rel_vel(va6, vb6)    # (P,K,3)
+        vn = jnp.sum(vrel * normal, axis=-1)
         dl = -(vn - target) / kn
         new_acc = jnp.maximum(acc_n + dl, 0.0)
         dl = jnp.where(valid, new_acc - acc_n, 0.0)
         acc_n = jnp.where(valid, new_acc, acc_n)
 
-        vt1 = _dot3(vrel, t1)
-        vt2 = _dot3(vrel, t2)
+        vt1 = jnp.sum(vrel * t1, axis=-1)
+        vt2 = jnp.sum(vrel * t2, axis=-1)
         max_f = mu * acc_n
         new_t1 = jnp.clip(acc_t1 - vt1 / kt1, -max_f, max_f)
         new_t2 = jnp.clip(acc_t2 - vt2 / kt2, -max_f, max_f)
@@ -541,31 +536,23 @@ def solve_velocity(
         acc_t1 = jnp.where(valid, new_t1, acc_t1)
         acc_t2 = jnp.where(valid, new_t2, acc_t2)
 
-        # impulse on b; a gets -j. One (C,6) reduce matmul per side.
-        j = _add3(_add3(_scale3(n3, dl), _scale3(t1, dt1)), _scale3(t2, dt2))
-        tq_b = _cross3(r_b, j)
-        tq_a = _cross3(r_a, j)
-        jt_b = jnp.stack([j[0], j[1], j[2], tq_b[0], tq_b[1], tq_b[2]], axis=-1)  # (C,6)
-        jt_a = jnp.stack([j[0], j[1], j[2], tq_a[0], tq_a[1], tq_a[2]], axis=-1)
-        d6 = reduce_b(jt_b) - reduce_a(jt_a)  # (B, 6): [Σj | Στq]
-        dj = (d6[:, 0], d6[:, 1], d6[:, 2])
-        dtq = (d6[:, 3], d6[:, 4], d6[:, 5])
-        dlv = jnp.stack(
-            [dj[k] * inv_mass * dof_lin[k] for k in range(3)], axis=-1
-        )
-        davx = iw["xx"] * dtq[0] + iw["xy"] * dtq[1] + iw["xz"] * dtq[2]
-        davy = iw["xy"] * dtq[0] + iw["yy"] * dtq[1] + iw["yz"] * dtq[2]
-        davz = iw["xz"] * dtq[0] + iw["yz"] * dtq[1] + iw["zz"] * dtq[2]
-        dav = jnp.stack([davx * dof_ang[0], davy * dof_ang[1], davz * dof_ang[2]], axis=-1)
-        v6 = v6 + jnp.concatenate([dlv, dav], axis=-1)
+        # per-point impulses folded to pair level inside the fused chain
+        j = normal * dl[..., None] + t1 * dt1[..., None] + t2 * dt2[..., None]  # (P,K,3)
+        j_pair = jnp.sum(j, axis=1)                     # (P,3) net impulse on b
+        tq_a = jnp.sum(jnp.cross(r_a, j), axis=1)       # (P,3)
+        tq_b = jnp.sum(jnp.cross(r_b, j), axis=1)
+        d6 = reduce_sides(
+            jnp.concatenate([j_pair, tq_a], axis=-1),
+            jnp.concatenate([j_pair, tq_b], axis=-1),
+        )  # (B,6): [net impulse | net torque]
+        dlv = d6[:, :3] * inv_mass[:, None]
+        dav = jnp.einsum("bij,bj->bi", inv_iw, d6[:, 3:])
+        v6 = v6 + jnp.concatenate([dlv, dav], axis=-1) * dof6
         return v6, acc_n, acc_t1, acc_t2
 
-    zeros_c = jnp.zeros_like(depth)
+    zeros = jnp.zeros_like(depth)
     out = jax.lax.fori_loop(
-        0,
-        params.velocity_iterations,
-        body,
-        (v6_0, zeros_c, zeros_c, zeros_c),
+        0, params.velocity_iterations, body, (v6_0, zeros, zeros, zeros)
     )
     v6 = out[0]
     return v6[:, :3], v6[:, 3:]

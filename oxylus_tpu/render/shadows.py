@@ -1,0 +1,169 @@
+"""Directional-light shadows: clipmap shadow maps + screen-space contact shadows.
+
+The reference uses rectangular-mapped *virtual* shadow maps (RMVSM: 8K virtual space,
+128-px physical pages, ≤10 clipmaps — `/root/reference/Oxylus/src/Render/Passes/
+Shadowmaps.cpp`). SURVEY §7 scopes the TPU build to dense clipmap shadow maps first
+(the same stable-clipmap light matrices, without the page cache): each clipmap level
+renders a depth-only pass through the same meshlet raster at doubling world extent,
+snapped to texel grid for stability (`Shadowmaps.cpp:8-62`), and the resolve pass picks
+the finest containing level per pixel with PCF filtering.
+
+Contact shadows: the short-range screen-space sun raymarch of
+`RendererInstance.cpp:855-886` (steps/thickness/length from RendererCVar defaults).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.cull import cull_meshlets, expand_meshlet_instances
+from ..ops.raster3d import pack_coeff_matrix, rasterize_reference
+from ..ops.setup3d import bin_meshlets_to_tiles, setup_triangles
+from ..utils import math3d
+
+Array = jax.Array
+
+SHADOW_MAP_SIZE = 1024
+NUM_CLIPMAPS = 4
+
+
+def clipmap_matrices(
+    light_dir: Array,      # (3,) normalized, direction light *travels*
+    focus: Array,          # (3,) camera/interest point
+    first_width: float = 10.0,
+    num_clipmaps: int = NUM_CLIPMAPS,
+    depth_range: float = 200.0,
+) -> Array:
+    """(L, 4, 4) stable light view-projection per clipmap level. Level i covers a
+    world-space box of width first_width·2^i centered (texel-snapped) on the focus."""
+    up = jnp.where(jnp.abs(light_dir[1]) > 0.99, jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+    eye = focus - light_dir * (depth_range * 0.5)
+    view = math3d.look_at(eye, focus, up)
+
+    mats = []
+    for lvl in range(num_clipmaps):
+        width = first_width * (2.0**lvl)
+        # texel snap: quantize the focus position in light space to texel increments
+        texel = width / SHADOW_MAP_SIZE
+        focus_ls = math3d.mat4_transform_point(view, focus)
+        snap = jnp.floor(focus_ls[:2] / texel) * texel - focus_ls[:2]
+        half = width * 0.5
+        proj = math3d.ortho_reverse_z(
+            -half + snap[0], half + snap[0], -half + snap[1], half + snap[1], 0.0, depth_range
+        )
+        mats.append(proj @ view)
+    return jnp.stack(mats)
+
+
+def render_shadow_clipmaps(
+    gscene,
+    entity_world: Array,
+    light_vps: Array,  # (L, 4, 4)
+    capacity: int = 2048,
+    k_per_tile: int = 32,
+) -> Array:
+    """Depth-only meshlet raster per clipmap → (L, S, S) reverse-Z depth maps."""
+    maps = []
+    for lvl in range(light_vps.shape[0]):
+        vp = light_vps[lvl]
+        planes = math3d.frustum_planes_from_mat(vp)
+        origin = jnp.zeros(3)  # cone culling off for ortho light views
+        vis = gscene.inst_valid
+        lod = jnp.zeros_like(gscene.inst_mesh)
+        mi_inst, mi_ml, mi_valid = expand_meshlet_instances(gscene, vis, lod, capacity)
+        vm_inst, vm_ml, vm_valid, _ = cull_meshlets(
+            gscene, entity_world, mi_inst, mi_ml, mi_valid, planes, origin,
+            capacity=capacity, cone_enabled=False,
+        )
+        setup = setup_triangles(
+            gscene, entity_world, vm_inst, vm_ml, vm_valid, vp,
+            SHADOW_MAP_SIZE, SHADOW_MAP_SIZE, backface_enabled=False,
+        )
+        tile_list, _ = bin_meshlets_to_tiles(setup, SHADOW_MAP_SIZE, SHADOW_MAP_SIZE, 32, k_per_tile)
+        cm = pack_coeff_matrix(setup["coeffs"], setup["tri_valid"])
+        depth, _ = rasterize_reference(cm, tile_list, SHADOW_MAP_SIZE, SHADOW_MAP_SIZE)
+        maps.append(depth)
+    return jnp.stack(maps)
+
+
+def resolve_shadows(
+    world_pos: Array,   # (H, W, 3)
+    hit: Array,         # (H, W)
+    light_vps: Array,   # (L, 4, 4)
+    shadow_maps: Array, # (L, S, S) reverse-Z
+    bias: float = 2e-3,
+) -> Array:
+    """Screen-space shadow factor (1 = lit). Finest containing clipmap, 2×2 PCF
+    (the `resolve_shadowmaps` pass, `Shadowmaps.cpp:543-610`)."""
+    s = shadow_maps.shape[-1]
+    n_lvls = light_vps.shape[0]
+
+    factor = jnp.ones(world_pos.shape[:2])
+    chosen = jnp.full(world_pos.shape[:2], -1, jnp.int32)
+    ph = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], axis=-1)
+
+    for lvl in range(n_lvls - 1, -1, -1):
+        clip = jnp.einsum("ij,hwj->hwi", light_vps[lvl], ph)
+        ndc = clip[..., :3] / jnp.maximum(jnp.abs(clip[..., 3:4]), 1e-9)
+        u = ndc[..., 0] * 0.5 + 0.5
+        v = ndc[..., 1] * 0.5 + 0.5
+        z = ndc[..., 2]
+        inside = (u > 0.01) & (u < 0.99) & (v > 0.01) & (v < 0.99) & (z > 0.0) & (z < 1.0)
+
+        x = jnp.clip((u * s).astype(jnp.int32), 0, s - 1)
+        y = jnp.clip((v * s).astype(jnp.int32), 0, s - 1)
+        lit = jnp.zeros_like(factor)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                xs = jnp.clip(x + dx, 0, s - 1)
+                ys = jnp.clip(y + dy, 0, s - 1)
+                stored = shadow_maps[lvl][ys, xs]
+                # reverse-Z: nearer = larger; lit when the pixel is at/nearer than the
+                # stored occluder depth (within bias)
+                lit = lit + jnp.where(z + bias >= stored, 1.0, 0.0)
+        lit = lit * 0.25
+        # finest level wins (loop runs coarse→fine and overwrites)
+        factor = jnp.where(inside, lit, factor)
+        chosen = jnp.where(inside, lvl, chosen)
+
+    return jnp.where(hit, factor, 1.0)
+
+
+def contact_shadows(
+    depth: Array,        # (H, W) reverse-Z screen depth
+    world_pos: Array,    # (H, W, 3)
+    hit: Array,
+    light_dir: Array,    # (3,) direction light travels
+    view_proj: Array,    # (4, 4)
+    steps: int = 8,
+    thickness: float = 0.1,
+    length: float = 0.05,
+) -> Array:
+    """Short-range screen-space raymarch toward the sun; 0 = fully contact-shadowed
+    (`RendererInstance.cpp:855-886`, defaults from RendererCVar)."""
+    h, w = depth.shape
+    to_light = -light_dir
+    shadow = jnp.ones_like(depth)
+    ph = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], axis=-1)
+
+    occluded = jnp.zeros_like(depth, jnp.bool_)
+    for i in range(1, steps + 1):
+        t = length * i / steps
+        sample_ws = world_pos + to_light[None, None, :] * t
+        sph = jnp.concatenate([sample_ws, jnp.ones_like(sample_ws[..., :1])], axis=-1)
+        clip = jnp.einsum("ij,hwj->hwi", view_proj, sph)
+        wc = jnp.maximum(jnp.abs(clip[..., 3]), 1e-9)
+        ndc = clip[..., :3] / wc[..., None]
+        sx = jnp.clip(((ndc[..., 0] * 0.5 + 0.5) * w).astype(jnp.int32), 0, w - 1)
+        sy = jnp.clip(((ndc[..., 1] * 0.5 + 0.5) * h).astype(jnp.int32), 0, h - 1)
+        scene_depth = depth[sy, sx]
+        ray_depth = ndc[..., 2]
+        # occluder: scene surface nearer than the ray point by less than `thickness`
+        # (reverse-Z: nearer = larger)
+        delta = scene_depth - ray_depth
+        occluded = occluded | ((delta > 1e-5) & (delta < thickness))
+    shadow = jnp.where(occluded & hit, 0.0, 1.0)
+    return shadow
