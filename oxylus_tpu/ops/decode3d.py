@@ -36,7 +36,8 @@ def decode_visbuffer(
     hit = vid >= 0
     pid = jnp.maximum(vid, 0)
     vm_slot = pid >> 8
-    tri = pid & 0xFF
+    # raster slots are 2 per source triangle (near-plane clipping, ops/setup3d.py)
+    tri = (pid & 0xFF) // setup["slots_per_tri"]
 
     clip = setup["clip"][vm_slot, tri]  # (H, W, 3, 4)
     gvert = setup["gvert"][vm_slot, tri]  # (H, W, 3)

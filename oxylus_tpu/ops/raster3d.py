@@ -32,21 +32,20 @@ Array = jax.Array
 
 TILE = 32
 PIX = TILE * TILE  # 1024
-TRIS = 64  # triangles per meshlet
-COLS = 4 * TRIS  # e0|e1|e2|z blocks
 
 
 def pack_coeff_matrix(coeffs: Array, tri_valid: Array) -> Array:
-    """(VM, 64, 12) → (VM, 3, 256) matmul-ready: rows (a,b,c), cols plane-major
-    [e0·64 | e1·64 | e2·64 | z·64]. Invalid triangles get e0 ≡ -∞ so they never cover."""
-    vm = coeffs.shape[0]
-    c = coeffs.reshape(vm, TRIS, 4, 3)  # (VM, tri, plane, abc)
-    c = jnp.moveaxis(c, 3, 1)  # (VM, abc, tri, plane) → want (VM, abc, plane, tri)
-    c = jnp.swapaxes(c, 2, 3)  # (VM, 3, 4, 64)
+    """(VM, R, 12) → (VM, 3, 4R) matmul-ready: rows (a,b,c), cols plane-major
+    [e0·R | e1·R | e2·R | z·R]. Invalid triangles get e0 ≡ -∞ so they never cover.
+    R is the raster-slot count (2× meshlet tris after near clipping)."""
+    vm, r = coeffs.shape[0], coeffs.shape[1]
+    c = coeffs.reshape(vm, r, 4, 3)  # (VM, slot, plane, abc)
+    c = jnp.moveaxis(c, 3, 1)  # (VM, abc, slot, plane)
+    c = jnp.swapaxes(c, 2, 3)  # (VM, 3, 4, R)
     # kill invalid tris: set edge0 constant to -inf (c row, plane 0)
-    kill = ~tri_valid  # (VM, 64)
+    kill = ~tri_valid  # (VM, R)
     c = c.at[:, 2, 0, :].set(jnp.where(kill, -1e30, c[:, 2, 0, :]))
-    return c.reshape(vm, 3, COLS)
+    return c.reshape(vm, 3, 4 * r)
 
 
 def _tile_grid(width: int, height: int) -> tuple[int, int]:
@@ -81,9 +80,10 @@ def rasterize_reference(
         depth, vid = carry
         vm = tile_list[:, k]  # (T,)
         live = vm >= 0
-        cm = coeff_mat[jnp.maximum(vm, 0)]  # (T, 3, 256)
-        e = jnp.einsum("tpc,tcq->tpq", pmat, cm)  # (T, PIX, 256)
-        e0, e1, e2, z = e[..., :TRIS], e[..., TRIS : 2 * TRIS], e[..., 2 * TRIS : 3 * TRIS], e[..., 3 * TRIS :]
+        cm = coeff_mat[jnp.maximum(vm, 0)]  # (T, 3, 4R)
+        r = cm.shape[-1] // 4
+        e = jnp.einsum("tpc,tcq->tpq", pmat, cm)  # (T, PIX, 4R)
+        e0, e1, e2, z = e[..., :r], e[..., r : 2 * r], e[..., 2 * r : 3 * r], e[..., 3 * r :]
         cover = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & live[:, None, None]
         zm = jnp.where(cover, z, -1.0)
         best = jnp.max(zm, axis=-1)  # (T, PIX)
@@ -109,6 +109,7 @@ def rasterize_reference(
 
 def _raster_kernel(tile_list_ref, tx_ref, coeff_hbm, depth_out, vid_out):
     t = pl.program_id(0)
+    n_slots = coeff_hbm.shape[-1] // 4
 
     def body(coeff_vmem, sem):
         tx = tx_ref[0]
@@ -138,10 +139,10 @@ def _raster_kernel(tile_list_ref, tx_ref, coeff_hbm, depth_out, vid_out):
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )  # (PIX, 256)
-                e0 = e[:, :TRIS]
-                e1 = e[:, TRIS : 2 * TRIS]
-                e2 = e[:, 2 * TRIS : 3 * TRIS]
-                z = e[:, 3 * TRIS :]
+                e0 = e[:, :n_slots]
+                e1 = e[:, n_slots : 2 * n_slots]
+                e2 = e[:, 2 * n_slots : 3 * n_slots]
+                z = e[:, 3 * n_slots :]
                 cover = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
                 zm = jnp.where(cover, z, -1.0)
                 best = jnp.max(zm, axis=-1, keepdims=True)  # (PIX, 1)
@@ -160,7 +161,7 @@ def _raster_kernel(tile_list_ref, tx_ref, coeff_hbm, depth_out, vid_out):
 
     pl.run_scoped(
         body,
-        pltpu.VMEM((3, COLS), jnp.float32),
+        pltpu.VMEM((3, 4 * n_slots), jnp.float32),
         pltpu.SemaphoreType.DMA(()),
     )
 

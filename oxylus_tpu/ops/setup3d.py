@@ -36,6 +36,7 @@ def setup_triangles(
     width: int,
     height: int,
     backface_enabled: bool | Array = True,
+    near_w: float = 0.05,
 ):
     """Returns a dict of per-meshlet per-triangle raster data:
     - coeffs (VM, 64, 12) f32: 3 edge planes + depth plane, each (a, b, c) over (x, y, 1)
@@ -64,46 +65,96 @@ def setup_triangles(
     pos_h = jnp.concatenate([pos, jnp.ones_like(pos[..., :1])], axis=-1)  # (VM,64,3,4)
     clip = jnp.einsum("vik,vtck->vtci", mvp, pos_h)  # (VM,64,3,4)
 
-    w = clip[..., 3]
-    near_ok = jnp.all(w > 1e-6, axis=-1)  # (VM,64) — near-crossing tris dropped
+    # ---- homogeneous near-plane clipping (w = eps) --------------------------
+    # Each triangle yields up to SUBS_PER_TRI clipped sub-triangles; raster slot
+    # r = tri*2 + s, so the visbuffer id still fits 8 bits and decode recovers the
+    # source triangle as r // 2 (attributes always interpolate from the ORIGINAL
+    # clip verts, which is exact for any pixel the clipped geometry covers).
+    # clip at w = near_w (≈ the camera near plane): clipping at a tiny epsilon would
+    # project clipped vertices to ~1e6-pixel coordinates and destroy f32 edge precision
+    w_eps = near_w
+    w_all = clip[..., 3]  # (VM,64,3)
+    inside = w_all > w_eps
+    case = (
+        inside[..., 0].astype(jnp.int32)
+        + inside[..., 1].astype(jnp.int32) * 2
+        + inside[..., 2].astype(jnp.int32) * 4
+    )  # (VM,64) in 0..7
+    perm_table = jnp.array(
+        [
+            [0, 1, 2], [0, 1, 2], [1, 2, 0], [0, 1, 2],
+            [2, 0, 1], [2, 0, 1], [1, 2, 0], [0, 1, 2],
+        ],
+        jnp.int32,
+    )
+    n_in_table = jnp.array([0, 1, 1, 2, 1, 2, 2, 3], jnp.int32)
+    perm = perm_table[case]          # (VM,64,3)
+    n_in = n_in_table[case]          # (VM,64)
+    pc = jnp.take_along_axis(clip, perm[..., None], axis=2)  # permuted clip verts
+    a, bb, cc = pc[..., 0, :], pc[..., 1, :], pc[..., 2, :]
 
-    ndc = clip[..., :3] / jnp.maximum(jnp.abs(w), 1e-9)[..., None] * jnp.sign(w)[..., None]
-    sx = (ndc[..., 0] * 0.5 + 0.5) * width   # (VM,64,3)
+    def lerp_to_eps(p0, p1):
+        t = (w_eps - p0[..., 3]) / jnp.where(
+            jnp.abs(p1[..., 3] - p0[..., 3]) > 1e-12, p1[..., 3] - p0[..., 3], 1e-12
+        )
+        t = jnp.clip(t, 0.0, 1.0)[..., None]
+        return p0 + (p1 - p0) * t
+
+    i_ab = lerp_to_eps(a, bb)
+    i_ac = lerp_to_eps(a, cc)
+    i_bc = lerp_to_eps(bb, cc)
+
+    one = n_in[..., None, None] == 1
+    two = n_in[..., None, None] == 2
+    # sub0: count==1 → (A, I_AB, I_AC); count==2 → (A, B, I_BC); count==3 → (A, B, C)
+    sub0 = jnp.stack([a, bb, cc], axis=-2)
+    sub0 = jnp.where(one, jnp.stack([a, i_ab, i_ac], axis=-2), sub0)
+    sub0 = jnp.where(two, jnp.stack([a, bb, i_bc], axis=-2), sub0)
+    # sub1: only for count==2 → (A, I_BC, I_AC)
+    sub1 = jnp.stack([a, i_bc, i_ac], axis=-2)
+    sub0_live = n_in >= 1
+    sub1_live = n_in == 2
+
+    # interleave: raster slot r = tri*2 + s  → (VM, 128, 3, 4)
+    subs = jnp.stack([sub0, sub1], axis=2).reshape(vm, TRIS_PER_MESHLET * 2, 3, 4)
+    sub_live = jnp.stack([sub0_live, sub1_live], axis=2).reshape(vm, TRIS_PER_MESHLET * 2)
+    tri_of_slot = jax.lax.broadcasted_iota(jnp.int32, (vm, TRIS_PER_MESHLET * 2), 1) // 2
+    slot_in_range = jnp.repeat(tri_in_range, 2, axis=1)
+
+    # ---- screen projection of clipped sub-triangles -------------------------
+    wsub = jnp.maximum(subs[..., 3], w_eps * 0.5)
+    ndc = subs[..., :3] / wsub[..., None]
+    sx = (ndc[..., 0] * 0.5 + 0.5) * width   # (VM,128,3)
     sy = (ndc[..., 1] * 0.5 + 0.5) * height
     sz = ndc[..., 2]
 
-    # backface: signed area in screen space (reverse-winding after Y flip is baked in
-    # via the projection; CCW front assumed like the reference's visbuffer pipeline)
+    # backface: signed area in screen space (winding preserved by rotation/clipping;
+    # CCW front → CW on screen after the projection's Y flip, i.e. area2 < 0)
     area2 = (sx[..., 1] - sx[..., 0]) * (sy[..., 2] - sy[..., 0]) - (
         sx[..., 2] - sx[..., 0]
     ) * (sy[..., 1] - sy[..., 0])
-    front = jnp.where(jnp.asarray(backface_enabled), area2 < 0.0, jnp.abs(area2) > 0.0)
+    front = jnp.where(jnp.asarray(backface_enabled), area2 < 0.0, jnp.abs(area2) > 1e-12)
     degenerate = jnp.abs(area2) < 1e-12
 
-    tri_valid = tri_in_range & near_ok & front & ~degenerate & vm_valid[:, None]
+    tri_valid = slot_in_range & sub_live & front & ~degenerate & vm_valid[:, None]
 
-    # edge functions oriented so inside ≥ 0 for CW screen triangles (area2 < 0):
-    # E_i = (y_j - y_k)(x - x_k) - (x_j - x_k)(y - y_k) normalized by sign(area)
+    # edge functions oriented so inside ≥ 0:
     def edge(jx, jy, kx, ky):
-        a = jy - ky
-        b = -(jx - kx)
-        c = -(a * kx + b * ky)
-        return a, b, c
+        ea = jy - ky
+        eb = -(jx - kx)
+        ec = -(ea * kx + eb * ky)
+        return ea, eb, ec
 
-    # edges opposite each vertex: e0 uses (v1, v2), e1 (v2, v0), e2 (v0, v1)
     e0 = edge(sx[..., 1], sy[..., 1], sx[..., 2], sy[..., 2])
     e1 = edge(sx[..., 2], sy[..., 2], sx[..., 0], sy[..., 0])
     e2 = edge(sx[..., 0], sy[..., 0], sx[..., 1], sy[..., 1])
     flip = jnp.where(area2 < 0.0, -1.0, 1.0)  # make inside-positive
 
-    # depth plane z(x, y) via barycentric-weighted NDC z (affine in screen space):
-    # z = Σ zi · Ei(x,y) / Σ Ei — precompute zi/area-scaled coefficients:
+    # depth plane z(x, y) = Σ zi · Ei(x,y) / Σ Ei (affine in screen space)
     inv_area = jnp.where(jnp.abs(area2) > 1e-12, 1.0 / area2, 0.0)
     za = (e0[0] * sz[..., 0] + e1[0] * sz[..., 1] + e2[0] * sz[..., 2]) * -inv_area * flip
     zb = (e0[1] * sz[..., 0] + e1[1] * sz[..., 1] + e2[1] * sz[..., 2]) * -inv_area * flip
     zc = (e0[2] * sz[..., 0] + e1[2] * sz[..., 1] + e2[2] * sz[..., 2]) * -inv_area * flip
-    # note: Σ_i E_i(x,y) = -area2 with this edge orientation; flip folds the sign so
-    # the barycentric normalizer is |area2|.
 
     coeffs = jnp.stack(
         [
@@ -113,13 +164,14 @@ def setup_triangles(
             za, zb, zc,
         ],
         axis=-1,
-    )  # (VM, 64, 12)
+    )  # (VM, 128, 12)
     coeffs = jnp.where(tri_valid[..., None], coeffs, 0.0)
 
-    vm_slot = jax.lax.broadcasted_iota(jnp.int32, (vm, TRIS_PER_MESHLET), 0)
-    packed_id = (vm_slot << 8) | tri_slots  # visbuffer.slang packing, vm-slot-relative
+    vm_slot = jax.lax.broadcasted_iota(jnp.int32, tri_valid.shape, 0)
+    raster_slot = jax.lax.broadcasted_iota(jnp.int32, tri_valid.shape, 1)
+    packed_id = (vm_slot << 8) | raster_slot  # visbuffer.slang packing, vm-slot-relative
 
-    # meshlet screen bounds from valid triangles
+    # meshlet screen bounds from valid sub-triangles
     big = jnp.float32(1e9)
     txmin = jnp.where(tri_valid, jnp.min(sx, -1), big)
     txmax = jnp.where(tri_valid, jnp.max(sx, -1), -big)
@@ -134,6 +186,8 @@ def setup_triangles(
         "coeffs": coeffs,
         "tri_valid": tri_valid,
         "packed_id": packed_id,
+        "slots_per_tri": 2,
+        "tri_of_slot": tri_of_slot,
         "ml_xmin": ml_xmin,
         "ml_xmax": ml_xmax,
         "ml_ymin": ml_ymin,

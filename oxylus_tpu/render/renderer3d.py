@@ -71,6 +71,7 @@ class RendererInstance:
     stage_callbacks: dict[tuple[RenderStage, str], list[StageCallback]] = dataclasses.field(
         default_factory=dict
     )
+    _sky_cache: dict = dataclasses.field(default_factory=dict)
 
     def add_stage_callback(self, stage: RenderStage, when: str, cb: StageCallback) -> None:
         """Inject a pass before/after a stage (`StageDependency`, RendererInstance.hpp:30-34)."""
@@ -90,14 +91,21 @@ class RendererInstance:
         materials,        # GPUMaterials
         atlas: Array,
         config,           # RendererConfig (host dataclass; static per trace)
-        prev: dict | None = None,  # carried frame state (exposure luminance, …)
+        prev: dict | None = None,  # carried frame state (exposure luminance, HiZ, …)
         ambient_color: Array | None = None,
         background: Array | None = None,
+        atmosphere=None,  # AtmosphereParams (static) — enables the sky chain
+        enable_shadows: bool = False,
+        enable_gtao: bool | None = None,
+        sun_intensity: Array | float = 10.0,
+        first_clipmap_width: float = 10.0,
     ) -> dict:
-        """Run the frame graph. Returns the resource dict (final image in "final")."""
+        """Run the frame graph. Returns the resource dict (final image in "final",
+        carry-over state under "carry" — feed it back as `prev` next frame)."""
         spec = self.spec
         w, h = spec.width, spec.height
         prev = prev or {}
+        carry: dict[str, Any] = {}
 
         ctx: dict[str, Any] = {
             "state": state,
@@ -132,18 +140,60 @@ class RendererInstance:
         ctx.update(vm_instance=vm_inst, vm_meshlet=vm_ml, vm_valid=vm_valid, vm_count=vm_count)
         ctx = self._run_cbs(RenderStage.CULLING, "after", ctx)
 
-        # ---- VisBuffer encode --------------------------------------------
+        # ---- VisBuffer encode (two-pass occlusion protocol) ---------------
         setup = setup_triangles(
             gscene, world, vm_inst, vm_ml, vm_valid, camera.view_projection, w, h,
             backface_enabled=config.culling_triangle,
         )
-        tile_list, overflow = bin_meshlets_to_tiles(setup, w, h, 32, spec.meshlets_per_tile)
         cm = pack_coeff_matrix(setup["coeffs"], setup["tri_valid"])
         platform = jax.devices()[0].platform
-        if spec.use_pallas and platform in ("tpu", "axon"):
-            depth, vid = rasterize_pallas(cm, tile_list, w, h)
+        raster = (
+            rasterize_pallas
+            if (spec.use_pallas and platform in ("tpu", "axon"))
+            else rasterize_reference
+        )
+
+        # conservative nearest depth per meshlet for occlusion testing
+        ml_near = jnp.max(
+            jnp.where(setup["tri_valid"], jnp.max(setup["sxyz"][..., 2], axis=-1), -1.0),
+            axis=-1,
+        )
+
+        def masked_bin(visible_mask):
+            masked = dict(setup)
+            masked["ml_xmax"] = jnp.where(visible_mask, setup["ml_xmax"], -1e9)
+            masked["ml_xmin"] = jnp.where(visible_mask, setup["ml_xmin"], 1e9)
+            return bin_meshlets_to_tiles(masked, w, h, 32, spec.meshlets_per_tile)
+
+        use_occlusion = config.culling_occlusion and "hiz" in prev
+        if use_occlusion:
+            from ..ops.hiz import build_hiz, occlusion_test
+
+            early_vis = occlusion_test(
+                prev["hiz"], setup["ml_xmin"], setup["ml_xmax"],
+                setup["ml_ymin"], setup["ml_ymax"], ml_near, w, h,
+            ) & vm_valid
+            tile_list, overflow = masked_bin(early_vis)
+            depth, vid = raster(cm, tile_list, w, h)
+            hiz = build_hiz(depth)
+            late_vis = occlusion_test(
+                hiz, setup["ml_xmin"], setup["ml_xmax"],
+                setup["ml_ymin"], setup["ml_ymax"], ml_near, w, h,
+            ) & vm_valid & ~early_vis
+            tile_list2, overflow2 = masked_bin(late_vis)
+            depth2, vid2 = raster(cm, tile_list2, w, h)
+            better = depth2 > depth
+            depth = jnp.where(better, depth2, depth)
+            vid = jnp.where(better, vid2, vid)
+            carry["hiz"] = build_hiz(depth)
+            overflow = overflow + overflow2
         else:
-            depth, vid = rasterize_reference(cm, tile_list, w, h)
+            from ..ops.hiz import build_hiz
+
+            tile_list, overflow = masked_bin(vm_valid)
+            depth, vid = raster(cm, tile_list, w, h)
+            if config.culling_occlusion:
+                carry["hiz"] = build_hiz(depth)
         ctx.update(depth=depth, visbuffer=vid, setup=setup, bin_overflow=overflow)
         ctx = self._run_cbs(RenderStage.VISBUFFER_ENCODE, "after", ctx)
 
@@ -154,9 +204,93 @@ class RendererInstance:
         ctx["gbuffer"] = gbuffer
         ctx = self._run_cbs(RenderStage.VISBUFFER_DECODE, "after", ctx)
 
+        # ---- Lights -------------------------------------------------------
+        lights = lights_from_state(state)
+        ctx["lights"] = lights
+        # first directional light drives sun/shadows
+        is_dir = (lights.kind == 0) & lights.valid
+        sun_idx = jnp.argmax(is_dir)
+        has_sun = jnp.any(is_dir)
+        sun_dir = jnp.where(has_sun, lights.direction[sun_idx], jnp.array([0.0, -1.0, 0.0]))
+
+        # ---- Atmosphere ---------------------------------------------------
+        if atmosphere is not None:
+            from .sky import (
+                multiscatter_lut,
+                sample_sky_view,
+                sky_ambient,
+                sky_view_lut,
+                transmittance_lut,
+            )
+
+            key = atmosphere
+            if key not in self._sky_cache:
+                t_lut = transmittance_lut(atmosphere)
+                ms_lut = multiscatter_lut(atmosphere, t_lut)
+                self._sky_cache[key] = (t_lut, ms_lut)
+            t_lut, ms_lut = self._sky_cache[key]
+            sky_lut = sky_view_lut(
+                atmosphere, t_lut, ms_lut, -sun_dir, sun_intensity=jnp.asarray(sun_intensity)
+            )
+            # per-pixel view rays for the background
+            xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+            ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0 - 1.0
+            tan_half = jnp.tan(fov_rad / 2.0)
+            aspect = w / h
+            dirs = (
+                camera.forward[None, None, :]
+                + camera.right[None, None, :] * (xs[None, :, None] * tan_half * aspect)
+                - camera.up[None, None, :] * (ys[:, None, None] * tan_half)
+            )
+            background = sample_sky_view(sky_lut, dirs)
+            if ambient_color is None:
+                ambient_color = sky_ambient(sky_lut) * 0.3
+            ctx["sky_view_lut"] = sky_lut
+        ctx = self._run_cbs(RenderStage.ATMOSPHERE, "after", ctx)
+
+        # ---- Shadows ------------------------------------------------------
+        shadow = None
+        if enable_shadows:
+            from .shadows import clipmap_matrices, contact_shadows as contact_fn, render_shadow_clipmaps, resolve_shadows
+
+            light_vps = clipmap_matrices(
+                sun_dir, camera.position, first_width=first_clipmap_width
+            )
+            shadow_maps = render_shadow_clipmaps(gscene, world, light_vps)
+            shadow = resolve_shadows(gbuffer["world_pos"], gbuffer["hit"], light_vps, shadow_maps)
+            ctx["shadow_maps"] = shadow_maps
+            if config.contact_shadows:
+                cs = contact_fn(
+                    depth, gbuffer["world_pos"], gbuffer["hit"], sun_dir,
+                    camera.view_projection,
+                    steps=config.contact_shadows_steps,
+                    thickness=config.contact_shadows_thickness,
+                    length=max(config.contact_shadows_length, 0.05),
+                )
+                shadow = shadow * cs
+            ctx["shadow"] = shadow
+
+        # ---- GTAO ---------------------------------------------------------
+        ao = None
+        if enable_gtao is None:
+            enable_gtao = config.vbgtao_enable
+        if enable_gtao:
+            from .gtao import denoise_ao, gtao as gtao_fn
+
+            view_pos = jnp.einsum(
+                "ij,hwj->hwi", camera.view[:3, :3], gbuffer["world_pos"]
+            ) + camera.view[:3, 3]
+            view_nrm = jnp.einsum("ij,hwj->hwi", camera.view[:3, :3], gbuffer["normal"])
+            ao = gtao_fn(
+                view_pos, view_nrm, gbuffer["hit"], frame=state.frame,
+                radius=config.vbgtao_radius, thickness=config.vbgtao_thickness,
+                final_power=config.vbgtao_final_power, quality_level=config.vbgtao_quality_level,
+            )
+            ao = denoise_ao(ao, depth)
+            ctx["ao"] = ao
+
         # ---- Lighting -----------------------------------------------------
         ctx = self._run_cbs(RenderStage.LIGHTING, "before", ctx)
-        lights = lights_from_state(state)
         if ambient_color is None:
             ambient_color = jnp.array([0.03, 0.03, 0.03], jnp.float32)
         hdr = apply_pbr(
@@ -165,8 +299,8 @@ class RendererInstance:
             camera.position,
             ambient_color,
             background=background,
-            ao=ctx.get("ao"),
-            shadow=ctx.get("shadow"),
+            ao=ctx.get("ao", ao),
+            shadow=ctx.get("shadow", shadow),
         )
         ctx["hdr"] = hdr
         ctx = self._run_cbs(RenderStage.LIGHTING, "after", ctx)
@@ -180,7 +314,7 @@ class RendererInstance:
             hist = luminance_histogram(hdr, jnp.float32(-11.5), jnp.float32(1.0 / 29.5))
             auto_exposure, new_lum = adapt_exposure(hist, prev_lum, prev.get("dt", jnp.float32(1 / 60)))
             exposure = exposure * auto_exposure
-            ctx["adapt_luminance"] = new_lum
+            carry["adapt_luminance"] = new_lum
         if config.bloom_enable:
             hdr = apply_bloom(
                 hdr,
@@ -199,6 +333,7 @@ class RendererInstance:
         if config.fxaa_enable:
             ldr = apply_fxaa(ldr)
         ctx["final"] = ldr
+        ctx["carry"] = carry
         ctx = self._run_cbs(RenderStage.POST_PROCESSING, "after", ctx)
         ctx = self._run_cbs(RenderStage.FINAL_OUTPUT, "after", ctx)
         return ctx
