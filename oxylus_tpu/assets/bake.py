@@ -110,52 +110,66 @@ def simplify_grid(positions: np.ndarray, indices: np.ndarray, cell_size: float):
 
 
 def build_meshlets(positions: np.ndarray, indices: np.ndarray) -> MeshletData:
-    """Greedy morton-ordered meshlet packing under 64v/64t."""
+    """Morton-ordered greedy meshlet packing under 64v/64t. Uses the native C++
+    kernel (`native/geometry.cpp::ox_build_meshlets`) when available; the numpy
+    path below is the portable fallback."""
     tris = indices.reshape(-1, 3)
     nt = len(tris)
     if nt == 0:
         z = np.zeros(0, np.uint32)
         return MeshletData(z, z, z, z, z, np.zeros((0, 3), np.uint8), *(np.zeros((0, 3), np.float32),) * 2, np.zeros((0, 3), np.float32), np.zeros(0, np.float32))
 
-    centroids = positions[tris].mean(axis=1)
-    mn, mx = centroids.min(0), centroids.max(0)
-    scale = np.where(mx - mn > 1e-12, (mx - mn), 1.0)
-    q = np.clip(((centroids - mn) / scale) * 1023.0, 0, 1023).astype(np.uint32)
-    order = np.argsort(_morton3(q), kind="stable")
-    tris_sorted = tris[order]
+    from .native import build_meshlets_native
 
-    v_off, v_cnt, t_off, t_cnt = [], [], [], []
-    indirect, local = [], []
-    start = 0
-    while start < nt:
-        # binary search the largest chunk ≤64 tris with ≤64 unique verts
-        hi = min(MESHLET_MAX_TRIS, nt - start)
-        lo = 1
-        best = 1
-        while lo <= hi:
-            mid = (lo + hi) // 2
-            nuniq = len(np.unique(tris_sorted[start : start + mid]))
-            if nuniq <= MESHLET_MAX_VERTS:
-                best = mid
-                lo = mid + 1
-            else:
-                hi = mid - 1
-        chunk = tris_sorted[start : start + best]
-        uniq, inv = np.unique(chunk, return_inverse=True)
-        v_off.append(len(indirect))
-        v_cnt.append(len(uniq))
-        t_off.append(len(local))
-        t_cnt.append(best)
-        indirect.extend(uniq.tolist())
-        local.extend(inv.reshape(-1, 3).astype(np.uint8).tolist())
-        start += best
+    native = build_meshlets_native(positions, indices, MESHLET_MAX_VERTS, MESHLET_MAX_TRIS)
+    if native is not None:
+        v_off, v_cnt, t_off, t_cnt, indirect, local = native
+        v_off = v_off.astype(np.uint32)
+        v_cnt = v_cnt.astype(np.uint32)
+        t_off = t_off.astype(np.uint32)
+        t_cnt = t_cnt.astype(np.uint32)
+        indirect = indirect.astype(np.uint32)
+        local = local.astype(np.uint8)
+    else:
+        centroids = positions[tris].mean(axis=1)
+        mn, mx = centroids.min(0), centroids.max(0)
+        scale = np.where(mx - mn > 1e-12, (mx - mn), 1.0)
+        q = np.clip(((centroids - mn) / scale) * 1023.0, 0, 1023).astype(np.uint32)
+        order = np.argsort(_morton3(q), kind="stable")
+        tris_sorted = tris[order]
 
-    indirect = np.asarray(indirect, np.uint32)
-    local = np.asarray(local, np.uint8).reshape(-1, 3)
-    v_off = np.asarray(v_off, np.uint32)
-    v_cnt = np.asarray(v_cnt, np.uint32)
-    t_off = np.asarray(t_off, np.uint32)
-    t_cnt = np.asarray(t_cnt, np.uint32)
+        v_off_l, v_cnt_l, t_off_l, t_cnt_l = [], [], [], []
+        indirect_l, local_l = [], []
+        start = 0
+        while start < nt:
+            # binary search the largest chunk ≤64 tris with ≤64 unique verts
+            hi = min(MESHLET_MAX_TRIS, nt - start)
+            lo = 1
+            best = 1
+            while lo <= hi:
+                mid = (lo + hi) // 2
+                nuniq = len(np.unique(tris_sorted[start : start + mid]))
+                if nuniq <= MESHLET_MAX_VERTS:
+                    best = mid
+                    lo = mid + 1
+                else:
+                    hi = mid - 1
+            chunk = tris_sorted[start : start + best]
+            uniq, inv = np.unique(chunk, return_inverse=True)
+            v_off_l.append(len(indirect_l))
+            v_cnt_l.append(len(uniq))
+            t_off_l.append(len(local_l))
+            t_cnt_l.append(best)
+            indirect_l.extend(uniq.tolist())
+            local_l.extend(inv.reshape(-1, 3).astype(np.uint8).tolist())
+            start += best
+
+        indirect = np.asarray(indirect_l, np.uint32)
+        local = np.asarray(local_l, np.uint8).reshape(-1, 3)
+        v_off = np.asarray(v_off_l, np.uint32)
+        v_cnt = np.asarray(v_cnt_l, np.uint32)
+        t_off = np.asarray(t_off_l, np.uint32)
+        t_cnt = np.asarray(t_cnt_l, np.uint32)
 
     # bounds + cones
     m = len(v_off)
@@ -216,11 +230,14 @@ def bake_mesh(
     aabb_max = positions.max(axis=0) if len(positions) else np.zeros(3, np.float32)
     diag = float(np.linalg.norm(aabb_max - aabb_min))
 
+    from .native import simplify_native
+
     lods: list[LODData] = []
     cur_indices = indices
     error = 0.0
     # LOD 0 = full resolution; each next level targets half the triangles
-    # (AssetManager_GLTF.cpp:746-793: stop when error > 0.5 or no progress)
+    # (AssetManager_GLTF.cpp:746-793: stop when error > 0.5 or no progress).
+    # Preferred path: native QEM edge-collapse (geometry.cpp); fallback: grid clustering.
     cell = diag / 256.0 if diag > 0 else 0.0
     for lod in range(max_lods):
         lods.append(
@@ -233,22 +250,31 @@ def bake_mesh(
         if lod == max_lods - 1 or len(cur_indices) <= 3 * 4:
             break
         target = len(cur_indices) // 2
-        tries = 0
-        new_indices = cur_indices
-        new_err = error
-        while tries < 8:
-            cand, cell_err = simplify_grid(positions, cur_indices, cell)
-            if len(cand) <= max(target, 12) or cell > diag:
-                new_indices = cand
-                new_err = error + cell_err / max(diag, 1e-9)
-                break
-            cell *= 1.7
-            tries += 1
+        native = simplify_native(positions, cur_indices, target, max_error=(0.5 * diag) ** 2)
+        if native is not None:
+            new_indices, abs_err = native
+            new_err = max(error, abs_err / max(diag, 1e-9))
         else:
+            tries = 0
+            new_indices = cur_indices
+            new_err = error
+            while tries < 8:
+                cand, cell_err = simplify_grid(positions, cur_indices, cell)
+                if len(cand) <= max(target, 12) or cell > diag:
+                    new_indices = cand
+                    new_err = error + cell_err / max(diag, 1e-9)
+                    break
+                cell *= 1.7
+                tries += 1
+            else:
+                break
+        if (
+            len(new_indices) == 0
+            or len(new_indices) >= len(cur_indices)
+            or new_err > 0.5
+        ):
             break
-        if len(new_indices) == 0 or len(new_indices) >= len(cur_indices) or new_err > 0.5:
-            break
-        cur_indices, error = new_indices, new_err
+        cur_indices, error = np.asarray(new_indices, np.uint32), new_err
         cell *= 1.4
 
     return BakedMesh(
