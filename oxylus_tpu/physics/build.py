@@ -53,11 +53,39 @@ def build_physics_state(scene) -> PhysicsState:
     tc = scene._comp_data["TransformComponent"]
     rb_mask = scene._comp_mask["RigidBodyComponent"]
     rb = scene._comp_data["RigidBodyComponent"]
+    cc_mask = scene._comp_mask["CharacterControllerComponent"]
+    cc = scene._comp_data["CharacterControllerComponent"]
 
     n = scene._alive.shape[0]
     for i in range(n):
         if not scene._alive[i]:
             continue
+
+        # character controllers get a dedicated upright dynamic capsule
+        # (`Scene.cpp:1852-1886` creates a JPH::Character; here: locked-rotation body)
+        if cc_mask[i]:
+            if slot >= spec.max_bodies:
+                break
+            h = float(cc["character_height_standing"][i])
+            r = float(cc["character_radius_standing"][i])
+            mass = 70.0
+            host["active"][slot] = True
+            host["entity"][slot] = i
+            host["body_type"][slot] = BODY_DYNAMIC
+            host["shape_type"][slot] = SHAPE_CAPSULE
+            host["pos"][slot] = tc["position"][i]
+            host["quat"][slot] = [0.0, 0.0, 0.0, 1.0]
+            host["prev_pos"][slot] = tc["position"][i]
+            host["radius"][slot] = r
+            host["half_length"][slot] = max(h / 2.0 - r, 0.01)
+            host["inv_mass"][slot] = 1.0 / mass
+            host["inv_inertia"][slot] = 0.0  # rotation locked
+            host["dof_mask_ang"][slot] = 0.0
+            host["friction"][slot] = 0.0  # movement handled by the controller
+            host["is_character"][slot] = True
+            slot += 1
+            continue
+
         collider = None
         for cname in _COLLIDER_ORDER:
             if scene._comp_mask[cname][i]:

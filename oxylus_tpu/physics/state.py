@@ -70,6 +70,7 @@ class PhysicsParams:
         "half_extent", "radius", "half_length", "offset",
         "friction", "restitution", "gravity_factor",
         "linear_drag", "angular_drag", "dof_mask_lin", "dof_mask_ang", "is_sensor",
+        "is_character", "ground_normal_y",
         "accumulator",
     ],
     meta_fields=[],
@@ -105,6 +106,8 @@ class PhysicsState:
     dof_mask_lin: Array    # (B, 3) 1.0 where translation DOF allowed
     dof_mask_ang: Array    # (B, 3) 1.0 where rotation DOF allowed
     is_sensor: Array       # (B,) bool
+    is_character: Array    # (B,) bool — capsule driven by CharacterControllerComponent
+    ground_normal_y: Array # (B,) f32 — support-normal y from last substep (grounding)
     # fixed-step accumulator (scalar)
     accumulator: Array
 
@@ -141,6 +144,8 @@ def empty_physics_state(max_bodies: int) -> PhysicsState:
         dof_mask_lin=jnp.ones((b, 3), jnp.float32),
         dof_mask_ang=jnp.ones((b, 3), jnp.float32),
         is_sensor=jnp.zeros((b,), jnp.bool_),
+        is_character=jnp.zeros((b,), jnp.bool_),
+        ground_normal_y=jnp.zeros((b,), jnp.float32),
         accumulator=jnp.zeros((), jnp.float32),
     )
 

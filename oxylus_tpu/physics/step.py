@@ -589,6 +589,18 @@ def physics_substep(ps: PhysicsState, params: PhysicsParams, dt: float) -> Physi
     ia, ib, pair_valid = broadphase_pairs(ps, params, dt)
     normal, point, depth, valid, c_ia, c_ib, _ = narrowphase(ps, params, ia, ib, pair_valid)
 
+    # grounding info (character controllers): per-body max support-normal y.
+    # normal points a→b, so body b's support normal is +n, body a's is -n.
+    b_slots = ps.num_slots
+    touching = valid & (depth > -params.penetration_slop)
+    ia_safe = jnp.where(touching, c_ia, b_slots)
+    ib_safe = jnp.where(touching, c_ib, b_slots)
+    ny = normal[:, 1]
+    gy = jnp.full((b_slots,), -1.0, jnp.float32)
+    gy = gy.at[ib_safe].max(jnp.where(touching, ny, -1.0), mode="drop")
+    gy = gy.at[ia_safe].max(jnp.where(touching, -ny, -1.0), mode="drop")
+    ps = dataclasses.replace(ps, ground_normal_y=gy)
+
     # solve
     lv, av = solve_velocity(ps, params, dt, normal, point, depth, valid, c_ia, c_ib)
     movable = dyn

@@ -424,6 +424,11 @@ COMPONENTS: tuple[ComponentDef, ...] = (
             _f("friction", FieldKind.F32, 6.0),
             _f("gravity", FieldKind.F32, 20.0),
             _f("collision_tolerance", FieldKind.F32, 0.05),
+            # runtime input/state (driven by gameplay code each frame, like the
+            # reference's Lua-driven character movement)
+            _f("move_input", FieldKind.VEC3, (0.0, 0.0, 0.0)),
+            _f("jump_input", FieldKind.BOOL, False),
+            _f("is_grounded", FieldKind.BOOL, False),
             # runtime pose state
             _f("previous_translation", FieldKind.VEC3, (0.0, 0.0, 0.0)),
             _f("previous_rotation", FieldKind.QUAT, (0.0, 0.0, 0.0, 1.0)),

@@ -68,6 +68,69 @@ def physics_interpolate(state: SceneState, ps: PhysicsState, alpha) -> SceneStat
     return dataclasses.replace(state, comp=comp)
 
 
+def character_controller_update(state: SceneState, ps: PhysicsState, dt) -> PhysicsState:
+    """`character_controller_update` (`Scene.cpp:770-789`): drive character capsules
+    from CharacterControllerComponent input using the reference's ground/air
+    accelerate-decelerate movement model; jump when grounded."""
+    cc = state.comp["CharacterControllerComponent"]
+    ent = jnp.maximum(ps.entity, 0)
+    is_char = ps.is_character & ps.active
+
+    g = lambda k: cc[k][ent]
+    grounded = ps.ground_normal_y > 0.7  # ~45° max slope
+    move = g("move_input")  # (B, 3) desired direction, magnitude ≤ 1 (xz plane)
+    move_xz = move.at[:, 1].set(0.0)
+    move_len = jnp.linalg.norm(move_xz, axis=-1, keepdims=True)
+    move_dir = move_xz / jnp.maximum(move_len, 1e-6)
+    moving = move_len[:, 0] > 1e-3
+
+    max_speed = jnp.where(grounded, g("max_ground_speed"), g("max_air_speed"))
+    accel = jnp.where(grounded, g("ground_acceleration"), g("air_acceleration"))
+    decel = jnp.where(grounded, g("ground_deceleration"), g("air_deceleration"))
+
+    v = ps.linvel
+    v_xz = v.at[:, 1].set(0.0)
+    desired = move_dir * (max_speed * jnp.minimum(move_len[:, 0], 1.0))[:, None]
+    rate = jnp.where(moving, accel, decel)
+    delta = desired - v_xz
+    delta_len = jnp.linalg.norm(delta, axis=-1, keepdims=True)
+    step_len = jnp.minimum(delta_len, (rate * dt)[:, None])
+    v_new_xz = v_xz + delta / jnp.maximum(delta_len, 1e-6) * step_len
+
+    jumping = g("jump_input") & grounded
+    v_y = jnp.where(jumping, g("jump_force"), v[:, 1])
+
+    new_v = jnp.concatenate([v_new_xz[:, :1], v_y[:, None], v_new_xz[:, 2:3]], axis=-1)
+    linvel = jnp.where(is_char[:, None], new_v, ps.linvel)
+    return dataclasses.replace(ps, linvel=linvel)
+
+
+def sync_characters_to_components(state: SceneState, ps: PhysicsState) -> SceneState:
+    """Copy character body pose + grounding back into CharacterControllerComponent
+    (the `previous_translation/translation` pose fields, `Components.hpp:389-392`)."""
+    cc = dict(state.comp["CharacterControllerComponent"])
+    n = state.alive.shape[0]
+    is_char = ps.is_character & ps.active & (ps.entity >= 0)
+    target = jnp.where(is_char, ps.entity, n)
+
+    def scatter(dst, src):
+        return dst.at[target].set(src, mode="drop", unique_indices=True)
+
+    cc["previous_translation"] = scatter(cc["previous_translation"], ps.prev_pos)
+    cc["translation"] = scatter(cc["translation"], ps.pos)
+    cc["is_grounded"] = scatter(cc["is_grounded"], ps.ground_normal_y > 0.7)
+    comp = dict(state.comp)
+    comp["CharacterControllerComponent"] = cc
+
+    # characters also drive their TransformComponent directly (with interpolation flag)
+    mask = state.mask["CharacterControllerComponent"] & state.alive
+    interp = cc["interpolation"]
+    t = dict(comp["TransformComponent"])
+    t["position"] = jnp.where(mask[:, None], cc["translation"], t["position"])
+    comp["TransformComponent"] = t
+    return dataclasses.replace(state, comp=comp)
+
+
 def sprite_animation_update(state: SceneState, dt) -> SceneState:
     """`sprite_animation_update` (`Scene.cpp:988-1037`): advance animation clocks.
     The current frame's UV window is derived at render time from current_time."""
@@ -120,8 +183,10 @@ def frame_step(
     dt = jnp.asarray(dt, jnp.float32)
 
     # --- OnUpdate: physics
+    ps = character_controller_update(state, ps, dt)
     ps, alpha = step_physics_accumulated(ps, params, spec, dt)
     state = sync_bodies_to_components(state, ps)
+    state = sync_characters_to_components(state, ps)
     state = physics_interpolate(state, ps, alpha)
 
     # --- PostUpdate: simulation systems
