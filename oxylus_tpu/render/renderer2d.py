@@ -17,6 +17,7 @@ import numpy as np
 
 from ..assets.material import GPUMaterials, empty_gpu_materials
 from ..ops.raster2d import rasterize_sprites
+from ..utils import math3d
 from .camera import CameraMatrices
 
 Array = jax.Array
@@ -118,6 +119,140 @@ def render_2d(
         valid=mask,
         view_proj=camera.view_projection,
         materials=per_sprite_mats,
+        atlas=bindings.atlas,
+        width=width,
+        height=height,
+        k_per_tile=k_per_tile,
+    )
+
+
+def particle_render_data(state, camera: CameraMatrices | None = None):
+    """Per-particle render instances from the pool: world matrices (XY-plane quads or
+    camera-facing billboards), tint colors and validity.
+
+    Over-lifetime color/size/rotation are *pure functions of age* evaluated here at
+    render time (the reference mutates particle entities every frame on the CPU —
+    `Scene.cpp:859-959`; same curves, no storage)."""
+    pool = state.particles
+    psys = state.comp["ParticleSystemComponent"]
+    em = jnp.maximum(pool.emitter, 0)
+    g = lambda k: psys[k][em]
+
+    frac = jnp.clip(pool.age / jnp.maximum(pool.lifetime, 1e-6), 0.0, 1.0)[:, None]
+    speed = jnp.linalg.norm(pool.vel, axis=-1, keepdims=True)
+
+    color = g("start_color")
+    col_live = jnp.where(
+        g("color_over_lifetime_enabled")[:, None],
+        g("color_over_lifetime_start") + (g("color_over_lifetime_end") - g("color_over_lifetime_start")) * frac,
+        jnp.ones_like(color),
+    )
+    sp_t = jnp.clip(
+        (speed - g("color_by_speed_min_speed")[:, None])
+        / jnp.maximum((g("color_by_speed_max_speed") - g("color_by_speed_min_speed"))[:, None], 1e-6),
+        0.0,
+        1.0,
+    )
+    col_speed = jnp.where(
+        g("color_by_speed_enabled")[:, None],
+        g("color_by_speed_start") + (g("color_by_speed_end") - g("color_by_speed_start")) * sp_t,
+        jnp.ones_like(color),
+    )
+    color = color * col_live * col_speed
+
+    size = g("start_size")[:, :3]
+    size_live = jnp.where(
+        g("size_over_lifetime_enabled")[:, None],
+        g("size_over_lifetime_start") + (g("size_over_lifetime_end") - g("size_over_lifetime_start")) * frac,
+        jnp.ones_like(size),
+    )
+    size_speed = jnp.where(
+        g("size_by_speed_enabled")[:, None],
+        g("size_by_speed_start") + (g("size_by_speed_end") - g("size_by_speed_start")) * sp_t,
+        jnp.ones_like(size),
+    )
+    size = size * size_live * size_speed
+
+    rot = math3d.quat_slerp(
+        g("rotation_over_lifetime_start"), g("rotation_over_lifetime_end"), frac[:, 0]
+    )
+    rot = jnp.where(g("rotation_over_lifetime_enabled")[:, None], rot, g("start_rotation"))
+
+    world = math3d.trs_to_mat4(pool.pos, rot, size)
+    if camera is not None:
+        # billboard: replace the rotation block with the camera basis
+        basis = jnp.stack([camera.right, camera.up, camera.forward], axis=-1)  # (3,3) cols
+        scaled = basis[None, :, :] * size[:, None, :]
+        world = world.at[:, :3, :3].set(scaled)
+    return world, color, pool.alive, em
+
+
+def render_2d_with_particles(
+    state,
+    camera: CameraMatrices,
+    bindings: SpriteBatchBindings,
+    *,
+    width: int,
+    height: int,
+    k_per_tile: int = 64,
+    billboard: bool = False,
+) -> tuple[Array, Array]:
+    """Sprites + particle billboards in one sorted, tiled pass (the reference feeds
+    particles through the same RenderQueue2D, `RendererInstance.cpp:1336-1395`)."""
+    n = state.alive.shape[0]
+    sp = state.comp["SpriteComponent"]
+    sprite_mask = state.mask["SpriteComponent"] & state.alive
+
+    entity_idx = jnp.arange(n, dtype=jnp.int32)
+    anim_size, anim_off = sprite_animation_uv(state, entity_idx)
+    mats = bindings.materials
+    mat_idx = bindings.entity_material_idx
+
+    p_world, p_color, p_valid, p_emitter = particle_render_data(
+        state, camera if billboard else None
+    )
+    m = p_world.shape[0]
+
+    def cat(a, b):
+        return jnp.concatenate([a, b], axis=0)
+
+    world = cat(state.world, p_world)
+    layer = cat(sp["layer"].astype(jnp.int32), jnp.full((m,), 1 << 20, jnp.int32))
+    sort_y = cat(sp["sort_y"], jnp.zeros((m,), jnp.bool_))
+    flip_x = cat(sp["flip_x"], jnp.zeros((m,), jnp.bool_))
+    valid = cat(sprite_mask, p_valid)
+    entity_id = cat(entity_idx, p_emitter)
+
+    combined = dataclasses.replace(
+        mats,
+        uv_size=cat(mats.uv_size[mat_idx] * anim_size, jnp.ones((m, 2))),
+        uv_offset=cat(
+            mats.uv_offset[mat_idx] + anim_off * mats.uv_size[mat_idx], jnp.zeros((m, 2))
+        ),
+        albedo_color=cat(mats.albedo_color[mat_idx], p_color),
+        emissive_color=cat(mats.emissive_color[mat_idx], jnp.zeros((m, 3))),
+        roughness_factor=cat(mats.roughness_factor[mat_idx], jnp.zeros(m)),
+        metallic_factor=cat(mats.metallic_factor[mat_idx], jnp.zeros(m)),
+        alpha_cutoff=cat(mats.alpha_cutoff[mat_idx], jnp.zeros(m)),
+        flags=cat(mats.flags[mat_idx], jnp.full((m,), 1 << 9, jnp.uint32)),  # alpha blend
+        albedo_rect=cat(mats.albedo_rect[mat_idx], jnp.zeros((m, 4))),
+        normal_rect=cat(mats.normal_rect[mat_idx], jnp.zeros((m, 4))),
+        emissive_rect=cat(mats.emissive_rect[mat_idx], jnp.zeros((m, 4))),
+        mr_rect=cat(mats.mr_rect[mat_idx], jnp.zeros((m, 4))),
+        occlusion_rect=cat(mats.occlusion_rect[mat_idx], jnp.zeros((m, 4))),
+        sampling_mode=cat(mats.sampling_mode[mat_idx], jnp.zeros(m, jnp.int32)),
+    )
+
+    return rasterize_sprites(
+        world=world,
+        material_idx=jnp.arange(n + m, dtype=jnp.int32),
+        entity_id=entity_id,
+        layer=layer,
+        sort_y=sort_y,
+        flip_x=flip_x,
+        valid=valid,
+        view_proj=camera.view_projection,
+        materials=combined,
         atlas=bindings.atlas,
         width=width,
         height=height,
