@@ -61,8 +61,115 @@ def bench_physics(n_boxes=1022, worlds=64, steps_per_call=60, calls=3, warmup=1)
     return rate, n_bodies, worlds, elapsed
 
 
+def _make_sprite_scene(n_sprites=512, n_particles=2):
+    """BENCH config 2: 2D tilemap + animated sprites."""
+    import numpy as np
+
+    from oxylus_tpu.scene.scene import Scene
+    from oxylus_tpu.scene.state import SceneSpec
+
+    spec = SceneSpec(max_entities=2048, max_particles=2048)
+    s = Scene("tilemap", spec=spec)
+    cam = s.create_entity("camera")
+    cam.add("TransformComponent", position=(0.0, 0.0, 10.0))
+    cam.add("CameraComponent", projection="Orthographic", zoom=8.0)
+    rng = np.random.default_rng(3)
+    side = int(np.ceil(np.sqrt(n_sprites)))
+    for i in range(n_sprites):
+        e = s.create_entity(f"tile_{i}")
+        e.add(
+            "TransformComponent",
+            position=((i % side - side / 2) * 0.5, (i // side - side / 2) * 0.5, 0.0),
+            scale=(0.5, 0.5, 1.0),
+        )
+        e.add("SpriteComponent", layer=i % 4)
+        if i % 4 == 0:
+            e.add("SpriteAnimationComponent", num_frames=8, fps=12, columns=4)
+    for i in range(n_particles):
+        e = s.create_entity(f"em_{i}")
+        e.add("TransformComponent", position=(float(i), 2.0, 0.0))
+        e.add("ParticleSystemComponent", rate_over_time=200, start_lifetime=1.5)
+    return s
+
+
+def bench_frame_2d(width=1920, height=1080, frames=30, calls=3):
+    """Frame-steps/s on BENCH config 2."""
+    from oxylus_tpu.runtime import SceneRunner
+
+    runner = SceneRunner(_make_sprite_scene(), width=width, height=height, render_mode="2d")
+    runner.run(2)  # warmup/compile
+    t0 = time.perf_counter()
+    runner.run(frames * calls)
+    elapsed = time.perf_counter() - t0
+    return frames * calls / elapsed
+
+
+def bench_frame_3d(width=1920, height=1080, frames=20, calls=2, n_objects=200):
+    """Frame-steps/s on BENCH config 3/4: meshlet scene + sky + shadows + post stack."""
+    import numpy as np
+
+    from oxylus_tpu.assets.bake import bake_mesh
+    from oxylus_tpu.render.renderer3d import RenderSpec
+    from oxylus_tpu.render.sky import AtmosphereParams
+    from oxylus_tpu.runtime import SceneRunner
+    from oxylus_tpu.scene.scene import Scene
+    from oxylus_tpu.scene.state import SceneSpec
+    from tests.test_render3d import cube_mesh
+    from tests.test_native_bake import sphere_mesh
+
+    spec = SceneSpec(max_entities=1024)
+    s = Scene("meshlets", spec=spec)
+    cam = s.create_entity("camera")
+    cam.add("TransformComponent", position=(0.0, 8.0, 30.0))
+    cam.add("CameraComponent", fov=60.0)
+    s.set_field(cam.index, "CameraComponent", "pitch", -0.25)
+    sun = s.create_entity("sun")
+    sun.add("TransformComponent", rotation=(-0.383, 0.0, 0.0, 0.924))
+    sun.add("LightComponent", type="Directional", intensity=4.0, color=(1.0, 0.95, 0.9))
+
+    rng = np.random.default_rng(11)
+    side = int(np.ceil(np.sqrt(n_objects)))
+    for i in range(n_objects):
+        e = s.create_entity(f"obj_{i}")
+        e.add(
+            "TransformComponent",
+            position=((i % side - side / 2) * 3.0, 0.0, (i // side - side / 2) * 3.0),
+        )
+        e.add("MeshComponent", mesh_index=i % 2)
+
+    cp, cn, cu, ci = cube_mesh()
+    sp_, sn, su, si = sphere_mesh(16, 32)
+    meshes = [bake_mesh(cp, cn, cu, ci), bake_mesh(sp_, sn, su, si)]
+
+    runner = SceneRunner(
+        s, width=width, height=height, render_mode="3d", meshes=meshes,
+        render_spec=RenderSpec(width=width, height=height),
+        atmosphere=AtmosphereParams(), enable_shadows=True,
+    )
+    runner.run(2)
+    t0 = time.perf_counter()
+    runner.run(frames * calls)
+    elapsed = time.perf_counter() - t0
+    return frames * calls / elapsed
+
+
 def main():
-    worlds = int(os.environ.get("OX_BENCH_WORLDS", "64"))
+    which = os.environ.get("OX_BENCH", "physics")
+    if which == "frame2d":
+        fps = bench_frame_2d()
+        print(json.dumps({
+            "metric": "frame-steps/sec (2D tilemap + animated sprites, 1080p)",
+            "value": round(fps, 2), "unit": "frames/s", "vs_baseline": round(fps / 60.0, 4),
+        }))
+        return
+    if which == "frame3d":
+        fps = bench_frame_3d()
+        print(json.dumps({
+            "metric": "frame-steps/sec (meshlet scene + sky/shadows/post, 1080p)",
+            "value": round(fps, 2), "unit": "frames/s", "vs_baseline": round(fps / 60.0, 4),
+        }))
+        return
+    worlds = int(os.environ.get("OX_BENCH_WORLDS", "8"))
     rate, n_bodies, worlds, elapsed = bench_physics(worlds=worlds)
     target = 10e6  # BASELINE.json: ≥10M rigid-body-steps/s
     print(

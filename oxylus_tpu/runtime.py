@@ -1,0 +1,130 @@
+"""SceneRunner: the high-level simulate+render loop over a scene.
+
+This is the user-facing equivalent of the reference's per-frame flow
+(`Scene::runtime_update` → `Scene::render` → present, SURVEY §3.2-3.3): it owns the
+device SceneState + PhysicsState, the per-scene RendererInstance(s), the carried frame
+resources (HiZ, exposure), and the window. One `step()` advances simulation and
+(optionally) renders; everything device-side stays on device between frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .assets.bake import BakedMesh
+from .core.config import RendererConfig
+from .physics.state import PhysicsParams
+from .render.camera import CameraMatrices, camera_from_state
+from .render.renderer2d import SpriteBatchBindings, default_bindings, render_2d_with_particles
+from .render.renderer3d import RenderSpec, RendererInstance
+from .render.scene3d import GPUScene, upload_meshes
+from .scene.frame import frame_step
+from .scene.scene import Scene
+from .utils.profiler import PROFILER
+
+
+class SceneRunner:
+    def __init__(
+        self,
+        scene: Scene,
+        *,
+        width: int = 1920,
+        height: int = 1080,
+        physics_params: PhysicsParams | None = None,
+        render_mode: str = "none",  # "none" | "2d" | "3d"
+        meshes: list[BakedMesh] | None = None,
+        render_spec: RenderSpec | None = None,
+        bindings: SpriteBatchBindings | None = None,
+        atmosphere=None,
+        enable_shadows: bool = False,
+    ) -> None:
+        self.scene = scene
+        self.width = width
+        self.height = height
+        self.physics_params = physics_params or PhysicsParams()
+        self.render_mode = render_mode
+        self.config: RendererConfig = scene.renderer_config
+        self.atmosphere = atmosphere
+        self.enable_shadows = enable_shadows
+
+        if not scene.running:
+            scene.runtime_start()
+        self.state = scene.to_device_state()
+        self.ps = scene.physics_state
+        self.carry: dict[str, Any] = {}
+        self.frame_index = 0
+        self.last_frame = None
+
+        self.gscene: GPUScene | None = None
+        if render_mode == "3d":
+            meshes = meshes or []
+            instances = []
+            mesh_mask = scene._comp_mask["MeshComponent"]
+            mesh_idx_field = scene._comp_data["MeshComponent"]["mesh_index"]
+            for i in np.nonzero(scene._alive & mesh_mask)[0]:
+                mi = int(mesh_idx_field[int(i)]) if len(meshes) > 1 else 0
+                mi = min(mi, max(len(meshes) - 1, 0))
+                instances.append((mi, int(i), 0))
+            self.gscene = upload_meshes(meshes, instances) if meshes else None
+            self.renderer3d = RendererInstance(
+                render_spec or RenderSpec(width=width, height=height)
+            )
+        self.bindings = bindings or default_bindings(scene.spec.padded_entities())
+
+    # ------------------------------------------------------------------ camera
+    def active_camera(self) -> CameraMatrices | None:
+        mask = np.asarray(self.state.mask["CameraComponent"] & self.state.alive)
+        idx = np.nonzero(mask)[0]
+        if len(idx) == 0:
+            return None
+        return camera_from_state(self.state, int(idx[0]), jnp.float32(self.width / self.height))
+
+    # ------------------------------------------------------------------ stepping
+    def step(self, dt: float = 1.0 / 60.0, render: bool = True):
+        """One frame: simulate (+render when enabled). Returns the final image or None."""
+        with PROFILER.zone("frame_step"):
+            self.state, self.ps = frame_step(
+                self.state, self.ps, self.physics_params, jnp.float32(dt), self.scene.spec
+            )
+        self.frame_index += 1
+
+        image = None
+        if render and self.render_mode != "none":
+            camera = self.active_camera()
+            if camera is not None:
+                if self.render_mode == "2d":
+                    with PROFILER.zone("render_2d"):
+                        image, _vis = render_2d_with_particles(
+                            self.state, camera, self.bindings,
+                            width=self.width, height=self.height,
+                        )
+                elif self.render_mode == "3d" and self.gscene is not None:
+                    with PROFILER.zone("render_3d"):
+                        ctx = self.renderer3d.render(
+                            self.state, self.gscene, camera,
+                            self.bindings.materials, self.bindings.atlas,
+                            self.config, prev=self.carry,
+                            atmosphere=self.atmosphere,
+                            enable_shadows=self.enable_shadows,
+                        )
+                    image = ctx["final"]
+                    self.carry = ctx.get("carry", {})
+        self.last_frame = image
+        PROFILER.frame_mark()
+        return image
+
+    def run(self, frames: int, dt: float = 1.0 / 60.0, render: bool = True):
+        for _ in range(frames):
+            out = self.step(dt, render=render)
+        jax.block_until_ready(out if out is not None else self.state.time)
+        return out
+
+    # ------------------------------------------------------------------ sync
+    def sync_to_host(self) -> Scene:
+        self.scene.sync_from_device(self.state)
+        return self.scene

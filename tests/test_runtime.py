@@ -1,0 +1,77 @@
+import numpy as np
+import pytest
+
+from oxylus_tpu.runtime import SceneRunner
+from oxylus_tpu.scene.scene import Scene
+from oxylus_tpu.scene.state import SceneSpec
+
+
+def test_runner_2d_end_to_end():
+    spec = SceneSpec(max_entities=64, max_particles=128)
+    s = Scene("r2d", spec=spec)
+    cam = s.create_entity("camera")
+    cam.add("TransformComponent", position=(0.0, 0.0, 10.0))
+    cam.add("CameraComponent", projection="Orthographic", zoom=2.0)
+    sprite = s.create_entity("hero")
+    sprite.add("TransformComponent", position=(0.0, 0.0, 0.0))
+    sprite.add("SpriteComponent")
+
+    runner = SceneRunner(s, width=96, height=64, render_mode="2d")
+    img = runner.run(3)
+    assert img is not None
+    img = np.asarray(img)
+    assert img.shape == (64, 96, 4)
+    assert img[32, 48, 3] > 0.5  # sprite visible at center
+    assert runner.frame_index == 3
+
+
+def test_runner_3d_end_to_end():
+    from oxylus_tpu.assets.bake import bake_mesh
+    from oxylus_tpu.render.renderer3d import RenderSpec
+    from tests.test_render3d import cube_mesh
+
+    spec = SceneSpec(max_entities=32)
+    s = Scene("r3d", spec=spec)
+    cam = s.create_entity("camera")
+    cam.add("TransformComponent", position=(0.0, 0.0, 4.0))
+    cam.add("CameraComponent")
+    cube = s.create_entity("cube")
+    cube.add("TransformComponent")
+    cube.add("MeshComponent")
+    sun = s.create_entity("sun")
+    sun.add("TransformComponent")
+    sun.add("LightComponent", type="Directional", intensity=3.0, color=(1.0, 1.0, 1.0))
+
+    cp, cn, cu, ci = cube_mesh()
+    runner = SceneRunner(
+        s, width=96, height=64, render_mode="3d",
+        meshes=[bake_mesh(cp, cn, cu, ci)],
+        render_spec=RenderSpec(width=96, height=64, max_visible_meshlets=64, use_pallas=False),
+    )
+    img = runner.run(2)
+    assert img is not None
+    img = np.asarray(img)
+    assert img.shape == (64, 96, 3)
+    assert np.isfinite(img).all()
+    # second frame carries HiZ (occlusion) + keeps rendering
+    assert "hiz" in runner.carry
+
+
+def test_runner_physics_only():
+    spec = SceneSpec(max_entities=32, max_bodies=32)
+    s = Scene("sim", spec=spec)
+    floor = s.create_entity("floor")
+    floor.add("TransformComponent", position=(0.0, -1.0, 0.0))
+    floor.add("BoxColliderComponent", size=(10.0, 1.0, 10.0))
+    box = s.create_entity("box")
+    box.add("TransformComponent", position=(0.0, 3.0, 0.0))
+    box.add("BoxColliderComponent", size=(0.5, 0.5, 0.5))
+    box.add("RigidBodyComponent")
+
+    runner = SceneRunner(s, render_mode="none")
+    runner.run(60, render=False)
+    y = float(np.asarray(runner.state.comp["TransformComponent"]["position"][box.index][1]))
+    assert y < 2.0
+    # host sync reflects device results
+    runner.sync_to_host()
+    assert s.entity("box").get("TransformComponent")["position"][1] == pytest.approx(y, abs=1e-5)
