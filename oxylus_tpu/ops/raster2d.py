@@ -47,7 +47,7 @@ def sprite_sort_order(depth: Array, y_world: Array, sort_y: Array, layer: Array,
     return order
 
 
-@partial(jax.jit, static_argnames=("width", "height", "k_per_tile"))
+@partial(jax.jit, static_argnames=("width", "height", "k_per_tile", "use_pallas"))
 def rasterize_sprites(
     world: Array,        # (S, 4, 4) sprite world matrices (unit quad in XY plane)
     material_idx: Array, # (S,) i32 index into GPUMaterials arrays
@@ -63,6 +63,7 @@ def rasterize_sprites(
     width: int,
     height: int,
     k_per_tile: int = 64,
+    use_pallas: bool | None = None,
 ) -> tuple[Array, Array]:
     """Returns (color (H, W, 4) f32 premultiplied-over result, visbuffer (H, W) i32)."""
     s = world.shape[0]
@@ -119,7 +120,47 @@ def rasterize_sprites(
         lambda tl, tg, sr: tl.at[tg].set(sr, mode="drop", unique_indices=True)
     )(tile_list, target, src)  # (T, K) sorted-sprite indices or -1
 
-    # --- per-tile ordered composite -----------------------------------------
+    # --- fast path: Pallas tile kernel (TPU) ---------------------------------
+    platform = jax.devices()[0].platform
+    if use_pallas is None:
+        use_pallas = platform in ("tpu", "axon")
+    if use_pallas:
+        from .raster2d_pallas import blend_tiles_pallas, build_sprite_texture_tiles
+        import dataclasses as _dc
+
+        # per-sorted-sprite material view (mat_s already maps sorted slot → material)
+        mats_sorted = _dc.replace(
+            materials,
+            **{f.name: getattr(materials, f.name)[mat_s] for f in _dc.fields(materials)},
+        )
+        p00 = jnp.stack([sx[:, 0], sy[:, 0]], axis=-1)[order]
+        e0v = jnp.stack([sx[:, 1] - sx[:, 0], sy[:, 1] - sy[:, 0]], axis=-1)[order]
+        e1v = jnp.stack([sx[:, 2] - sx[:, 0], sy[:, 2] - sy[:, 0]], axis=-1)[order]
+        det_s = e0v[:, 0] * e1v[:, 1] - e0v[:, 1] * e1v[:, 0]
+        inv_det_s = jnp.where(jnp.abs(det_s) > 1e-9, 1.0 / det_s, 0.0)
+        records = jnp.stack(
+            [
+                p00[:, 0], p00[:, 1],
+                e0v[:, 0], e0v[:, 1],
+                e1v[:, 0], e1v[:, 1],
+                inv_det_s,
+                mats_sorted.albedo_color[:, 0],
+                mats_sorted.albedo_color[:, 1],
+                mats_sorted.albedo_color[:, 2],
+                mats_sorted.albedo_color[:, 3],
+                mats_sorted.alpha_cutoff,
+                ((mats_sorted.flags & (1 << 8)) != 0).astype(jnp.float32),
+                ((mats_sorted.flags & 1) != 0).astype(jnp.float32),
+                ent_s.astype(jnp.float32),
+                flip_s.astype(jnp.float32),
+            ],
+            axis=-1,
+        )  # (S, 16)
+        tiles = build_sprite_texture_tiles(mats_sorted, atlas)
+        color, vis = blend_tiles_pallas(records, tiles, tile_list, width, height)
+        return color, vis
+
+    # --- per-tile ordered composite (XLA reference path) ---------------------
     # pixel coordinates per tile (T, TILE, TILE)
     px = tile_x0.reshape(n_tiles, 1, 1) + jax.lax.broadcasted_iota(jnp.float32, (1, TILE, TILE), 2) + 0.5
     py = tile_y0.reshape(n_tiles, 1, 1) + jax.lax.broadcasted_iota(jnp.float32, (1, TILE, TILE), 1) + 0.5
