@@ -113,11 +113,11 @@ def _kernel(
         caz = r21 * hlen_v
 
         # --- per-body contact-count estimate (AABB overlaps) for mass splitting ---
-        def count_chunk(c, cnt):
-            start = c * CHUNK
+        def count_chunk(c):
+            start = c * CHUNK  # static (python-level unroll)
 
             def row(a):
-                return jax.lax.dynamic_slice(a, (start,), (CHUNK,)).reshape(CHUNK, 1)
+                return a[start : start + CHUNK].reshape(CHUNK, 1)
 
             def col(a):
                 return a.reshape(1, b)
@@ -132,14 +132,18 @@ def _kernel(
             )
             some_dyn = (row(dyn_v) + col(dyn_v)) > 0.5
             both_act = (row(act_v) * col(act_v)) > 0.5
-            a_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, b), 0) + c * CHUNK
+            a_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, b), 0) + start
             b_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, b), 1)
             ov = (overlap & some_dyn & both_act & (a_ids != b_ids)).astype(jnp.float32)
-            cur = jax.lax.dynamic_slice(cnt, (start,), (CHUNK,))
-            cnt = jax.lax.dynamic_update_slice(cnt, cur + jnp.sum(ov, axis=1), (start,))
-            return cnt + jnp.sum(ov, axis=0)
+            return jnp.sum(ov, axis=1), jnp.sum(ov, axis=0)
 
-        cnt = jax.lax.fori_loop(0, n_chunks, count_chunk, jnp.zeros_like(px))
+        row_counts = []
+        col_count = jnp.zeros_like(px)
+        for _c in range(n_chunks):
+            rc, cc_ = count_chunk(_c)
+            row_counts.append(rc)
+            col_count = col_count + cc_
+        cnt = (row_counts[0] if n_chunks == 1 else jnp.concatenate(row_counts)) + col_count
         split = jnp.maximum(cnt, 1.0)
         im_eff = inv_mass_v * split
         im3x_eff = im3x_v * split
@@ -148,20 +152,15 @@ def _kernel(
 
         def solve_iter(_, vcarry):
             vx, vy, vz, wx, wy, wz = vcarry
-            # accumulators (B,)
-            accx = jnp.zeros_like(vx); accy = jnp.zeros_like(vx); accz = jnp.zeros_like(vx)
-            tqx = jnp.zeros_like(vx); tqy = jnp.zeros_like(vx); tqz = jnp.zeros_like(vx)
 
-            def chunk_body(c, acc):
-                accx, accy, accz, tqx, tqy, tqz = acc
-                start = c * CHUNK
+            def chunk_body(c):
+                start = c * CHUNK  # static (python-level unroll)
+                # per-chunk accumulators: row-side (CHUNK,) and col-side (B,)
+                racc = [jnp.zeros((CHUNK,), jnp.float32) for _ in range(6)]
+                cacc = [jnp.zeros((b,), jnp.float32) for _ in range(6)]
 
                 def row(a):  # slice a-chunk of a (B,) value -> (CHUNK, 1)
-                    return jax.lax.dynamic_slice(a, (start,), (CHUNK,)).reshape(CHUNK, 1)
-
-                def addrow(acc_arr, delta):  # scatter-free accumulate into the a-chunk
-                    cur = jax.lax.dynamic_slice(acc_arr, (start,), (CHUNK,))
-                    return jax.lax.dynamic_update_slice(acc_arr, cur + delta, (start,))
+                    return a[start : start + CHUNK].reshape(CHUNK, 1)
 
                 def col(a):  # full array as (1, B)
                     return a.reshape(1, b)
@@ -177,7 +176,7 @@ def _kernel(
                 )
                 some_dyn = (row(dyn_v) + col(dyn_v)) > 0.5
                 both_act = (row(act_v) * col(act_v)) > 0.5
-                a_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, b), 0) + c * CHUNK
+                a_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, b), 0) + start
                 b_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, b), 1)
                 not_self = a_ids != b_ids
                 active = overlap & some_dyn & both_act & not_self
@@ -493,29 +492,41 @@ def _kernel(
                     jy = ny * lam - tvy / tvl * lam_t
                     jz = nz * lam - tvz / tvl * lam_t
 
-                    accx = addrow(accx, -jnp.sum(jx, axis=1))
-                    accy = addrow(accy, -jnp.sum(jy, axis=1))
-                    accz = addrow(accz, -jnp.sum(jz, axis=1))
-                    accx = accx + jnp.sum(jx, axis=0)
-                    accy = accy + jnp.sum(jy, axis=0)
-                    accz = accz + jnp.sum(jz, axis=0)
+                    racc[0] = racc[0] - jnp.sum(jx, axis=1)
+                    racc[1] = racc[1] - jnp.sum(jy, axis=1)
+                    racc[2] = racc[2] - jnp.sum(jz, axis=1)
+                    cacc[0] = cacc[0] + jnp.sum(jx, axis=0)
+                    cacc[1] = cacc[1] + jnp.sum(jy, axis=0)
+                    cacc[2] = cacc[2] + jnp.sum(jz, axis=0)
                     tq_ax = ray * jz - raz * jy
                     tq_ay = raz * jx - rax * jz
                     tq_az = rax * jy - ray * jx
                     tq_bx = rby * jz - rbz * jy
                     tq_by = rbz * jx - rbx * jz
                     tq_bz = rbx * jy - rby * jx
-                    tqx = addrow(tqx, -jnp.sum(tq_ax, axis=1))
-                    tqy = addrow(tqy, -jnp.sum(tq_ay, axis=1))
-                    tqz = addrow(tqz, -jnp.sum(tq_az, axis=1))
-                    tqx = tqx + jnp.sum(tq_bx, axis=0)
-                    tqy = tqy + jnp.sum(tq_by, axis=0)
-                    tqz = tqz + jnp.sum(tq_bz, axis=0)
+                    racc[3] = racc[3] - jnp.sum(tq_ax, axis=1)
+                    racc[4] = racc[4] - jnp.sum(tq_ay, axis=1)
+                    racc[5] = racc[5] - jnp.sum(tq_az, axis=1)
+                    cacc[3] = cacc[3] + jnp.sum(tq_bx, axis=0)
+                    cacc[4] = cacc[4] + jnp.sum(tq_by, axis=0)
+                    cacc[5] = cacc[5] + jnp.sum(tq_bz, axis=0)
+                return racc, cacc
                 return accx, accy, accz, tqx, tqy, tqz
 
-            accx, accy, accz, tqx, tqy, tqz = jax.lax.fori_loop(
-                0, n_chunks, chunk_body, (accx, accy, accz, tqx, tqy, tqz)
-            )
+            row_parts = []
+            col_parts = [jnp.zeros((b,), jnp.float32) for _ in range(6)]
+            for _c in range(n_chunks):
+                racc, cacc = chunk_body(_c)
+                row_parts.append(racc)
+                col_parts = [col_parts[i] + cacc[i] for i in range(6)]
+            if n_chunks == 1:
+                totals = [row_parts[0][i] + col_parts[i] for i in range(6)]
+            else:
+                totals = [
+                    jnp.concatenate([rp[i] for rp in row_parts]) + col_parts[i]
+                    for i in range(6)
+                ]
+            accx, accy, accz, tqx, tqy, tqz = totals
             # apply with the raw masses (mass splitting puts the count into kn)
             vx = vx + accx * inv_mass_v * dof_x_v * mov_v
             vy = vy + accy * inv_mass_v * dof_y_v * mov_v
