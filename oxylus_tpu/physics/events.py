@@ -1,0 +1,70 @@
+"""Contact events: touching-pair extraction + added/persisted/removed dispatch.
+
+The reference wires Jolt's `ContactListener` into mutex-guarded Lua callbacks
+(`/root/reference/Oxylus/src/Scene/Scene.cpp:1657-1715`). Here the device computes the
+compacted touching-pair list on demand (one extra narrowphase evaluation outside the
+solver), and a host-side `ContactTracker` diffs consecutive frames into
+added/persisted/removed events for script systems.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .state import PhysicsParams, PhysicsState
+from .step import broadphase_pairs, narrowphase
+
+Array = jax.Array
+
+
+@jax.jit
+def query_contacts(ps: PhysicsState, params: PhysicsParams):
+    """Returns (entity_a, entity_b, valid): touching pairs as entity indices."""
+    ia, ib, pair_valid = broadphase_pairs(ps, params, params.penetration_slop * 0.0 + 1.0 / 60.0)
+    _, _, depth, valid, c_ia, c_ib, _ = narrowphase(ps, params, ia, ib, pair_valid)
+    k = params.points_per_pair
+    p = ia.shape[0]
+    # resting bodies hover a hair above contact (Baumgarte equilibrium), so report
+    # touch within the speculative margin like Jolt's contact listener does
+    threshold = -(params.penetration_slop + params.speculative_margin)
+    touching = jnp.any(
+        (depth.reshape(p, k) > threshold) & valid.reshape(p, k), axis=1
+    )
+    ent_a = ps.entity[ia]
+    ent_b = ps.entity[ib]
+    return ent_a, ent_b, touching & (ent_a >= 0) & (ent_b >= 0)
+
+
+class ContactTracker:
+    """Host-side frame-to-frame contact diffing → script lifecycle callbacks."""
+
+    def __init__(self) -> None:
+        self._previous: set[tuple[int, int]] = set()
+
+    def update(self, ps: PhysicsState, params: PhysicsParams):
+        """Returns (added, persisted, removed) sets of (entity_a, entity_b) pairs."""
+        import numpy as np
+
+        ent_a, ent_b, valid = jax.device_get(query_contacts(ps, params))
+        current = {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b, v in zip(ent_a, ent_b, valid)
+            if v
+        }
+        added = current - self._previous
+        persisted = current & self._previous
+        removed = self._previous - current
+        self._previous = current
+        return added, persisted, removed
+
+    def dispatch(self, scene, ps: PhysicsState, params: PhysicsParams) -> None:
+        """Fire script callbacks on the scene's systems (LuaSystem contact hooks)."""
+        added, persisted, removed = self.update(ps, params)
+        for system in scene.lua_systems.values():
+            for a, b in added:
+                system.on_contact_added(scene, a, b)
+            for a, b in persisted:
+                system.on_contact_persisted(scene, a, b)
+            for a, b in removed:
+                system.on_contact_removed(scene, a, b)

@@ -1,0 +1,79 @@
+import jax
+import numpy as np
+
+from oxylus_tpu.physics.events import ContactTracker, query_contacts
+from oxylus_tpu.physics.state import PhysicsParams
+from oxylus_tpu.physics.step import physics_substep
+from oxylus_tpu.scene.scene import Scene
+from oxylus_tpu.scene.state import SceneSpec
+from oxylus_tpu.scripting.system import Script, ScriptSystem
+
+DT = 1.0 / 60.0
+
+
+def falling_ball_scene():
+    s = Scene("ev", spec=SceneSpec(max_entities=32, max_bodies=32))
+    floor = s.create_entity("floor")
+    floor.add("TransformComponent", position=(0.0, -1.0, 0.0))
+    floor.add("BoxColliderComponent", size=(20.0, 1.0, 20.0))
+    ball = s.create_entity("ball")
+    ball.add("TransformComponent", position=(0.0, 1.2, 0.0))
+    ball.add("SphereColliderComponent", radius=0.5)
+    ball.add("RigidBodyComponent")
+    return s, floor, ball
+
+
+def test_query_contacts_reports_touch():
+    s, floor, ball = falling_ball_scene()
+    s.runtime_start()
+    params = PhysicsParams(max_pairs=128)
+    ps = s.physics_state
+    step = jax.jit(lambda p: physics_substep(p, params, DT))
+    for _ in range(90):
+        ps = step(ps)
+    ea, eb, valid = jax.device_get(query_contacts(ps, params))
+    pairs = {(int(a), int(b)) for a, b, v in zip(ea, eb, valid) if v}
+    assert (floor.index, ball.index) in pairs or (ball.index, floor.index) in pairs
+
+
+def test_contact_lifecycle_events():
+    s, floor, ball = falling_ball_scene()
+    s.runtime_start()
+    params = PhysicsParams(max_pairs=128)
+    ps = s.physics_state
+    tracker = ContactTracker()
+    step = jax.jit(lambda p: physics_substep(p, params, DT))
+
+    seen = {"added": 0, "persisted": 0, "removed": 0}
+    script = Script.compile(
+        "watcher",
+        """
+events = []
+def on_contact_added(scene, a, b, manifold):
+    events.append(("added", a, b))
+def on_contact_persisted(scene, a, b, manifold):
+    events.append(("persisted", a, b))
+def on_contact_removed(scene, a, b):
+    events.append(("removed", a, b))
+""",
+    )
+    s.lua_systems["w"] = ScriptSystem(script, s)
+
+    added_frame = None
+    for frame in range(120):
+        ps = step(ps)
+        a, p, r = tracker.update(ps, params)
+        seen["added"] += len(a)
+        seen["persisted"] += len(p)
+        seen["removed"] += len(r)
+        if a and added_frame is None:
+            added_frame = frame
+    assert seen["added"] >= 1
+    assert seen["persisted"] > 10  # resting contact persists
+    assert added_frame is not None and added_frame < 60
+
+    # dispatch wires into script callbacks
+    tracker2 = ContactTracker()
+    tracker2.dispatch(s, ps, params)
+    events = script.namespace["events"]
+    assert any(e[0] == "added" for e in events)
