@@ -116,11 +116,11 @@ def _kernel(
         def count_chunk(c):
             start = c * CHUNK  # static (python-level unroll)
 
-            def row(a):
-                return a[start : start + CHUNK].reshape(CHUNK, 1)
+            def row(a):  # (1, B) lanes-major -> this chunk as a (CHUNK, 1) column
+                return jnp.swapaxes(a[0:1, start : start + CHUNK], 0, 1)
 
-            def col(a):
-                return a.reshape(1, b)
+            def col(a):  # already (1, B)
+                return a
 
             dxc = col(px) - row(px)
             dyc = col(py) - row(py)
@@ -135,7 +135,11 @@ def _kernel(
             a_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, b), 0) + start
             b_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, b), 1)
             ov = (overlap & some_dyn & both_act & (a_ids != b_ids)).astype(jnp.float32)
-            return jnp.sum(ov, axis=1), jnp.sum(ov, axis=0)
+            # row sums → (1, CHUNK) lane tile; col sums → (1, B)
+            return (
+                jnp.swapaxes(jnp.sum(ov, axis=1, keepdims=True), 0, 1),
+                jnp.sum(ov, axis=0, keepdims=True),
+            )
 
         row_counts = []
         col_count = jnp.zeros_like(px)
@@ -143,7 +147,9 @@ def _kernel(
             rc, cc_ = count_chunk(_c)
             row_counts.append(rc)
             col_count = col_count + cc_
-        cnt = (row_counts[0] if n_chunks == 1 else jnp.concatenate(row_counts)) + col_count
+        cnt = (
+            row_counts[0] if n_chunks == 1 else jnp.concatenate(row_counts, axis=1)
+        ) + col_count
         split = jnp.maximum(cnt, 1.0)
         im_eff = inv_mass_v * split
         im3x_eff = im3x_v * split
@@ -155,15 +161,15 @@ def _kernel(
 
             def chunk_body(c):
                 start = c * CHUNK  # static (python-level unroll)
-                # per-chunk accumulators: row-side (CHUNK,) and col-side (B,)
-                racc = [jnp.zeros((CHUNK,), jnp.float32) for _ in range(6)]
-                cacc = [jnp.zeros((b,), jnp.float32) for _ in range(6)]
+                # per-chunk accumulators: row-side (1, CHUNK) and col-side (1, B)
+                racc = [jnp.zeros((1, CHUNK), jnp.float32) for _ in range(6)]
+                cacc = [jnp.zeros((1, b), jnp.float32) for _ in range(6)]
 
-                def row(a):  # slice a-chunk of a (B,) value -> (CHUNK, 1)
-                    return a[start : start + CHUNK].reshape(CHUNK, 1)
+                def row(a):  # (1, B) lanes-major -> this chunk as a (CHUNK, 1) column
+                    return jnp.swapaxes(a[0:1, start : start + CHUNK], 0, 1)
 
-                def col(a):  # full array as (1, B)
-                    return a.reshape(1, b)
+                def col(a):  # already (1, B)
+                    return a
 
                 # pair masks
                 dxc = col(px) - row(px)
@@ -492,29 +498,31 @@ def _kernel(
                     jy = ny * lam - tvy / tvl * lam_t
                     jz = nz * lam - tvz / tvl * lam_t
 
-                    racc[0] = racc[0] - jnp.sum(jx, axis=1)
-                    racc[1] = racc[1] - jnp.sum(jy, axis=1)
-                    racc[2] = racc[2] - jnp.sum(jz, axis=1)
-                    cacc[0] = cacc[0] + jnp.sum(jx, axis=0)
-                    cacc[1] = cacc[1] + jnp.sum(jy, axis=0)
-                    cacc[2] = cacc[2] + jnp.sum(jz, axis=0)
+                    rT = lambda m: jnp.swapaxes(jnp.sum(m, axis=1, keepdims=True), 0, 1)
+                    cS = lambda m: jnp.sum(m, axis=0, keepdims=True)
+                    racc[0] = racc[0] - rT(jx)
+                    racc[1] = racc[1] - rT(jy)
+                    racc[2] = racc[2] - rT(jz)
+                    cacc[0] = cacc[0] + cS(jx)
+                    cacc[1] = cacc[1] + cS(jy)
+                    cacc[2] = cacc[2] + cS(jz)
                     tq_ax = ray * jz - raz * jy
                     tq_ay = raz * jx - rax * jz
                     tq_az = rax * jy - ray * jx
                     tq_bx = rby * jz - rbz * jy
                     tq_by = rbz * jx - rbx * jz
                     tq_bz = rbx * jy - rby * jx
-                    racc[3] = racc[3] - jnp.sum(tq_ax, axis=1)
-                    racc[4] = racc[4] - jnp.sum(tq_ay, axis=1)
-                    racc[5] = racc[5] - jnp.sum(tq_az, axis=1)
-                    cacc[3] = cacc[3] + jnp.sum(tq_bx, axis=0)
-                    cacc[4] = cacc[4] + jnp.sum(tq_by, axis=0)
-                    cacc[5] = cacc[5] + jnp.sum(tq_bz, axis=0)
+                    racc[3] = racc[3] - rT(tq_ax)
+                    racc[4] = racc[4] - rT(tq_ay)
+                    racc[5] = racc[5] - rT(tq_az)
+                    cacc[3] = cacc[3] + cS(tq_bx)
+                    cacc[4] = cacc[4] + cS(tq_by)
+                    cacc[5] = cacc[5] + cS(tq_bz)
                 return racc, cacc
                 return accx, accy, accz, tqx, tqy, tqz
 
             row_parts = []
-            col_parts = [jnp.zeros((b,), jnp.float32) for _ in range(6)]
+            col_parts = [jnp.zeros((1, b), jnp.float32) for _ in range(6)]
             for _c in range(n_chunks):
                 racc, cacc = chunk_body(_c)
                 row_parts.append(racc)
@@ -523,7 +531,7 @@ def _kernel(
                 totals = [row_parts[0][i] + col_parts[i] for i in range(6)]
             else:
                 totals = [
-                    jnp.concatenate([rp[i] for rp in row_parts]) + col_parts[i]
+                    jnp.concatenate([rp[i] for rp in row_parts], axis=1) + col_parts[i]
                     for i in range(6)
                 ]
             accx, accy, accz, tqx, tqy, tqz = totals
@@ -602,21 +610,22 @@ def megakernel_substeps(
         ]
     )
 
+    r1 = lambda x: x.reshape(1, b)  # lanes-major layout for Mosaic-friendly tiling
     inputs = [
-        ps.pos[:, 0], ps.pos[:, 1], ps.pos[:, 2],
-        ps.linvel[:, 0], ps.linvel[:, 1], ps.linvel[:, 2],
-        ps.angvel[:, 0], ps.angvel[:, 1], ps.angvel[:, 2],
-        ps.quat[:, 0], ps.quat[:, 1], ps.quat[:, 2], ps.quat[:, 3],
-        ps.inv_mass,
-        ps.inv_inertia[:, 0], ps.inv_inertia[:, 1], ps.inv_inertia[:, 2],
-        ps.half_extent[:, 0], ps.half_extent[:, 1], ps.half_extent[:, 2],
-        ps.radius, ps.half_length,
-        ps.friction, ps.restitution, ps.gravity_factor,
-        ps.dof_mask_lin[:, 0], ps.dof_mask_lin[:, 1], ps.dof_mask_lin[:, 2],
-        is_box, dyn, movable, ps.active.astype(jnp.float32),
+        r1(ps.pos[:, 0]), r1(ps.pos[:, 1]), r1(ps.pos[:, 2]),
+        r1(ps.linvel[:, 0]), r1(ps.linvel[:, 1]), r1(ps.linvel[:, 2]),
+        r1(ps.angvel[:, 0]), r1(ps.angvel[:, 1]), r1(ps.angvel[:, 2]),
+        r1(ps.quat[:, 0]), r1(ps.quat[:, 1]), r1(ps.quat[:, 2]), r1(ps.quat[:, 3]),
+        r1(ps.inv_mass),
+        r1(ps.inv_inertia[:, 0]), r1(ps.inv_inertia[:, 1]), r1(ps.inv_inertia[:, 2]),
+        r1(ps.half_extent[:, 0]), r1(ps.half_extent[:, 1]), r1(ps.half_extent[:, 2]),
+        r1(ps.radius), r1(ps.half_length),
+        r1(ps.friction), r1(ps.restitution), r1(ps.gravity_factor),
+        r1(ps.dof_mask_lin[:, 0]), r1(ps.dof_mask_lin[:, 1]), r1(ps.dof_mask_lin[:, 2]),
+        r1(is_box), r1(dyn), r1(movable), r1(ps.active.astype(jnp.float32)),
     ]
 
-    out_shapes = [jax.ShapeDtypeStruct((b,), jnp.float32)] * 13
+    out_shapes = [jax.ShapeDtypeStruct((1, b), jnp.float32)] * 13
     outs = pl.pallas_call(
         partial(_kernel, iterations=iterations, n_bodies=b),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -626,7 +635,9 @@ def megakernel_substeps(
         interpret=interpret,
     )(scalars, *inputs)
 
-    (npx, npy, npz, nvx, nvy, nvz, nwx, nwy, nwz, nqx, nqy, nqz, nqw) = outs
+    (npx, npy, npz, nvx, nvy, nvz, nwx, nwy, nwz, nqx, nqy, nqz, nqw) = [
+        o.reshape(b) for o in outs
+    ]
     return dataclasses.replace(
         ps,
         prev_pos=ps.pos,
