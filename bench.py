@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_physics(n_boxes=1022, worlds=64, steps_per_call=60, calls=3, warmup=1):
+def bench_physics(n_boxes=1022, worlds=64, steps_per_call=60, calls=3, warmup=1, mega=False):
     from __graft_entry__ import _build_flagship
     from oxylus_tpu.physics.state import PhysicsParams
     from oxylus_tpu.physics.step import physics_substep
@@ -32,19 +32,34 @@ def bench_physics(n_boxes=1022, worlds=64, steps_per_call=60, calls=3, warmup=1)
     n_bodies = int(jax.device_get(jnp.sum(ps.active.astype(jnp.int32))))
     dt = 1.0 / 60.0
 
-    if worlds > 1:
-        ps = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (worlds,) + x.shape), ps)
-        step_fn = jax.vmap(lambda p: physics_substep(p, params, dt))
+    if mega:
+        # whole-substep Pallas mega-kernel: one launch per `steps_per_call` substeps
+        from oxylus_tpu.physics.megakernel import megakernel_substeps
+
+        run = jax.jit(
+            lambda p: megakernel_substeps(p, params, dt, n_substeps=steps_per_call)
+        )
+        if worlds > 1:
+            ps = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (worlds,) + x.shape), ps)
+            run = jax.jit(
+                jax.vmap(
+                    lambda p: megakernel_substeps(p, params, dt, n_substeps=steps_per_call)
+                )
+            )
     else:
-        step_fn = lambda p: physics_substep(p, params, dt)
+        if worlds > 1:
+            ps = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (worlds,) + x.shape), ps)
+            step_fn = jax.vmap(lambda p: physics_substep(p, params, dt))
+        else:
+            step_fn = lambda p: physics_substep(p, params, dt)
 
-    @jax.jit
-    def run(ps):
-        def body(p, _):
-            return step_fn(p), ()
+        @jax.jit
+        def run(ps):
+            def body(p, _):
+                return step_fn(p), ()
 
-        out, _ = jax.lax.scan(body, ps, None, length=steps_per_call)
-        return out
+            out, _ = jax.lax.scan(body, ps, None, length=steps_per_call)
+            return out
 
     for _ in range(warmup):
         ps = run(ps)
@@ -169,8 +184,9 @@ def main():
             "value": round(fps, 2), "unit": "frames/s", "vs_baseline": round(fps / 60.0, 4),
         }))
         return
-    worlds = int(os.environ.get("OX_BENCH_WORLDS", "8"))
-    rate, n_bodies, worlds, elapsed = bench_physics(worlds=worlds)
+    worlds = int(os.environ.get("OX_BENCH_WORLDS", "1"))
+    mega = os.environ.get("OX_BENCH_MEGA", "1") == "1"
+    rate, n_bodies, worlds, elapsed = bench_physics(worlds=worlds, mega=mega)
     target = 10e6  # BASELINE.json: ≥10M rigid-body-steps/s
     print(
         json.dumps(

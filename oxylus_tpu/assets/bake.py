@@ -219,11 +219,20 @@ def bake_mesh(
     indices: np.ndarray,
     material: int = -1,
     max_lods: int = MAX_LODS,
+    quantize: bool = True,
 ) -> BakedMesh:
     positions = np.ascontiguousarray(positions, np.float32)
     normals = np.ascontiguousarray(normals, np.float32)
     uvs = np.ascontiguousarray(uvs, np.float32)
     indices = np.ascontiguousarray(indices, np.uint32)
+    if quantize:
+        # half-precision quantization parity with the reference bake
+        # (AssetManager_GLTF.cpp:721-737: positions f16, normals 10:10:10, uv f16) —
+        # values are rounded through the quantized grids so culling/LOD decisions
+        # match an engine storing them quantized
+        positions = positions.astype(np.float16).astype(np.float32)
+        uvs = uvs.astype(np.float16).astype(np.float32)
+        normals = np.round(np.clip(normals, -1.0, 1.0) * 511.0) / 511.0
     positions, normals, uvs, indices = weld_vertices(positions, normals, uvs, indices)
 
     aabb_min = positions.min(axis=0) if len(positions) else np.zeros(3, np.float32)
