@@ -113,8 +113,8 @@ def _blend_kernel(tile_list_ref, tx_ref, rec_hbm, tex_hbm, color_out, vid_out):
         color0 = jnp.zeros((PIX, 4), jnp.float32)
         vid0 = jnp.full((PIX, 1), -1, jnp.int32)
         color, vid = jax.lax.fori_loop(0, k_cap, loop, (color0, vid0))
-        color_out[:, :] = color.reshape(8, 128 * 4)
-        vid_out[:, :] = vid.reshape(8, 128)
+        color_out[:, :] = color  # (PIX, 4) — no cross-tile relayout
+        vid_out[:, :] = vid
 
     pl.run_scoped(
         body,
@@ -149,12 +149,12 @@ def blend_tiles_pallas(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((8, 128 * 4), lambda t: (t, 0)),
-            pl.BlockSpec((8, 128), lambda t: (t, 0)),
+            pl.BlockSpec((PIX, 4), lambda t: (t, 0)),
+            pl.BlockSpec((PIX, 1), lambda t: (t, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles * 8, 128 * 4), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles * PIX, 4), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * PIX, 1), jnp.int32),
         ],
         interpret=interpret,
     )(tile_list, jnp.array([tx], jnp.int32), records, textures)

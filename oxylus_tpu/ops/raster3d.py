@@ -156,8 +156,10 @@ def _raster_kernel(tile_list_ref, tx_ref, coeff_hbm, depth_out, vid_out):
         depth0 = jnp.zeros((PIX, 1), jnp.float32)
         vid0 = jnp.full((PIX, 1), -1, jnp.int32)
         depth, vid = jax.lax.fori_loop(0, k_cap, loop, (depth0, vid0))
-        depth_out[:, :] = depth.reshape(8, 128)
-        vid_out[:, :] = vid.reshape(8, 128)
+        # outputs stay (PIX, 1) sublane-major — a (1024,1)->(8,128) reshape would be a
+        # cross-tile relayout Mosaic rejects
+        depth_out[:, :] = depth
+        vid_out[:, :] = vid
 
     pl.run_scoped(
         body,
@@ -181,12 +183,12 @@ def rasterize_pallas(coeff_mat: Array, tile_list: Array, width: int, height: int
             pl.BlockSpec(memory_space=pl.ANY),  # coeff matrices stay in HBM
         ],
         out_specs=[
-            pl.BlockSpec((8, 128), lambda t: (t, 0)),
-            pl.BlockSpec((8, 128), lambda t: (t, 0)),
+            pl.BlockSpec((PIX, 1), lambda t: (t, 0)),
+            pl.BlockSpec((PIX, 1), lambda t: (t, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles * PIX, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * PIX, 1), jnp.int32),
         ],
         interpret=interpret,
     )(tile_list, jnp.array([tx], jnp.int32), coeff_mat)

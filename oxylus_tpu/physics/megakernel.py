@@ -40,7 +40,7 @@ from .state import BODY_DYNAMIC, BODY_STATIC, SHAPE_BOX, PhysicsParams, PhysicsS
 
 Array = jax.Array
 
-CHUNK = 128  # a-rows per pair block
+CHUNK = 64  # a-rows per pair block (sized to fit VMEM at B=1024)
 
 
 def _kernel(
