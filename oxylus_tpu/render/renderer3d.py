@@ -138,6 +138,7 @@ class RendererInstance:
             frustum_enabled=config.culling_frustum,
         )
         ctx.update(vm_instance=vm_inst, vm_meshlet=vm_ml, vm_valid=vm_valid, vm_count=vm_count)
+        ctx["vm_meshlet"] = vm_ml
         ctx = self._run_cbs(RenderStage.CULLING, "after", ctx)
 
         # ---- VisBuffer encode (two-pass occlusion protocol) ---------------
@@ -332,6 +333,13 @@ class RendererInstance:
         )
         if config.fxaa_enable:
             ldr = apply_fxaa(ldr)
+        # debug view override (rr.debug_view modes, RendererCVar.cpp:16-23)
+        if config.debug_view:
+            from .debugviews import apply_debug_view
+
+            dbg = apply_debug_view(config.debug_view, ctx)
+            if dbg is not None:
+                ldr = dbg
         ctx["final"] = ldr
         ctx["carry"] = carry
         ctx = self._run_cbs(RenderStage.POST_PROCESSING, "after", ctx)

@@ -101,3 +101,18 @@ def test_exposure_carry(world):
     ctx = inst.render(state, gscene, cam, mats, atlas, cfg, prev=prev)
     assert "adapt_luminance" in ctx["carry"]
     assert np.isfinite(float(ctx["carry"]["adapt_luminance"]))
+
+
+def test_debug_views(world):
+    s, state, gscene, cam = world
+    inst = RendererInstance(RenderSpec(width=W, height=H, max_visible_meshlets=64, use_pallas=False))
+    mats = empty_gpu_materials(8)
+    atlas = jnp.zeros((8, 8, 4), jnp.uint8)
+    for mode in (1, 2, 5, 7, 8):
+        cfg = RendererConfig(debug_view=mode)
+        ctx = inst.render(state, gscene, cam, mats, atlas, cfg)
+        img = np.asarray(ctx["final"])
+        assert np.isfinite(img).all()
+        # hit pixels are colored, background dark
+        hit = np.asarray(ctx["gbuffer"]["hit"])
+        assert img[hit].mean() > 0.05
