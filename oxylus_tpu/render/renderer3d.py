@@ -247,6 +247,7 @@ class RendererInstance:
             if ambient_color is None:
                 ambient_color = sky_ambient(sky_lut) * 0.3
             ctx["sky_view_lut"] = sky_lut
+            ctx["_sky_luts"] = (t_lut, ms_lut)
         ctx = self._run_cbs(RenderStage.ATMOSPHERE, "after", ctx)
 
         # ---- Shadows ------------------------------------------------------
@@ -303,6 +304,17 @@ class RendererInstance:
             ao=ctx.get("ao", ao),
             shadow=ctx.get("shadow", shadow),
         )
+        # aerial perspective: distance scattering over shaded surfaces
+        if atmosphere is not None and "_sky_luts" in ctx:
+            from .sky import aerial_perspective
+
+            t_lut2, ms_lut2 = ctx["_sky_luts"]
+            ap_l, ap_t = aerial_perspective(
+                atmosphere, t_lut2, ms_lut2, gbuffer["world_pos"], gbuffer["hit"],
+                camera.position, -sun_dir, sun_intensity=jnp.asarray(sun_intensity),
+                meters_per_km=50.0,  # game-scale worlds: 50 units ≈ 1 km of air
+            )
+            hdr = jnp.where(gbuffer["hit"][..., None], hdr * ap_t + ap_l, hdr)
         ctx["hdr"] = hdr
         ctx = self._run_cbs(RenderStage.LIGHTING, "after", ctx)
 

@@ -284,3 +284,64 @@ def sky_ambient(lut: Array) -> Array:
     h = lut.shape[0]
     upper = lut[h // 2 :]
     return jnp.mean(upper, axis=(0, 1))
+
+
+@partial(jax.jit, static_argnames=("params", "steps"))
+def aerial_perspective(
+    params: AtmosphereParams,
+    trans_lut: Array,
+    ms_lut: Array,
+    world_pos: Array,   # (H, W, 3) shaded surface positions (meters)
+    hit: Array,         # (H, W)
+    camera_pos: Array,  # (3,) meters
+    sun_dir: Array,     # (3,) direction TOWARD the sun
+    sun_intensity: Array = 10.0,
+    meters_per_km: float = 1000.0,
+    start_km: float = 0.0,
+    steps: int = 8,
+) -> tuple[Array, Array]:
+    """Per-pixel aerial perspective (the reference's 32³ froxel LUT
+    `sky_aerial_perspective`, evaluated directly per pixel): returns
+    (in_scatter (H, W, 3), transmittance (H, W, 3)) to composite as
+    `color * T + L` for pixels beyond `start_km` (Components.hpp:239
+    aerial_perspective_start_km)."""
+    rel = (world_pos - camera_pos[None, None, :]) / meters_per_km  # km
+    dist = jnp.linalg.norm(rel, axis=-1)
+    dirn = rel / jnp.maximum(dist, 1e-6)[..., None]
+    march = jnp.maximum(dist - start_km, 0.0)
+
+    r0 = GROUND_RADIUS_KM + jnp.maximum(camera_pos[1] / meters_per_km, 0.01)
+    mu = dirn[..., 1]
+    cos_theta = jnp.sum(dirn * sun_dir[None, None, :], axis=-1)
+    ph_r = _phase_rayleigh(cos_theta)
+    ph_m = _phase_mie(cos_theta, params.mie_asymmetry)
+
+    dt = march / steps
+    lum = jnp.zeros(world_pos.shape[:2] + (3,))
+    trans_acc = jnp.ones(world_pos.shape[:2] + (3,))
+    for s_ in range(steps):
+        t = (s_ + 0.5) * dt + start_km
+        sr = jnp.sqrt(r0**2 + t**2 + 2.0 * r0 * t * mu)
+        h_km = jnp.clip(sr - GROUND_RADIUS_KM, 0.0, 100.0)
+        dr_, dm_, _ = _densities(params, h_km)
+        scat_r = dr_[..., None] * jnp.asarray(params.rayleigh_scattering) * 1e-3
+        scat_m = dm_[..., None] * jnp.asarray(params.mie_scattering) * 1e-3
+        ext = _extinction(params, h_km) * 1e-3
+        cos_sun = jnp.clip((r0 * sun_dir[1] + t * cos_theta) / jnp.maximum(sr, 1e-3), -1.0, 1.0)
+        t_sun = _sample_transmittance(trans_lut, sr, cos_sun)
+        ms_u = jnp.clip((sr - GROUND_RADIUS_KM) / (ATMOSPHERE_RADIUS_KM - GROUND_RADIUS_KM), 0.0, 1.0)
+        ms_v = cos_sun * 0.5 + 0.5
+        iy = jnp.clip((ms_u * MULTISCATTER_SIZE[0]).astype(jnp.int32), 0, MULTISCATTER_SIZE[0] - 1)
+        ix = jnp.clip((ms_v * MULTISCATTER_SIZE[1]).astype(jnp.int32), 0, MULTISCATTER_SIZE[1] - 1)
+        psi = ms_lut[iy, ix]
+        in_scatter = (
+            scat_r * (ph_r[..., None] * t_sun + psi)
+            + scat_m * (ph_m[..., None] * t_sun + psi)
+        )
+        step_trans = jnp.exp(-ext * dt[..., None])
+        safe_ext = jnp.maximum(ext, 1e-7)
+        lum = lum + trans_acc * in_scatter * (1.0 - step_trans) / safe_ext
+        trans_acc = trans_acc * step_trans
+    lum = lum * sun_intensity
+    hitf = hit[..., None]
+    return jnp.where(hitf, lum, 0.0), jnp.where(hitf, trans_acc, 1.0)
