@@ -633,7 +633,7 @@ def megakernel_substeps(
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,  # big dense pair blocks; default 16M
+            vmem_limit_bytes=127 * 1024 * 1024,  # big dense pair blocks; default 16M
         ),
         interpret=interpret,
     )(scalars, *inputs)
