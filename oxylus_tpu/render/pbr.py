@@ -164,7 +164,12 @@ def apply_pbr(
     # loop only over live lights (traced bound → while_loop; empty slots cost nothing)
     direct = jax.lax.fori_loop(0, lights.count, add_light, jnp.zeros_like(albedo))
 
-    ambient = albedo * ambient_color[None, None, :]
+    if ambient_color.ndim == 2:  # (9, 3) SH coefficients → directional sky irradiance
+        from .sky import eval_sh_ambient
+
+        ambient = albedo * eval_sh_ambient(ambient_color, n)
+    else:
+        ambient = albedo * ambient_color[None, None, :]
     if ao is not None:
         ambient = ambient * ao[..., None]
     hdr = direct + ambient + gbuffer["emissive"]

@@ -245,7 +245,9 @@ class RendererInstance:
             )
             background = sample_sky_view(sky_lut, dirs)
             if ambient_color is None:
-                ambient_color = sky_ambient(sky_lut) * 0.3
+                from .sky import sky_sh_ambient
+
+                ambient_color = sky_sh_ambient(sky_lut) * 0.3  # (9,3) SH IBL
             ctx["sky_view_lut"] = sky_lut
             ctx["_sky_luts"] = (t_lut, ms_lut)
         ctx = self._run_cbs(RenderStage.ATMOSPHERE, "after", ctx)

@@ -345,3 +345,63 @@ def aerial_perspective(
     lum = lum * sun_intensity
     hitf = hit[..., None]
     return jnp.where(hitf, lum, 0.0), jnp.where(hitf, trans_acc, 1.0)
+
+
+def sky_sh_ambient(lut: Array) -> Array:
+    """Project the sky-view LUT onto 2nd-order spherical harmonics → (9, 3) coeffs.
+
+    The reference builds a 32×32 cubemap for IBL (`sky_cubemap`/`sky_ibl`); an SH-2
+    projection of the same radiance field gives the diffuse ambient term without any
+    per-pixel cubemap fetch: `ambient(n) = Σ c_i · Y_i(n)` evaluated in the shader.
+    """
+    h, w = lut.shape[:2]
+    v = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    u = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    lat = (v * 2.0 - 1.0)
+    lat = jnp.sign(lat) * lat * lat * (jnp.pi / 2)   # inverse of the LUT mapping
+    lon = u * 2.0 * jnp.pi - jnp.pi
+    cos_lat = jnp.cos(lat)[:, None]
+    dx = jnp.broadcast_to(cos_lat * jnp.sin(lon)[None, :], (h, w))
+    dy = jnp.broadcast_to(jnp.sin(lat)[:, None], (h, w))
+    dz = jnp.broadcast_to(-cos_lat * jnp.cos(lon)[None, :], (h, w))
+    # solid-angle weight: d(lat)/dv changes with the sqrt warp; cos(lat) band weight
+    dlat_dv = jnp.pi * jnp.abs(v * 2.0 - 1.0) + 1e-3
+    weight = (cos_lat[:, 0] * dlat_dv)[:, None]
+    weight = jnp.broadcast_to(weight, (h, w))
+
+    y = [
+        0.282095 * jnp.ones_like(dx),
+        0.488603 * dy,
+        0.488603 * dz,
+        0.488603 * dx,
+        1.092548 * dx * dy,
+        1.092548 * dy * dz,
+        0.315392 * (3.0 * dz * dz - 1.0),
+        1.092548 * dx * dz,
+        0.546274 * (dx * dx - dy * dy),
+    ]
+    norm = jnp.sum(weight) + 1e-9
+    coeffs = jnp.stack(
+        [jnp.sum(lut * (yi * weight)[..., None], axis=(0, 1)) / norm * (4 * jnp.pi) for yi in y]
+    )  # (9, 3)
+    return coeffs
+
+
+def eval_sh_ambient(coeffs: Array, normals: Array) -> Array:
+    """Evaluate SH-2 irradiance for normals (..., 3) → (..., 3) (Ramamoorthi-Hanrahan
+    convolution weights folded in)."""
+    x, y_, z = normals[..., 0], normals[..., 1], normals[..., 2]
+    a0, a1, a2 = 3.141593, 2.094395, 0.785398
+    basis = [
+        a0 * 0.282095 * jnp.ones_like(x),
+        a1 * 0.488603 * y_,
+        a1 * 0.488603 * z,
+        a1 * 0.488603 * x,
+        a2 * 1.092548 * x * y_,
+        a2 * 1.092548 * y_ * z,
+        a2 * 0.315392 * (3.0 * z * z - 1.0),
+        a2 * 1.092548 * x * z,
+        a2 * 0.546274 * (x * x - y_ * y_),
+    ]
+    out = sum(b[..., None] * coeffs[i] for i, b in enumerate(basis))
+    return jnp.maximum(out / jnp.pi, 0.0)
