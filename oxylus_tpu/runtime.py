@@ -37,6 +37,8 @@ class SceneRunner:
         height: int = 1080,
         physics_params: PhysicsParams | None = None,
         render_mode: str = "none",  # "none" | "2d" | "3d"
+        use_megakernel: bool = False,
+        track_contacts: bool = False,
         meshes: list[BakedMesh] | None = None,
         render_spec: RenderSpec | None = None,
         bindings: SpriteBatchBindings | None = None,
@@ -48,6 +50,12 @@ class SceneRunner:
         self.height = height
         self.physics_params = physics_params or PhysicsParams()
         self.render_mode = render_mode
+        self.use_megakernel = use_megakernel
+        self.contact_tracker = None
+        if track_contacts:
+            from .physics.events import ContactTracker
+
+            self.contact_tracker = ContactTracker()
         self.config: RendererConfig = scene.renderer_config
         self.atmosphere = atmosphere
         self.enable_shadows = enable_shadows
@@ -88,9 +96,39 @@ class SceneRunner:
     def step(self, dt: float = 1.0 / 60.0, render: bool = True):
         """One frame: simulate (+render when enabled). Returns the final image or None."""
         with PROFILER.zone("frame_step"):
-            self.state, self.ps = frame_step(
-                self.state, self.ps, self.physics_params, jnp.float32(dt), self.scene.spec
-            )
+            if self.use_megakernel:
+                # throughput path: physics via the Pallas mega-kernel, then the
+                # non-physics systems of the frame step
+                import dataclasses as _dc
+
+                from .physics.megakernel import megakernel_substeps
+                from .scene import frame as _frame
+
+                h = self.scene.spec.physics_interval
+                acc = self.ps.accumulator + dt
+                nsub = int(min(float(acc) // h, self.scene.spec.max_substeps)) if not hasattr(acc, "aval") else 1
+                self.ps = megakernel_substeps(self.ps, self.physics_params, h, n_substeps=max(nsub, 1))
+                self.ps = _dc.replace(self.ps, accumulator=jnp.asarray(float(acc) - max(nsub, 1) * h, jnp.float32))
+                state = _frame.sync_bodies_to_components(self.state, self.ps)
+                state = _frame.sync_characters_to_components(state, self.ps)
+                state = _frame.physics_interpolate(state, self.ps, jnp.float32(0.0))
+                from .scene.particles import particle_update
+
+                state = particle_update(state, self.scene.spec, jnp.float32(dt))
+                state = _frame.sprite_animation_update(state, jnp.float32(dt))
+                from .scene.state import propagate_transforms
+
+                new_world = propagate_transforms(state, self.scene.spec)
+                self.state = _dc.replace(
+                    state, previous_world=state.world, world=new_world,
+                    time=state.time + dt, frame=state.frame + 1,
+                )
+            else:
+                self.state, self.ps = frame_step(
+                    self.state, self.ps, self.physics_params, jnp.float32(dt), self.scene.spec
+                )
+        if self.contact_tracker is not None:
+            self.contact_tracker.dispatch(self.scene, self.ps, self.physics_params)
         self.frame_index += 1
 
         image = None
