@@ -37,6 +37,7 @@ TEX = 16  # per-sprite texture tile resolution
 
 def _blend_kernel(tile_list_ref, tx_ref, rec_hbm, tex_hbm, color_out, vid_out):
     t = pl.program_id(0)
+    row = t % tile_list_ref.shape[0]  # tile_list is blocked in sublane-aligned row groups
 
     def body(rec_vmem, tex_vmem, sem_r, sem_t):
         tx = tx_ref[0]
@@ -50,16 +51,18 @@ def _blend_kernel(tile_list_ref, tx_ref, rec_hbm, tex_hbm, color_out, vid_out):
 
         def loop(k, carry):
             color, vid = carry  # (PIX, 4), (PIX, 1)
-            sid = tile_list_ref[0, k]
+            sid = tile_list_ref[row, k]
 
             def hit(carry):
                 color, vid = carry
                 dma_r = pltpu.make_async_copy(rec_hbm.at[pl.ds(sid, 1)], rec_vmem, sem_r)
                 dma_r.start()
-                dma_t = pltpu.make_async_copy(tex_hbm.at[sid], tex_vmem, sem_t)
+                # textures are channel-planar (S*8, 256): rows sid*8..+4 = RGBA planes
+                # (padded to 8 rows per sprite — DMA row slices need sublane granularity)
+                dma_t = pltpu.make_async_copy(tex_hbm.at[pl.ds(sid * 8, 8)], tex_vmem, sem_t)
                 dma_t.start()
                 dma_r.wait()
-                rec = rec_vmem[0, :]
+                rec = [rec_vmem[0, i] for i in range(16)]  # scalar reads from SMEM
 
                 rx = px - rec[0]
                 ry = py - rec[1]
@@ -70,22 +73,24 @@ def _blend_kernel(tile_list_ref, tx_ref, rec_hbm, tex_hbm, color_out, vid_out):
                 u = jnp.where(rec[15] > 0.5, 1.0 - lu, lu)
                 v = 1.0 - lv
 
-                # separable bilinear weights over the TEX grid
+                # full bilinear weight matrix over the flattened (v, u) texel grid —
+                # built without reshapes (Mosaic rejects in-kernel shape casts):
+                # col j ↦ (v = j // TEX, u = j % TEX), W[p, j] = tri(fv-v) * tri(fu-u)
                 fu = jnp.clip(u, 0.0, 1.0) * (TEX - 1)
                 fv = jnp.clip(v, 0.0, 1.0) * (TEX - 1)
-                grid = jax.lax.broadcasted_iota(jnp.float32, (PIX, TEX), 1)
-                wu = jnp.maximum(1.0 - jnp.abs(fu[:, None] - grid), 0.0)  # (PIX, TEX)
-                wv = jnp.maximum(1.0 - jnp.abs(fv[:, None] - grid), 0.0)
+                j = jax.lax.broadcasted_iota(jnp.int32, (PIX, TEX * TEX), 1)
+                gv = (j // TEX).astype(jnp.float32)
+                gu = (j % TEX).astype(jnp.float32)
+                wgt = jnp.maximum(1.0 - jnp.abs(fv[:, None] - gv), 0.0) * jnp.maximum(
+                    1.0 - jnp.abs(fu[:, None] - gu), 0.0
+                )  # (PIX, TEX*TEX)
 
                 dma_t.wait()
-                texmat = tex_vmem[:].reshape(TEX, TEX * 4)  # rows = v, cols = u*4
-                p1 = jax.lax.dot_general(
-                    wv, texmat,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
+                texel = jax.lax.dot_general(
+                    wgt, tex_vmem[:],  # (PIX, 256) · (8, 256)ᵀ — cols 0..3 = RGBA
+                    dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )  # (PIX, TEX*4)
-                p1 = p1.reshape(PIX, TEX, 4)
-                texel = jnp.sum(p1 * wu[:, :, None], axis=1)  # (PIX, 4)
+                )  # (PIX, 8)
                 texel = jnp.where(rec[13] > 0.5, texel, 1.0)
 
                 r = texel[:, 0] * rec[7]
@@ -118,8 +123,8 @@ def _blend_kernel(tile_list_ref, tx_ref, rec_hbm, tex_hbm, color_out, vid_out):
 
     pl.run_scoped(
         body,
-        pltpu.VMEM((1, 16), jnp.float32),
-        pltpu.VMEM((TEX, TEX, 4), jnp.float32),
+        pltpu.SMEM((1, 128), jnp.float32),  # record row, lane-padded for DMA alignment
+        pltpu.VMEM((8, TEX * TEX), jnp.float32),  # channel-planar texel planes (4 used)
         pltpu.SemaphoreType.DMA(()),
         pltpu.SemaphoreType.DMA(()),
     )
@@ -138,12 +143,18 @@ def blend_tiles_pallas(
     ty = (height + TILE - 1) // TILE
     n_tiles = tx * ty
     k_cap = tile_list.shape[1]
+    # TPU block rule: sublane dim must be a multiple of 8 (or the full array), so the
+    # tile list is blocked in groups of 8 rows; the kernel picks row `t % 8`.
+    row_group = 8 if n_tiles % 8 == 0 or n_tiles > 8 else n_tiles
+    if tile_list.shape[0] % row_group != 0:
+        pad = row_group - tile_list.shape[0] % row_group
+        tile_list = jnp.pad(tile_list, ((0, pad), (0, 0)), constant_values=-1)
 
     color, vid = pl.pallas_call(
         _blend_kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, k_cap), lambda t: (t, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((row_group, k_cap), lambda t: (t // row_group, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -157,7 +168,11 @@ def blend_tiles_pallas(
             jax.ShapeDtypeStruct((n_tiles * PIX, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(tile_list, jnp.array([tx], jnp.int32), records, textures)
+    )(tile_list, jnp.array([tx], jnp.int32),
+      jnp.pad(records, ((0, 0), (0, 128 - records.shape[1]))),
+      # (S, 16, 16, 4) → channel-planar (S*8, 256): row s*8+c is channel c, j = v*16+u
+      jnp.pad(textures.transpose(0, 3, 1, 2), ((0, 0), (0, 4), (0, 0), (0, 0))
+              ).reshape(textures.shape[0] * 8, TEX * TEX))
 
     def untile(a, ch):
         a = a.reshape(n_tiles, PIX, ch).reshape(ty, tx, TILE, TILE, ch)
