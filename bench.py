@@ -33,18 +33,21 @@ def bench_physics(n_boxes=1022, worlds=64, steps_per_call=60, calls=3, warmup=1,
     dt = 1.0 / 60.0
 
     if mega:
-        # whole-substep Pallas mega-kernel: one launch per `steps_per_call` substeps
-        from oxylus_tpu.physics.megakernel import megakernel_substeps
+        # whole-substep Pallas mega-kernel: one launch per `steps_per_call` substeps.
+        # banded (default): Morton-sorted rank bands + analytic hub planes +
+        # geometry hoisting (megakernel_banded.py) — ~6x the dense kernel.
+        if os.environ.get("OX_BENCH_BANDED", "1") == "1":
+            from oxylus_tpu.physics.megakernel_banded import (
+                megakernel_substeps_banded as mega_fn,
+            )
+        else:
+            from oxylus_tpu.physics.megakernel import megakernel_substeps as mega_fn
 
-        run = jax.jit(
-            lambda p: megakernel_substeps(p, params, dt, n_substeps=steps_per_call)
-        )
+        run = jax.jit(lambda p: mega_fn(p, params, dt, n_substeps=steps_per_call))
         if worlds > 1:
             ps = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (worlds,) + x.shape), ps)
             run = jax.jit(
-                jax.vmap(
-                    lambda p: megakernel_substeps(p, params, dt, n_substeps=steps_per_call)
-                )
+                jax.vmap(lambda p: mega_fn(p, params, dt, n_substeps=steps_per_call))
             )
     else:
         if worlds > 1:
