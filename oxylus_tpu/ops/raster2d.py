@@ -93,7 +93,74 @@ def rasterize_sprites(
     # --- sort ---------------------------------------------------------------
     y_world = world[:, 1, 3]
     order = sprite_sort_order(depth, y_world, sort_y, layer, on_screen)
-    # gather everything into sorted order
+
+    # --- fast path: Pallas tile kernel (TPU) ---------------------------------
+    platform = jax.devices()[0].platform
+    if use_pallas is None:
+        use_pallas = platform in ("tpu", "axon")
+    if use_pallas:
+        from .raster2d_pallas import MAX_VISIBLE, blend_tiles_pallas, resample_texture_tiles
+
+        # Gathers are the expensive primitive on this target (PERF_NOTES.md):
+        # everything needed post-sort is packed into ONE matrix so sorting costs a
+        # single row gather instead of ~25 per-field gathers.
+        m = materials  # fields are (S,) — pre-resolved per sprite by the caller
+        p00x, p00y = sx[:, 0], sy[:, 0]
+        e0x, e0y = sx[:, 1] - sx[:, 0], sy[:, 1] - sy[:, 0]
+        e1x, e1y = sx[:, 2] - sx[:, 0], sy[:, 2] - sy[:, 0]
+        det = e0x * e1y - e0y * e1x
+        inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+        packed = jnp.stack(
+            [
+                p00x, p00y, e0x, e0y, e1x, e1y, inv_det,
+                m.albedo_color[:, 0], m.albedo_color[:, 1],
+                m.albedo_color[:, 2], m.albedo_color[:, 3],
+                m.alpha_cutoff,
+                ((m.flags & (1 << 8)) != 0).astype(jnp.float32),
+                ((m.flags & 1) != 0).astype(jnp.float32),
+                entity_id.astype(jnp.float32),
+                flip_x.astype(jnp.float32),
+                # binning columns
+                xmin, xmax, ymin, ymax, on_screen.astype(jnp.float32),
+                # texture-window columns (for resampling the visible prefix)
+                m.uv_size[:, 0], m.uv_size[:, 1],
+                m.uv_offset[:, 0], m.uv_offset[:, 1],
+                m.albedo_rect[:, 0], m.albedo_rect[:, 1],
+                m.albedo_rect[:, 2], m.albedo_rect[:, 3],
+            ],
+            axis=-1,
+        )  # (S, 29)
+        ps = packed[order]  # the one gather
+        records = ps[:, :16]
+
+        # --- binning (T, S) → (T, K), scatter-free --------------------------
+        tile_x0 = jax.lax.broadcasted_iota(jnp.int32, (ty, tx), 1) * TILE
+        tile_y0 = jax.lax.broadcasted_iota(jnp.int32, (ty, tx), 0) * TILE
+        tile_x0 = tile_x0.reshape(n_tiles, 1).astype(jnp.float32)
+        tile_y0 = tile_y0.reshape(n_tiles, 1).astype(jnp.float32)
+        overlap = (
+            (ps[None, :, 17] >= tile_x0)
+            & (ps[None, :, 16] < tile_x0 + TILE)
+            & (ps[None, :, 19] >= tile_y0)
+            & (ps[None, :, 18] < tile_y0 + TILE)
+            & (ps[None, :, 20] > 0.5)
+        )  # (T, S)
+        # cum[t, s] = #overlaps among sorted sprites 0..s: the k-th list entry is
+        # where cum first reaches k+1 — a batched binary search (scatters serialize)
+        cum = jnp.cumsum(overlap.astype(jnp.int32), axis=1)
+        ranks = jnp.arange(1, k_per_tile + 1, dtype=jnp.int32)
+        tile_list = jax.vmap(lambda row: jnp.searchsorted(row, ranks, side="left"))(cum)
+        tile_list = jnp.where(cum[:, -1:] >= ranks[None, :], tile_list, -1)  # (T, K)
+        if s > MAX_VISIBLE:
+            # texture tiles exist only for the first MAX_VISIBLE sorted sprites;
+            # per-tile lists are ascending, so this masks a suffix (prefix stays valid)
+            tile_list = jnp.where(tile_list < MAX_VISIBLE, tile_list, -1)
+
+        tiles = resample_texture_tiles(ps[:MAX_VISIBLE], atlas)
+        color, vis = blend_tiles_pallas(records, tiles, tile_list, width, height)
+        return color, vis
+
+    # gather everything into sorted order (XLA reference path)
     g = lambda a: a[order]
     world_s, mat_s, ent_s, flip_s = g(world), g(material_idx), g(entity_id), g(flip_x)
     xmin_s, xmax_s, ymin_s, ymax_s = g(xmin), g(xmax), g(ymin), g(ymax)
@@ -111,54 +178,10 @@ def rasterize_sprites(
         & (ymin_s[None, :] < tile_y0 + TILE)
         & ok_s[None, :]
     )  # (T, S)
-    slot = jnp.cumsum(overlap.astype(jnp.int32), axis=1) - 1  # position within tile list
-    keep = overlap & (slot < k_per_tile)
-    target = jnp.where(keep, slot, k_per_tile)  # out of range → dropped (unique scatter)
-    src = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, s), 1)
-    tile_list = jnp.full((n_tiles, k_per_tile), -1, jnp.int32)
-    tile_list = jax.vmap(
-        lambda tl, tg, sr: tl.at[tg].set(sr, mode="drop", unique_indices=True)
-    )(tile_list, target, src)  # (T, K) sorted-sprite indices or -1
-
-    # --- fast path: Pallas tile kernel (TPU) ---------------------------------
-    platform = jax.devices()[0].platform
-    if use_pallas is None:
-        use_pallas = platform in ("tpu", "axon")
-    if use_pallas:
-        from .raster2d_pallas import blend_tiles_pallas, build_sprite_texture_tiles
-        import dataclasses as _dc
-
-        # per-sorted-sprite material view (mat_s already maps sorted slot → material)
-        mats_sorted = _dc.replace(
-            materials,
-            **{f.name: getattr(materials, f.name)[mat_s] for f in _dc.fields(materials)},
-        )
-        p00 = jnp.stack([sx[:, 0], sy[:, 0]], axis=-1)[order]
-        e0v = jnp.stack([sx[:, 1] - sx[:, 0], sy[:, 1] - sy[:, 0]], axis=-1)[order]
-        e1v = jnp.stack([sx[:, 2] - sx[:, 0], sy[:, 2] - sy[:, 0]], axis=-1)[order]
-        det_s = e0v[:, 0] * e1v[:, 1] - e0v[:, 1] * e1v[:, 0]
-        inv_det_s = jnp.where(jnp.abs(det_s) > 1e-9, 1.0 / det_s, 0.0)
-        records = jnp.stack(
-            [
-                p00[:, 0], p00[:, 1],
-                e0v[:, 0], e0v[:, 1],
-                e1v[:, 0], e1v[:, 1],
-                inv_det_s,
-                mats_sorted.albedo_color[:, 0],
-                mats_sorted.albedo_color[:, 1],
-                mats_sorted.albedo_color[:, 2],
-                mats_sorted.albedo_color[:, 3],
-                mats_sorted.alpha_cutoff,
-                ((mats_sorted.flags & (1 << 8)) != 0).astype(jnp.float32),
-                ((mats_sorted.flags & 1) != 0).astype(jnp.float32),
-                ent_s.astype(jnp.float32),
-                flip_s.astype(jnp.float32),
-            ],
-            axis=-1,
-        )  # (S, 16)
-        tiles = build_sprite_texture_tiles(mats_sorted, atlas)
-        color, vis = blend_tiles_pallas(records, tiles, tile_list, width, height)
-        return color, vis
+    cum = jnp.cumsum(overlap.astype(jnp.int32), axis=1)  # (T, S)
+    ranks = jnp.arange(1, k_per_tile + 1, dtype=jnp.int32)  # (K,)
+    tile_list = jax.vmap(lambda row: jnp.searchsorted(row, ranks, side="left"))(cum)
+    tile_list = jnp.where(cum[:, -1:] >= ranks[None, :], tile_list, -1)  # (T, K)
 
     # --- per-tile ordered composite (XLA reference path) ---------------------
     # pixel coordinates per tile (T, TILE, TILE)

@@ -4,19 +4,21 @@ The XLA scan formulation (ops/raster2d.py) re-reads the whole tile framebuffer f
 every blend step; this kernel keeps each 32×32 tile's color state in VMEM across its
 sprite list — the ROP-loop-in-registers design, one kernel launch per frame.
 
-Texture sampling without gathers: each sprite's texture window is pre-resampled into a
-16×16 RGBA tile (one XLA gather per frame for all sprites). In-kernel, bilinear
-filtering is expressed as TWO separable weighted contractions — a (PIX, 16) v-weight
-matrix times the (16, 16·4) tile on the MXU, then a u-weight contraction on the VPU —
-bilinear sampling as matmul, no dynamic indexing at all.
+Performance anatomy (measured on the target chip, see PERF_NOTES.md):
+- per-(tile, slot) DMAs serialize at ~15 µs each → all sprite data (records,
+  pre-tinted texel planes) is staged resident in VMEM for the whole launch;
+- `lax.cond` costs ~1.5 µs per evaluation in a Mosaic loop → the slot loop has NO
+  cond: each tile runs a dynamic-trip-count `fori_loop` over exactly its occupancy
+  (tile lists are valid-prefix by construction);
+- the kernel is lanes-=-pixels oriented: every per-pixel quantity is a (1, PIX) or
+  (K, PIX) row, so slicing slot `k` is a dynamic *sublane* ref slice (supported)
+  rather than a lane slice of a value (rejected by Mosaic layout inference).
 
-Sprite records are packed (S, 16) f32 rows DMA'd per (tile, slot):
-  [0] p00x [1] p00y   screen-space quad origin
-  [2] e0x  [3] e0y    screen edge vector (local +x)
-  [4] e1x  [5] e1y    screen edge vector (local +y)
-  [6] inv_det
-  [7..10] tint rgba
-  [11] alpha cutoff  [12] is_mask  [13] has_texture  [14] entity_id  [15] flip_x
+Texture sampling without gathers: each sprite's texture window is pre-resampled into
+16×16 RGBA texel planes (one XLA gather per frame), pre-multiplied by the sprite
+tint. In-kernel, bilinear filtering is one transposed weight matrix
+(256, PIX) = tri(fv-v)⊗tri(fu-u) against the sprite's (8, 256) channel planes on
+the MXU — no reshapes (Mosaic rejects in-kernel shape casts).
 """
 
 from __future__ import annotations
@@ -33,108 +35,121 @@ Array = jax.Array
 TILE = 32
 PIX = TILE * TILE
 TEX = 16  # per-sprite texture tile resolution
+ROWG = 8  # sublane row-group for per-tile blocked inputs
 
 
-def _blend_kernel(tile_list_ref, tx_ref, rec_hbm, tex_hbm, color_out, vid_out):
+def _blend_kernel(
+    tl_ref,      # (ROWG, K) i32 SMEM — per-tile sorted sprite slots (valid prefix)
+    cnt_ref,     # (ROWG, 1) i32 SMEM — per-tile occupancy
+    tx_ref,      # (1,) i32 SMEM
+    fld_ref,     # (ROWG, 10*K) f32 VMEM — field-major per-tile record columns
+    tex_ref,     # (S*8, 256) f32 VMEM — channel-planar, pre-tinted texel planes
+    color_out,   # (PIX, 4) block
+    vid_out,     # (PIX, 1) block
+    fu_s, fv_s, ins_s, cut_s, eid_s,  # (K, PIX) f32 VMEM scratch
+):
     t = pl.program_id(0)
-    row = t % tile_list_ref.shape[0]  # tile_list is blocked in sublane-aligned row groups
+    row = t % ROWG
+    tx = tx_ref[0]
+    x0 = ((t % tx) * TILE).astype(jnp.float32)
+    y0 = ((t // tx) * TILE).astype(jnp.float32)
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    px = x0 + (lin % TILE).astype(jnp.float32) + 0.5  # (1, PIX)
+    py = y0 + (lin // TILE).astype(jnp.float32) + 0.5
 
-    def body(rec_vmem, tex_vmem, sem_r, sem_t):
-        tx = tx_ref[0]
-        x0 = ((t % tx) * TILE).astype(jnp.float32)
-        y0 = ((t // tx) * TILE).astype(jnp.float32)
-        lin = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)[:, 0]
-        px = x0 + (lin % TILE).astype(jnp.float32) + 0.5
-        py = y0 + (lin // TILE).astype(jnp.float32) + 0.5
+    k = tl_ref.shape[1]
 
-        k_cap = tile_list_ref.shape[1]
+    stripe = fld_ref.shape[1] // 10  # 128-aligned per-field lane stripe
 
-        def loop(k, carry):
-            color, vid = carry  # (PIX, 4), (PIX, 1)
-            sid = tile_list_ref[row, k]
+    # full-width dynamic row load (dynamic sublane + partial lane slice is
+    # unsupported), then 128-aligned lane slices of the VALUE per field
+    fld_row = fld_ref[pl.ds(row, 1), :]  # (1, 10*stripe)
 
-            def hit(carry):
-                color, vid = carry
-                dma_r = pltpu.make_async_copy(rec_hbm.at[pl.ds(sid, 1)], rec_vmem, sem_r)
-                dma_r.start()
-                # textures are channel-planar (S*8, 256): rows sid*8..+4 = RGBA planes
-                # (padded to 8 rows per sprite — DMA row slices need sublane granularity)
-                dma_t = pltpu.make_async_copy(tex_hbm.at[pl.ds(sid * 8, 8)], tex_vmem, sem_t)
-                dma_t.start()
-                dma_r.wait()
-                rec = [rec_vmem[0, i] for i in range(16)]  # scalar reads from SMEM
+    def ldT(f):
+        """Field f of this tile's row as a (stripe, 1) column. Rows beyond the
+        K-th are padding and are never reached by the occupancy loop."""
+        return jnp.swapaxes(fld_row[0:1, f * stripe : (f + 1) * stripe], 0, 1)
 
-                rx = px - rec[0]
-                ry = py - rec[1]
-                lu = (rx * rec[5] - ry * rec[4]) * rec[6]
-                lv = (ry * rec[2] - rx * rec[3]) * rec[6]
-                inside = (lu >= 0.0) & (lu <= 1.0) & (lv >= 0.0) & (lv <= 1.0)
+    # ---- vectorized per-tile setup: all K slots at once, (K, PIX) ----------
+    # field order: p00x p00y e0x e0y e1x e1y idet cut_eff eid flip
+    rx = px - ldT(0)  # (K, PIX)
+    ry = py - ldT(1)
+    c_e0x = ldT(2); c_e0y = ldT(3)
+    c_e1x = ldT(4); c_e1y = ldT(5)
+    c_idet = ldT(6)
+    lu = (rx * c_e1y - ry * c_e1x) * c_idet
+    lv = (ry * c_e0x - rx * c_e0y) * c_idet
+    inside = (lu >= 0.0) & (lu <= 1.0) & (lv >= 0.0) & (lv <= 1.0)
+    u = jnp.where(ldT(9) > 0.5, 1.0 - lu, lu)
+    v = 1.0 - lv
+    zero = rx * 0.0
+    fu_s[:, :] = jnp.clip(u, 0.0, 1.0) * (TEX - 1)
+    fv_s[:, :] = jnp.clip(v, 0.0, 1.0) * (TEX - 1)
+    ins_s[:, :] = inside.astype(jnp.float32)
+    cut_s[:, :] = ldT(7) + zero   # alpha cutoff, -1 when masking disabled
+    eid_s[:, :] = ldT(8) + zero
 
-                u = jnp.where(rec[15] > 0.5, 1.0 - lu, lu)
-                v = 1.0 - lv
+    # loop-invariant bilinear grid and channel selectors
+    jj = jax.lax.broadcasted_iota(jnp.int32, (TEX * TEX, PIX), 0)
+    gv = (jj // TEX).astype(jnp.float32)
+    gu = (jj % TEX).astype(jnp.float32)
+    sel = [
+        (jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == c).astype(jnp.float32)
+        for c in range(4)
+    ]
 
-                # full bilinear weight matrix over the flattened (v, u) texel grid —
-                # built without reshapes (Mosaic rejects in-kernel shape casts):
-                # col j ↦ (v = j // TEX, u = j % TEX), W[p, j] = tri(fv-v) * tri(fu-u)
-                fu = jnp.clip(u, 0.0, 1.0) * (TEX - 1)
-                fv = jnp.clip(v, 0.0, 1.0) * (TEX - 1)
-                j = jax.lax.broadcasted_iota(jnp.int32, (PIX, TEX * TEX), 1)
-                gv = (j // TEX).astype(jnp.float32)
-                gu = (j % TEX).astype(jnp.float32)
-                wgt = jnp.maximum(1.0 - jnp.abs(fv[:, None] - gv), 0.0) * jnp.maximum(
-                    1.0 - jnp.abs(fu[:, None] - gu), 0.0
-                )  # (PIX, TEX*TEX)
+    n = cnt_ref[row, 0]
 
-                dma_t.wait()
-                texel = jax.lax.dot_general(
-                    wgt, tex_vmem[:],  # (PIX, 256) · (8, 256)ᵀ — cols 0..3 = RGBA
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (PIX, 8)
-                texel = jnp.where(rec[13] > 0.5, texel, 1.0)
+    def body(kk, carry):
+        cr, cg, cb, ca, vid = carry  # (1, PIX) each
+        sid = tl_ref[row, kk]
+        fu = fu_s[pl.ds(kk, 1), :]   # (1, PIX) — dynamic sublane ref slice
+        fv = fv_s[pl.ds(kk, 1), :]
+        wgt = jnp.maximum(1.0 - jnp.abs(fv - gv), 0.0) * jnp.maximum(
+            1.0 - jnp.abs(fu - gu), 0.0
+        )  # (256, PIX)
+        texel = jax.lax.dot_general(
+            tex_ref[pl.ds(sid * 8, 8), :], wgt,  # (8, 256) · (256, PIX)
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (8, PIX) — rows 0..3 = tinted RGBA
+        # channel extraction via one-hot reductions (layout-safe row pulls)
+        tr = jnp.sum(texel * sel[0], axis=0, keepdims=True)
+        tg = jnp.sum(texel * sel[1], axis=0, keepdims=True)
+        tb = jnp.sum(texel * sel[2], axis=0, keepdims=True)
+        ta = jnp.sum(texel * sel[3], axis=0, keepdims=True)
 
-                r = texel[:, 0] * rec[7]
-                g = texel[:, 1] * rec[8]
-                bl = texel[:, 2] * rec[9]
-                a = texel[:, 3] * rec[10]
-                a = jnp.where((rec[12] > 0.5) & (a < rec[11]), 0.0, a)
-                a = jnp.where(inside, a, 0.0)
+        ins = ins_s[pl.ds(kk, 1), :]
+        cut = cut_s[pl.ds(kk, 1), :]
+        a = ta * ins
+        a = jnp.where(a < cut, 0.0, a)
 
-                one_m = 1.0 - a
-                new_color = jnp.stack(
-                    [
-                        color[:, 0] * one_m + r * a,
-                        color[:, 1] * one_m + g * a,
-                        color[:, 2] * one_m + bl * a,
-                        color[:, 3] * one_m + a,
-                    ],
-                    axis=-1,
-                )
-                new_vid = jnp.where((a > 0.5)[:, None], rec[14].astype(jnp.int32), vid)
-                return new_color, new_vid
+        one_m = 1.0 - a
+        new = (
+            cr * one_m + tr * a,
+            cg * one_m + tg * a,
+            cb * one_m + tb * a,
+            ca * one_m + a,
+            jnp.where(a > 0.5, eid_s[pl.ds(kk, 1), :], vid),
+        )
+        return new
 
-            return jax.lax.cond(sid >= 0, hit, lambda c: c, (color, vid))
-
-        color0 = jnp.zeros((PIX, 4), jnp.float32)
-        vid0 = jnp.full((PIX, 1), -1, jnp.int32)
-        color, vid = jax.lax.fori_loop(0, k_cap, loop, (color0, vid0))
-        color_out[:, :] = color  # (PIX, 4) — no cross-tile relayout
-        vid_out[:, :] = vid
-
-    pl.run_scoped(
-        body,
-        pltpu.SMEM((1, 128), jnp.float32),  # record row, lane-padded for DMA alignment
-        pltpu.VMEM((8, TEX * TEX), jnp.float32),  # channel-planar texel planes (4 used)
-        pltpu.SemaphoreType.DMA(()),
-        pltpu.SemaphoreType.DMA(()),
+    cr0 = jnp.zeros((1, PIX), jnp.float32)
+    vid0 = jnp.full((1, PIX), -1.0, jnp.float32)
+    cr, cg, cb, ca, vid = jax.lax.fori_loop(
+        0, n, body, (cr0, cr0, cr0, cr0, vid0)
     )
+
+    tp = lambda a: jnp.swapaxes(a, 0, 1)  # (1, PIX) → (PIX, 1)
+    color_out[:, :] = jnp.concatenate([tp(cr), tp(cg), tp(cb), tp(ca)], axis=1)
+    vid_out[:, :] = tp(vid).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "interpret"))
 def blend_tiles_pallas(
     records: Array,     # (S, 16) f32 sorted sprite records
     textures: Array,    # (S, TEX, TEX, 4) f32 per-sprite texture tiles
-    tile_list: Array,   # (T, K) sorted sprite slots or -1
+    tile_list: Array,   # (T, K) sorted sprite slots, valid prefix then -1
     width: int,
     height: int,
     interpret: bool = False,
@@ -143,21 +158,58 @@ def blend_tiles_pallas(
     ty = (height + TILE - 1) // TILE
     n_tiles = tx * ty
     k_cap = tile_list.shape[1]
-    # TPU block rule: sublane dim must be a multiple of 8 (or the full array), so the
-    # tile list is blocked in groups of 8 rows; the kernel picks row `t % 8`.
-    row_group = 8 if n_tiles % 8 == 0 or n_tiles > 8 else n_tiles
-    if tile_list.shape[0] % row_group != 0:
-        pad = row_group - tile_list.shape[0] % row_group
-        tile_list = jnp.pad(tile_list, ((0, pad), (0, 0)), constant_values=-1)
+    s = records.shape[0]
+
+    cnt = jnp.sum((tile_list >= 0).astype(jnp.int32), axis=1, keepdims=True)  # (T, 1)
+    tl_c = jnp.maximum(tile_list, 0)
+
+    # per-tile record fields in ONE row gather (gathers are the costly primitive on
+    # this target): build the 10-column field matrix [p00x p00y e0x e0y e1x e1y
+    # idet cut_eff eid flip], gather (T, K) rows, lay out field-major (T, C*K) so
+    # the kernel slices each field as a static lane range.
+    cut_eff = jnp.where(records[:, 12] > 0.5, records[:, 11], -1.0)
+    fmat = jnp.concatenate(
+        [records[:, 0:7], cut_eff[:, None], records[:, 14:16]], axis=1
+    )  # (S, 10)
+    n_fld = fmat.shape[1]
+    ftile = fmat[tl_c]  # (T, K, C) — the one gather
+    # field-major with each field stripe padded to 128 lanes (in-kernel lane slices
+    # must start at 128-aligned offsets)
+    stripe = ((k_cap + 127) // 128) * 128
+    ftile = jnp.pad(ftile.transpose(0, 2, 1), ((0, 0), (0, 0), (0, stripe - k_cap)))
+    ftile = ftile.reshape(tile_list.shape[0], n_fld * stripe)
+
+    # pre-tint texel planes: (V,16,16,4) → where(has_tex, tiles, 1) * tint,
+    # channel-planar (V*8, 256) with rows s*8+c = channel c, cols j = v*16+u.
+    # textures may cover only the visible prefix (V <= S); tile lists are masked
+    # to that prefix by the caller.
+    v_cap = textures.shape[0]
+    tint = records[:v_cap, 7:11]  # (V, 4)
+    has_tex = records[:v_cap, 13] > 0.5
+    tinted = jnp.where(has_tex[:, None, None, None], textures, 1.0) * tint[:, None, None, :]
+    tex_planes = jnp.pad(
+        tinted.transpose(0, 3, 1, 2), ((0, 0), (0, 4), (0, 0), (0, 0))
+    ).reshape(v_cap * 8, TEX * TEX)
+
+    def pad_rows(a, fill):
+        if a.shape[0] % ROWG != 0:
+            pad = ROWG - a.shape[0] % ROWG
+            a = jnp.pad(a, ((0, pad), (0, 0)), constant_values=fill)
+        return a
+
+    tl_p = pad_rows(tile_list, -1)
+    cnt_p = pad_rows(cnt, 0)
+    ftile = pad_rows(ftile, 0.0)
 
     color, vid = pl.pallas_call(
         _blend_kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((row_group, k_cap), lambda t: (t // row_group, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ROWG, k_cap), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ROWG, 1), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((ROWG, n_fld * stripe), lambda t: (t // ROWG, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((PIX, 4), lambda t: (t, 0)),
@@ -167,12 +219,12 @@ def blend_tiles_pallas(
             jax.ShapeDtypeStruct((n_tiles * PIX, 4), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles * PIX, 1), jnp.int32),
         ],
+        scratch_shapes=[pltpu.VMEM((stripe, PIX), jnp.float32)] * 5,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(tile_list, jnp.array([tx], jnp.int32),
-      jnp.pad(records, ((0, 0), (0, 128 - records.shape[1]))),
-      # (S, 16, 16, 4) → channel-planar (S*8, 256): row s*8+c is channel c, j = v*16+u
-      jnp.pad(textures.transpose(0, 3, 1, 2), ((0, 0), (0, 4), (0, 0), (0, 0))
-              ).reshape(textures.shape[0] * 8, TEX * TEX))
+    )(tl_p, cnt_p, jnp.array([tx], jnp.int32), ftile, tex_planes)
 
     def untile(a, ch):
         a = a.reshape(n_tiles, PIX, ch).reshape(ty, tx, TILE, TILE, ch)
@@ -183,9 +235,34 @@ def blend_tiles_pallas(
     return color, vid
 
 
+MAX_VISIBLE = 1024  # sprites whose texture windows are resampled per frame
+
+
+def resample_texture_tiles(packed_prefix: Array, atlas: Array) -> Array:
+    """Texture tiles from the packed sorted-record matrix (ops/raster2d.py layout:
+    cols 21:23 uv_size, 23:25 uv_offset, 25:29 albedo_rect). Capped to the visible
+    prefix so the atlas gather — the most expensive XLA op on this target — stays
+    bounded regardless of entity capacity."""
+    s = packed_prefix.shape[0]
+    a = atlas.shape[0]
+    uv_size = packed_prefix[:, 21:23]
+    uv_offset = packed_prefix[:, 23:25]
+    rect = packed_prefix[:, 25:29]
+    us = (jnp.arange(TEX, dtype=jnp.float32)) / (TEX - 1)
+    uu = uv_offset[:, None, None, 0] + us[None, None, :] * uv_size[:, None, None, 0]
+    vv = uv_offset[:, None, None, 1] + us[None, :, None] * uv_size[:, None, None, 1]
+    uu = jnp.mod(uu, 1.0)
+    vv = jnp.mod(vv, 1.0)
+    ax = (rect[:, None, None, 0] + uu * (rect[:, None, None, 2] - rect[:, None, None, 0])) * a
+    ay = (rect[:, None, None, 1] + vv * (rect[:, None, None, 3] - rect[:, None, None, 1])) * a
+    ix = jnp.clip(ax.astype(jnp.int32), 0, a - 1)
+    iy = jnp.clip(ay.astype(jnp.int32), 0, a - 1)
+    return atlas[iy, ix].astype(jnp.float32) / 255.0  # (S, TEX, TEX, 4)
+
+
 def build_sprite_texture_tiles(materials, atlas: Array) -> Array:
     """Pre-resample each sprite's texture window into a (S, TEX, TEX, 4) array —
-    ONE gather over the atlas per frame for every sprite (per-sprite `materials`
+    ONE gather over the atlas per frame for all sprites (per-sprite `materials`
     views, so animated UV windows are already folded into uv_size/uv_offset)."""
     s = materials.flags.shape[0]
     a = atlas.shape[0]

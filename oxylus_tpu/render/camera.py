@@ -83,8 +83,11 @@ def camera_matrices(
     )
 
 
-def camera_from_state(state, entity_index: int | Array, aspect: Array) -> CameraMatrices:
-    """Build matrices for the camera component on `entity_index` of a SceneState."""
+@partial(jax.jit, static_argnames=("entity_index",))
+def camera_from_state(state, entity_index: int, aspect: Array) -> CameraMatrices:
+    """Build matrices for the camera component on `entity_index` of a SceneState.
+    Jitted (static entity index) — eager per-op dispatch over the accelerator
+    tunnel costs ~1 ms/op, so even camera setup must be one compiled call."""
     cam = state.comp["CameraComponent"]
     t = state.comp["TransformComponent"]
     i = entity_index

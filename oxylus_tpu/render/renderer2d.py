@@ -10,6 +10,7 @@ mutates material uv_offset on the CPU each frame — here it's a pure function).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +24,11 @@ from .camera import CameraMatrices
 Array = jax.Array
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["materials", "atlas", "entity_material_idx"],
+    meta_fields=[],
+)
 @dataclasses.dataclass
 class SpriteBatchBindings:
     """Host-built, device-resident bindings for the 2D path: the material table,
@@ -47,14 +53,21 @@ def sprite_animation_uv(state, entity_idx: Array) -> tuple[Array, Array]:
     plays backwards. Returns (uv_size (S,2), uv_offset (S,2)) multipliers applied on
     top of the material's own uv transform; identity when no animation."""
     sa = state.comp["SpriteAnimationComponent"]
-    has = state.mask["SpriteAnimationComponent"][entity_idx]
-    num = jnp.maximum(sa["num_frames"][entity_idx], 1)
-    fps = sa["fps"][entity_idx].astype(jnp.float32)
-    cols = jnp.maximum(sa["columns"][entity_idx], 1)
-    t = sa["current_time"][entity_idx]
+    ident = (
+        isinstance(entity_idx, jax.Array)
+        and entity_idx.shape[0] == state.alive.shape[0]
+    )
+    # callers pass arange(n): skip the per-field gathers (gathers are the costly
+    # primitive on this target — PERF_NOTES.md)
+    ix = (lambda a: a) if ident else (lambda a: a[entity_idx])
+    has = ix(state.mask["SpriteAnimationComponent"])
+    num = jnp.maximum(ix(sa["num_frames"]), 1)
+    fps = ix(sa["fps"]).astype(jnp.float32)
+    cols = jnp.maximum(ix(sa["columns"]), 1)
+    t = ix(sa["current_time"])
     frame = jnp.floor(t * fps).astype(jnp.int32)
     frame = jnp.clip(frame, 0, num - 1)
-    frame = jnp.where(sa["inverted"][entity_idx], num - 1 - frame, frame)
+    frame = jnp.where(ix(sa["inverted"]), num - 1 - frame, frame)
     rows = (num + cols - 1) // cols
     fx = (frame % cols).astype(jnp.float32)
     fy = (frame // cols).astype(jnp.float32)
@@ -136,7 +149,38 @@ def particle_render_data(state, camera: CameraMatrices | None = None):
     pool = state.particles
     psys = state.comp["ParticleSystemComponent"]
     em = jnp.maximum(pool.emitter, 0)
-    g = lambda k: psys[k][em]
+
+    # gathers dominate on this target (PERF_NOTES.md): concat all needed emitter
+    # fields into ONE (N, F) matrix, gather rows once, then slice columns (fused)
+    _fields = [
+        ("start_color", 4), ("color_over_lifetime_enabled", 1),
+        ("color_over_lifetime_start", 4), ("color_over_lifetime_end", 4),
+        ("color_by_speed_min_speed", 1), ("color_by_speed_max_speed", 1),
+        ("color_by_speed_enabled", 1), ("color_by_speed_start", 4),
+        ("color_by_speed_end", 4), ("start_size", 4),
+        ("size_over_lifetime_enabled", 1), ("size_over_lifetime_start", 3),
+        ("size_over_lifetime_end", 3), ("size_by_speed_enabled", 1),
+        ("size_by_speed_start", 3), ("size_by_speed_end", 3),
+        ("rotation_over_lifetime_start", 4), ("rotation_over_lifetime_end", 4),
+        ("rotation_over_lifetime_enabled", 1), ("start_rotation", 4),
+    ]
+    cols = []
+    for name, width_ in _fields:
+        v = psys[name]
+        cols.append(v.astype(jnp.float32)[:, None] if v.ndim == 1 else v[:, :width_].astype(jnp.float32))
+    packed = jnp.concatenate(cols, axis=1)[em]  # (P, F) — the one gather
+    _off = {}
+    o = 0
+    for name, width_ in _fields:
+        _off[name] = (o, o + width_)
+        o += width_
+
+    def g(k):
+        lo, hi = _off[k]
+        out = packed[:, lo:hi]
+        if hi - lo == 1:
+            return out[:, 0] > 0.5 if k.endswith("enabled") else out[:, 0]
+        return out
 
     frac = jnp.clip(pool.age / jnp.maximum(pool.lifetime, 1e-6), 0.0, 1.0)[:, None]
     speed = jnp.linalg.norm(pool.vel, axis=-1, keepdims=True)
@@ -187,6 +231,7 @@ def particle_render_data(state, camera: CameraMatrices | None = None):
     return world, color, pool.alive, em
 
 
+@partial(jax.jit, static_argnames=("width", "height", "k_per_tile", "billboard"))
 def render_2d_with_particles(
     state,
     camera: CameraMatrices,
@@ -223,24 +268,50 @@ def render_2d_with_particles(
     valid = cat(sprite_mask, p_valid)
     entity_id = cat(entity_idx, p_emitter)
 
+    # per-op (especially gather) cost dominates on this target: pack the material
+    # table into one matrix, gather the per-entity rows once, and expose the
+    # combined sprite+particle table as column slices (fused) of a single array.
+    mat_packed = jnp.concatenate(
+        [
+            mats.albedo_color,                      # 0:4
+            mats.alpha_cutoff[:, None],             # 4
+            mats.flags.astype(jnp.float32)[:, None],  # 5 (bits < 2^24, f32-exact)
+            mats.uv_size,                           # 6:8
+            mats.uv_offset,                         # 8:10
+            mats.albedo_rect,                       # 10:14
+        ],
+        axis=1,
+    )
+    spr = mat_packed[mat_idx]  # (n, 14) — the one gather
+    spr_adj = jnp.concatenate(
+        [
+            spr[:, 0:6],
+            spr[:, 6:8] * anim_size,
+            spr[:, 8:10] + anim_off * spr[:, 6:8],
+            spr[:, 10:14],
+        ],
+        axis=1,
+    )
+    part = jnp.concatenate(
+        [
+            p_color,                                   # tint
+            jnp.zeros((m, 1)),                         # cutoff
+            jnp.full((m, 1), float(1 << 9)),           # flags: alpha blend, no texture
+            jnp.ones((m, 2)), jnp.zeros((m, 2)),       # uv window
+            jnp.zeros((m, 4)),                         # rect
+        ],
+        axis=1,
+    )
+    allm = cat(spr_adj, part)  # (n+m, 14)
     combined = dataclasses.replace(
         mats,
-        uv_size=cat(mats.uv_size[mat_idx] * anim_size, jnp.ones((m, 2))),
-        uv_offset=cat(
-            mats.uv_offset[mat_idx] + anim_off * mats.uv_size[mat_idx], jnp.zeros((m, 2))
-        ),
-        albedo_color=cat(mats.albedo_color[mat_idx], p_color),
-        emissive_color=cat(mats.emissive_color[mat_idx], jnp.zeros((m, 3))),
-        roughness_factor=cat(mats.roughness_factor[mat_idx], jnp.zeros(m)),
-        metallic_factor=cat(mats.metallic_factor[mat_idx], jnp.zeros(m)),
-        alpha_cutoff=cat(mats.alpha_cutoff[mat_idx], jnp.zeros(m)),
-        flags=cat(mats.flags[mat_idx], jnp.full((m,), 1 << 9, jnp.uint32)),  # alpha blend
-        albedo_rect=cat(mats.albedo_rect[mat_idx], jnp.zeros((m, 4))),
-        normal_rect=cat(mats.normal_rect[mat_idx], jnp.zeros((m, 4))),
-        emissive_rect=cat(mats.emissive_rect[mat_idx], jnp.zeros((m, 4))),
-        mr_rect=cat(mats.mr_rect[mat_idx], jnp.zeros((m, 4))),
-        occlusion_rect=cat(mats.occlusion_rect[mat_idx], jnp.zeros((m, 4))),
-        sampling_mode=cat(mats.sampling_mode[mat_idx], jnp.zeros(m, jnp.int32)),
+        albedo_color=allm[:, 0:4],
+        alpha_cutoff=allm[:, 4],
+        flags=allm[:, 5].astype(jnp.uint32),
+        uv_size=allm[:, 6:8],
+        uv_offset=allm[:, 8:10],
+        albedo_rect=allm[:, 10:14],
+        sampling_mode=jnp.zeros(n + m, jnp.int32),
     )
 
     return rasterize_sprites(

@@ -82,15 +82,34 @@ class SceneRunner:
             self.renderer3d = RendererInstance(
                 render_spec or RenderSpec(width=width, height=height)
             )
+            if atmosphere is not None:
+                # prewarm the sky LUT cache eagerly so the jitted frame graph
+                # closes over concrete LUT arrays instead of tracing their build
+                from .render.sky import multiscatter_lut, transmittance_lut
+
+                t_lut = transmittance_lut(atmosphere)
+                ms_lut = multiscatter_lut(atmosphere, t_lut)
+                self.renderer3d._sky_cache[atmosphere] = (t_lut, ms_lut)
+        self._render3d_jit = None
         self.bindings = bindings or default_bindings(scene.spec.padded_entities())
 
     # ------------------------------------------------------------------ camera
     def active_camera(self) -> CameraMatrices | None:
-        mask = np.asarray(self.state.mask["CameraComponent"] & self.state.alive)
-        idx = np.nonzero(mask)[0]
-        if len(idx) == 0:
+        """First alive camera entity. The index is resolved once on the host and
+        cached (a per-frame nonzero() would sync the device every frame over the
+        accelerator tunnel); `invalidate_camera()` drops the cache on scene edits."""
+        if not hasattr(self, "_camera_idx") or self._camera_idx is None:
+            mask = np.asarray(self.state.mask["CameraComponent"] & self.state.alive)
+            idx = np.nonzero(mask)[0]
+            self._camera_idx = int(idx[0]) if len(idx) else -1
+        if self._camera_idx < 0:
             return None
-        return camera_from_state(self.state, int(idx[0]), jnp.float32(self.width / self.height))
+        return camera_from_state(
+            self.state, self._camera_idx, jnp.float32(self.width / self.height)
+        )
+
+    def invalidate_camera(self) -> None:
+        self._camera_idx = None
 
     # ------------------------------------------------------------------ stepping
     def step(self, dt: float = 1.0 / 60.0, render: bool = True):
@@ -143,15 +162,29 @@ class SceneRunner:
                         )
                 elif self.render_mode == "3d" and self.gscene is not None:
                     with PROFILER.zone("render_3d"):
-                        ctx = self.renderer3d.render(
+                        # the frame graph is jitted as a whole: eagerly, every op is
+                        # a separate dispatch over the accelerator tunnel (~1 ms
+                        # each). Retraces once when the carry dict gains resources
+                        # after frame 0. Stage callbacks (if registered on the
+                        # renderer) run inside the trace and must be pure jax.
+                        if self._render3d_jit is None:
+
+                            def _render3d(state, gscene, camera, materials, atlas, prev):
+                                ctx = self.renderer3d.render(
+                                    state, gscene, camera, materials, atlas,
+                                    self.config, prev=prev,
+                                    atmosphere=self.atmosphere,
+                                    enable_shadows=self.enable_shadows,
+                                )
+                                return {"final": ctx["final"], "carry": ctx.get("carry", {})}
+
+                            self._render3d_jit = jax.jit(_render3d)
+                        out = self._render3d_jit(
                             self.state, self.gscene, camera,
-                            self.bindings.materials, self.bindings.atlas,
-                            self.config, prev=self.carry,
-                            atmosphere=self.atmosphere,
-                            enable_shadows=self.enable_shadows,
+                            self.bindings.materials, self.bindings.atlas, self.carry,
                         )
-                    image = ctx["final"]
-                    self.carry = ctx.get("carry", {})
+                    image = out["final"]
+                    self.carry = out["carry"]
         self.last_frame = image
         PROFILER.frame_mark()
         return image
