@@ -107,65 +107,66 @@ def rasterize_reference(
 # Pallas TPU kernel
 # ---------------------------------------------------------------------------
 
-def _raster_kernel(tile_list_ref, tx_ref, coeff_hbm, depth_out, vid_out):
+ROWG = 8  # sublane row-group for blocked per-tile inputs (TPU block rule)
+
+
+def _raster_kernel(tile_list_ref, cnt_ref, tx_ref, coeff_ref, depth_out, vid_out):
+    """Per-tile meshlet loop with every Mosaic/perf lesson from the 2D kernel
+    (PERF_NOTES.md): coefficients resident in VMEM (serial per-hit DMAs cost
+    ~15 µs), NO lax.cond (a dynamic-trip fori_loop runs exactly the tile's
+    occupancy), lanes-=-pixels orientation so the matmul result (256, PIX) is
+    sliced on 8-aligned sublane ranges."""
     t = pl.program_id(0)
-    n_slots = coeff_hbm.shape[-1] // 4
+    row = t % ROWG
+    n_slots = coeff_ref.shape[-1] // 4  # 4R columns per meshlet; rows padded to 8
 
-    def body(coeff_vmem, sem):
-        tx = tx_ref[0]
-        x0 = ((t % tx) * TILE).astype(jnp.float32)
-        y0 = ((t // tx) * TILE).astype(jnp.float32)
+    tx = tx_ref[0]
+    x0 = ((t % tx) * TILE).astype(jnp.float32)
+    y0 = ((t // tx) * TILE).astype(jnp.float32)
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    px = x0 + (lin % TILE).astype(jnp.float32) + 0.5  # (1, PIX)
+    py = y0 + (lin // TILE).astype(jnp.float32) + 0.5
 
-        lin = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)[:, 0]
-        px = x0 + (lin % TILE).astype(jnp.float32) + 0.5
-        py = y0 + (lin // TILE).astype(jnp.float32) + 0.5
-        pmat = jnp.stack([px, py, jnp.ones_like(px)], axis=-1)  # (PIX, 3)
+    # pmat8 (8, PIX): rows [x, y, 1, 0…] — contracted against the 8-row-padded
+    # coefficient block so e = cmᵀ · pmat lands slots-on-sublanes
+    rid = jax.lax.broadcasted_iota(jnp.int32, (8, PIX), 0)
+    pmat8 = jnp.where(rid == 0, px, jnp.where(rid == 1, py, jnp.where(rid == 2, 1.0, 0.0)))
 
-        k_cap = tile_list_ref.shape[1]
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (n_slots, PIX), 0)
+    n = cnt_ref[row, 0]
 
-        def loop(k, carry):
-            depth, vid = carry
-            vm = tile_list_ref[0, k]
+    def loop(k, carry):
+        depth, vid = carry  # (1, PIX) f32 / i32
+        vm = tile_list_ref[row, k]
+        blk = coeff_ref[pl.ds(vm * 8, 8), :]  # (8, 4R)
+        e = jax.lax.dot_general(
+            blk, pmat8,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (4R, PIX) — plane-major rows: e0 | e1 | e2 | z
+        e0 = e[0:n_slots, :]
+        e1 = e[n_slots : 2 * n_slots, :]
+        e2 = e[2 * n_slots : 3 * n_slots, :]
+        z = e[3 * n_slots :, :]
+        cover = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+        zm = jnp.where(cover, z, -1.0)  # (R, PIX)
+        best = jnp.max(zm, axis=0, keepdims=True)  # (1, PIX)
+        # first-max slot (argmax semantics) via masked min-reduction
+        arg = jnp.min(
+            jnp.where(zm >= best, slot_iota, jnp.int32(1 << 20)), axis=0, keepdims=True
+        )
+        better = best > depth
+        pid = vm * 256 + arg
+        return jnp.where(better, best, depth), jnp.where(better, pid, vid)
 
-            def hit(carry):
-                depth, vid = carry
-                dma = pltpu.make_async_copy(coeff_hbm.at[vm], coeff_vmem, sem)
-                dma.start()
-                dma.wait()
-                e = jax.lax.dot_general(
-                    pmat,
-                    coeff_vmem[:],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (PIX, 256)
-                e0 = e[:, :n_slots]
-                e1 = e[:, n_slots : 2 * n_slots]
-                e2 = e[:, 2 * n_slots : 3 * n_slots]
-                z = e[:, 3 * n_slots :]
-                cover = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
-                zm = jnp.where(cover, z, -1.0)
-                best = jnp.max(zm, axis=-1, keepdims=True)  # (PIX, 1)
-                arg = jnp.argmax(zm, axis=-1).astype(jnp.int32)[:, None]
-                better = best > depth
-                pid = (vm << 8) | arg
-                return jnp.where(better, best, depth), jnp.where(better, pid, vid)
-
-            return jax.lax.cond(vm >= 0, hit, lambda c: c, (depth, vid))
-
-        depth0 = jnp.zeros((PIX, 1), jnp.float32)
-        vid0 = jnp.full((PIX, 1), -1, jnp.int32)
-        depth, vid = jax.lax.fori_loop(0, k_cap, loop, (depth0, vid0))
-        # outputs stay (PIX, 1) sublane-major — a (1024,1)->(8,128) reshape would be a
-        # cross-tile relayout Mosaic rejects
-        depth_out[:, :] = depth
-        vid_out[:, :] = vid
-
-    pl.run_scoped(
-        body,
-        pltpu.VMEM((3, 4 * n_slots), jnp.float32),
-        pltpu.SemaphoreType.DMA(()),
-    )
+    depth0 = jnp.zeros((1, PIX), jnp.float32)
+    vid0 = jnp.full((1, PIX), -1, jnp.int32)
+    depth, vid = jax.lax.fori_loop(0, n, loop, (depth0, vid0))
+    # outputs transposed to (PIX, 1) sublane-major — a (1024,1)->(8,128) reshape
+    # would be a cross-tile relayout Mosaic rejects
+    depth_out[:, :] = jnp.swapaxes(depth, 0, 1)
+    vid_out[:, :] = jnp.swapaxes(vid, 0, 1)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "interpret"))
@@ -173,14 +174,27 @@ def rasterize_pallas(coeff_mat: Array, tile_list: Array, width: int, height: int
     tx, ty = _tile_grid(width, height)
     n_tiles = tx * ty
     k_cap = tile_list.shape[1]
+    vm = coeff_mat.shape[0]
+
+    # (VM, 3, 4R) → (VM*8, 4R): 8-row-padded blocks, dynamic sublane slices in-kernel
+    coeff_pad = jnp.pad(coeff_mat, ((0, 0), (0, 5), (0, 0))).reshape(vm * 8, -1)
+    cnt = jnp.sum((tile_list >= 0).astype(jnp.int32), axis=1, keepdims=True)  # (T, 1)
+    tl_c = jnp.maximum(tile_list, 0)
+
+    def pad_rows(a, fill):
+        if a.shape[0] % ROWG != 0:
+            p = ROWG - a.shape[0] % ROWG
+            a = jnp.pad(a, ((0, p), (0, 0)), constant_values=fill)
+        return a
 
     depth, vid = pl.pallas_call(
         _raster_kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, k_cap), lambda t: (t, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ROWG, k_cap), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ROWG, 1), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # coeff matrices stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # coefficients resident in VMEM
         ],
         out_specs=[
             pl.BlockSpec((PIX, 1), lambda t: (t, 0)),
@@ -190,8 +204,11 @@ def rasterize_pallas(coeff_mat: Array, tile_list: Array, width: int, height: int
             jax.ShapeDtypeStruct((n_tiles * PIX, 1), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles * PIX, 1), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(tile_list, jnp.array([tx], jnp.int32), coeff_mat)
+    )(pad_rows(tl_c, 0), pad_rows(cnt, 0), jnp.array([tx], jnp.int32), coeff_pad)
 
     def untile(a):
         a = a.reshape(ty, tx, TILE, TILE)

@@ -221,13 +221,12 @@ def bin_meshlets_to_tiles(
         & (setup["ml_ymin"][None, :] < tile_y0 + tile)
         & has_tris[None, :]
     )  # (T, VM)
-    slot = jnp.cumsum(overlap.astype(jnp.int32), axis=1) - 1
-    keep = overlap & (slot < k_per_tile)
-    target = jnp.where(keep, slot, k_per_tile)
-    src = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, vm), 1)
-    tile_list = jnp.full((n_tiles, k_per_tile), -1, jnp.int32)
-    tile_list = jax.vmap(
-        lambda tl, tg, sr: tl.at[tg].set(sr, mode="drop", unique_indices=True)
-    )(tile_list, target, src)
-    overflow = jnp.sum((overlap & ~keep).astype(jnp.int32))
+    # scatter-free list build: cum[t, s] counts overlaps among slots 0..s, so list
+    # entry k is the first index where cum reaches k+1 (batched binary search —
+    # scatters serialize on TPU, see PERF_NOTES.md)
+    cum = jnp.cumsum(overlap.astype(jnp.int32), axis=1)
+    ranks = jnp.arange(1, k_per_tile + 1, dtype=jnp.int32)
+    tile_list = jax.vmap(lambda rw: jnp.searchsorted(rw, ranks, side="left"))(cum)
+    tile_list = jnp.where(cum[:, -1:] >= ranks[None, :], tile_list, -1)
+    overflow = jnp.sum(jnp.maximum(cum[:, -1] - k_per_tile, 0))
     return tile_list, overflow

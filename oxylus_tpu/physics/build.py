@@ -46,7 +46,7 @@ def build_physics_state(scene) -> PhysicsState:
     host = {
         f.name: np.array(getattr(ps, f.name))  # np.array: writable host copy
         for f in dataclasses.fields(ps)
-        if f.name != "accumulator"
+        if f.name not in ("accumulator", "has_proxies")
     }
 
     slot = 0
@@ -86,83 +86,96 @@ def build_physics_state(scene) -> PhysicsState:
             slot += 1
             continue
 
-        collider = None
-        for cname in _COLLIDER_ORDER:
-            if scene._comp_mask[cname][i]:
-                collider = cname
-                break
-        if collider is None:
+        colliders = [c for c in _COLLIDER_ORDER if scene._comp_mask[c][i]]
+        if not colliders:
             continue
-        if slot >= spec.max_bodies:
+        if slot + len(colliders) > spec.max_bodies:
             break
 
-        col = {k: v[i] for k, v in scene._comp_data[collider].items()}
         has_rb = bool(rb_mask[i])
+        btype = int(rb["type"][i]) if has_rb else BODY_STATIC
+        mass = float(rb["mass"][i]) if has_rb else 0.0
 
-        host["active"][slot] = True
-        host["entity"][slot] = i
-        host["pos"][slot] = tc["position"][i]
-        host["quat"][slot] = tc["rotation"][i]
-        host["prev_pos"][slot] = tc["position"][i]
-        host["prev_quat"][slot] = tc["rotation"][i]
-        host["offset"][slot] = col.get("offset", np.zeros(3))
-
-        if collider == "BoxColliderComponent":
-            host["shape_type"][slot] = SHAPE_BOX
-            host["half_extent"][slot] = col["size"]
-        else:
-            host["shape_type"][slot] = SHAPE_CAPSULE
-            if collider == "SphereColliderComponent":
+        def shape_of(cname, col):
+            """(shape_type, half_extent|None, radius, half_length, inertia_unit_mass)"""
+            if cname == "BoxColliderComponent":
+                size = np.asarray(col["size"], np.float32)
+                inert = np.asarray(box_inertia(jnp.float32(1.0), jnp.asarray(size, jnp.float32)))
+                return SHAPE_BOX, size, 0.0, 0.0, inert
+            if cname == "SphereColliderComponent":
                 r, hl = float(col["radius"]), 0.0
-            elif collider == "TaperedCapsuleColliderComponent":
+            elif cname == "TaperedCapsuleColliderComponent":
                 r = max(float(col["top_radius"]), float(col["bottom_radius"]))
                 hl = float(col["height"]) / 2.0
             else:  # capsule / cylinder
                 r, hl = float(col["radius"]), float(col["height"]) / 2.0
-            host["radius"][slot] = r
-            host["half_length"][slot] = hl
+            inert = np.asarray(capsule_inertia(jnp.float32(1.0), jnp.float32(r), jnp.float32(hl)))
+            return SHAPE_CAPSULE, None, r, hl, inert
 
-        col_friction = float(col.get("friction", 0.5))
-        col_restitution = float(col.get("restitution", 0.0))
+        # mass distribution over sub-colliders ∝ rough shape volume (the reference's
+        # Jolt StaticCompoundShape computes exact composite mass properties;
+        # volume-weighted parallel-axis is the fixed-shape equivalent here)
+        cols = [{k: v[i] for k, v in scene._comp_data[c].items()} for c in colliders]
+        shapes = [shape_of(c, col) for c, col in zip(colliders, cols)]
+        vols = []
+        for st, he, r, hl, _ in shapes:
+            if st == SHAPE_BOX:
+                vols.append(max(8.0 * he[0] * he[1] * he[2], 1e-9))
+            else:
+                vols.append(max(4.19 * r**3 + 3.14 * r * r * 2 * hl, 1e-9))
+        vtot = sum(vols)
 
-        if has_rb:
-            btype = int(rb["type"][i])  # 0 static, 1 kinematic, 2 dynamic
+        root = slot
+        inertia = np.zeros(3, np.float64)
+        for j, (cname, col, (st, he, r, hl, unit_inertia)) in enumerate(
+            zip(colliders, cols, shapes)
+        ):
+            host["active"][slot] = True
+            # proxies share the root's entity pose but must not write the entity
+            # transform (sync scatter is unique per entity) → entity = -1 for them
+            host["entity"][slot] = i if j == 0 else -1
+            host["parent"][slot] = -1 if j == 0 else root
+            host["pos"][slot] = tc["position"][i]
+            host["quat"][slot] = tc["rotation"][i]
+            host["prev_pos"][slot] = tc["position"][i]
+            host["prev_quat"][slot] = tc["rotation"][i]
+            host["offset"][slot] = col.get("offset", np.zeros(3))
+            host["shape_type"][slot] = st
+            if st == SHAPE_BOX:
+                host["half_extent"][slot] = he
+            else:
+                host["radius"][slot] = r
+                host["half_length"][slot] = hl
             host["body_type"][slot] = btype
-            mass = float(rb["mass"][i])
-            if btype == BODY_DYNAMIC and mass > 0.0:
-                host["inv_mass"][slot] = 1.0 / mass
-                if collider == "BoxColliderComponent":
-                    inertia = np.asarray(
-                        box_inertia(jnp.float32(mass), jnp.asarray(col["size"], jnp.float32))
-                    )
-                else:
-                    inertia = np.asarray(
-                        capsule_inertia(
-                            jnp.float32(mass),
-                            jnp.float32(host["radius"][slot]),
-                            jnp.float32(host["half_length"][slot]),
-                        )
-                    )
-                host["inv_inertia"][slot] = 1.0 / np.maximum(inertia, 1e-12)
             # per-collider material wins, like the reference's body construction
             # (`Scene.cpp:1717-1850` builds Jolt shapes with collider materials)
-            host["friction"][slot] = col_friction
-            host["restitution"][slot] = col_restitution
-            host["gravity_factor"][slot] = float(rb["gravity_factor"][i])
-            host["linear_drag"][slot] = float(rb["linear_drag"][i])
-            host["angular_drag"][slot] = float(rb["angular_drag"][i])
-            host["is_sensor"][slot] = bool(rb["is_sensor"][i])
-            dofs = int(rb["allowed_dofs"][i])
-            host["dof_mask_lin"][slot] = [(dofs >> k) & 1 for k in range(3)]
-            host["dof_mask_ang"][slot] = [(dofs >> k) & 1 for k in range(3, 6)]
-        else:
-            host["body_type"][slot] = BODY_STATIC
-            host["friction"][slot] = col_friction
-            host["restitution"][slot] = col_restitution
+            host["friction"][slot] = float(col.get("friction", 0.5))
+            host["restitution"][slot] = float(col.get("restitution", 0.0))
 
-        slot += 1
+            if has_rb and btype == BODY_DYNAMIC and mass > 0.0:
+                m_j = mass * vols[j] / vtot
+                d = np.asarray(col.get("offset", np.zeros(3)), np.float64)
+                # parallel-axis contribution to the composite diagonal inertia
+                d2 = d * d
+                inertia += m_j * unit_inertia + m_j * np.array(
+                    [d2[1] + d2[2], d2[0] + d2[2], d2[0] + d2[1]]
+                )
+            slot += 1
+
+        if has_rb:
+            if btype == BODY_DYNAMIC and mass > 0.0:
+                host["inv_mass"][root] = 1.0 / mass
+                host["inv_inertia"][root] = 1.0 / np.maximum(inertia, 1e-12)
+            host["gravity_factor"][root] = float(rb["gravity_factor"][i])
+            host["linear_drag"][root] = float(rb["linear_drag"][i])
+            host["angular_drag"][root] = float(rb["angular_drag"][i])
+            host["is_sensor"][root] = bool(rb["is_sensor"][i])
+            dofs = int(rb["allowed_dofs"][i])
+            host["dof_mask_lin"][root] = [(dofs >> k) & 1 for k in range(3)]
+            host["dof_mask_ang"][root] = [(dofs >> k) & 1 for k in range(3, 6)]
 
     return PhysicsState(
         accumulator=jnp.zeros((), jnp.float32),
+        has_proxies=bool((host["parent"] >= 0).any()),
         **{k: jnp.asarray(v) for k, v in host.items()},
     )

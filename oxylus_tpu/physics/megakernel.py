@@ -592,6 +592,10 @@ def megakernel_substeps(
     the planned follow-up)."""
     b = ps.num_slots
     assert b % CHUNK == 0, "body capacity must be a multiple of 128"
+    assert not ps.has_proxies, (
+        "compound bodies are not supported on the mega-kernel throughput path yet; "
+        "use the XLA physics_substep path"
+    )
 
     dyn = ((ps.body_type == BODY_DYNAMIC) & ps.active).astype(jnp.float32)
     movable = ((ps.body_type != BODY_STATIC) & ps.active).astype(jnp.float32)

@@ -894,6 +894,10 @@ def megakernel_substeps_banded(
     assert b % BCHUNK == 0 and b >= SLAB, (
         f"banded kernel needs capacity a multiple of {BCHUNK} and >= {SLAB}"
     )
+    assert not ps.has_proxies, (
+        "compound bodies are not supported on the mega-kernel throughput path yet; "
+        "use the XLA physics_substep path"
+    )
 
     plane_block, is_hub = extract_hub_planes(ps)
     key = morton_rank_key(ps, exclude=is_hub)

@@ -70,10 +70,10 @@ class PhysicsParams:
         "half_extent", "radius", "half_length", "offset",
         "friction", "restitution", "gravity_factor",
         "linear_drag", "angular_drag", "dof_mask_lin", "dof_mask_ang", "is_sensor",
-        "is_character", "ground_normal_y",
+        "is_character", "ground_normal_y", "parent",
         "accumulator",
     ],
-    meta_fields=[],
+    meta_fields=["has_proxies"],
 )
 @dataclasses.dataclass
 class PhysicsState:
@@ -108,8 +108,14 @@ class PhysicsState:
     is_sensor: Array       # (B,) bool
     is_character: Array    # (B,) bool — capsule driven by CharacterControllerComponent
     ground_normal_y: Array # (B,) f32 — support-normal y from last substep (grounding)
+    # compound shapes: sub-collider slots are contact PROXIES of a root body —
+    # geometry at `pos[parent] + R(quat[parent]) @ offset`, impulses applied to the
+    # parent (the TPU-shaped replacement for Jolt compound shapes,
+    # reference Scene.cpp:1717-1850 builds StaticCompoundShape)
+    parent: Array          # (B,) i32 — root body slot, -1 for independent bodies
     # fixed-step accumulator (scalar)
     accumulator: Array
+    has_proxies: bool = False  # static: any parent >= 0 (enables proxy sync paths)
 
     @property
     def num_slots(self) -> int:
@@ -146,6 +152,7 @@ def empty_physics_state(max_bodies: int) -> PhysicsState:
         is_sensor=jnp.zeros((b,), jnp.bool_),
         is_character=jnp.zeros((b,), jnp.bool_),
         ground_normal_y=jnp.zeros((b,), jnp.float32),
+        parent=jnp.full((b,), -1, jnp.int32),
         accumulator=jnp.zeros((), jnp.float32),
     )
 

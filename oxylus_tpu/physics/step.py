@@ -78,6 +78,10 @@ def broadphase_pairs(ps: PhysicsState, params: PhysicsParams, dt) -> tuple[Array
     dyn = ps.body_type == BODY_DYNAMIC
     some_dynamic = dyn[:, None] | dyn[None, :]
     mask = overlap & upper & act[:, None] & act[None, :] & some_dynamic
+    if ps.has_proxies:
+        # sub-colliders of one compound never collide with each other or their root
+        root = jnp.where(ps.parent >= 0, ps.parent, jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0])
+        mask = mask & (root[:, None] != root[None, :])
 
     flat = mask.reshape(-1)
     slots = jnp.cumsum(flat.astype(jnp.int32)) - 1
@@ -429,6 +433,12 @@ def solve_velocity(
     valid = valid.reshape(p_pairs, k)
     ia = c_ia.reshape(p_pairs, k)[:, 0]
     ib = c_ib.reshape(p_pairs, k)[:, 0]
+    if ps.has_proxies:
+        # contacts on sub-collider proxies resolve against the compound ROOT: its
+        # mass, its velocity, torque about its COM, impulses applied to it
+        root = jnp.where(ps.parent >= 0, ps.parent, jnp.arange(b, dtype=jnp.int32))
+        ia = root[ia]
+        ib = root[ib]
     pair_valid = jnp.any(valid, axis=1)
     validf = valid.astype(jnp.float32)
 
@@ -565,6 +575,17 @@ def solve_velocity(
 def physics_substep(ps: PhysicsState, params: PhysicsParams, dt: float) -> PhysicsState:
     """Advance all bodies by one fixed timestep `dt` (the 1/60 s tick of
     `Scene.cpp:720-729`)."""
+    if ps.has_proxies:
+        # sub-collider proxies track their compound root: same pose and velocity,
+        # geometry offset comes from `offset` inside narrowphase/world_aabbs
+        root = jnp.where(ps.parent >= 0, ps.parent, jnp.arange(ps.num_slots, dtype=jnp.int32))
+        ps = dataclasses.replace(
+            ps,
+            pos=ps.pos[root], quat=ps.quat[root],
+            linvel=ps.linvel[root], angvel=ps.angvel[root],
+            prev_pos=ps.prev_pos[root], prev_quat=ps.prev_quat[root],
+        )
+
     dyn = (ps.body_type == BODY_DYNAMIC) & ps.active
     dynf = dyn.astype(jnp.float32)[:, None]
 
@@ -593,8 +614,12 @@ def physics_substep(ps: PhysicsState, params: PhysicsParams, dt: float) -> Physi
     # normal points a→b, so body b's support normal is +n, body a's is -n.
     b_slots = ps.num_slots
     touching = valid & (depth > -params.penetration_slop)
-    ia_safe = jnp.where(touching, c_ia, b_slots)
-    ib_safe = jnp.where(touching, c_ib, b_slots)
+    c_ia_g, c_ib_g = c_ia, c_ib
+    if ps.has_proxies:  # grounding info aggregates onto compound roots
+        root = jnp.where(ps.parent >= 0, ps.parent, jnp.arange(b_slots, dtype=jnp.int32))
+        c_ia_g, c_ib_g = root[c_ia], root[c_ib]
+    ia_safe = jnp.where(touching, c_ia_g, b_slots)
+    ib_safe = jnp.where(touching, c_ib_g, b_slots)
     ny = normal[:, 1]
     gy = jnp.full((b_slots,), -1.0, jnp.float32)
     gy = gy.at[ib_safe].max(jnp.where(touching, ny, -1.0), mode="drop")
