@@ -223,3 +223,223 @@ def rasterize(coeff_mat: Array, tile_list: Array, width: int, height: int):
     if platform in ("tpu", "axon"):
         return rasterize_pallas(coeff_mat, tile_list, width, height)
     return rasterize_reference(coeff_mat, tile_list, width, height)
+
+
+# ---------------------------------------------------------------------------
+# G-buffer raster: attributes interpolated in-kernel (no decode gather pass)
+# ---------------------------------------------------------------------------
+
+N_GB_PLANES = 21   # e0 e1 e2 z | 1/w, [wpos xyz, wnrm xyz, uv]/w | 8 material consts
+N_GB_ATTR = 16     # per-pixel G-buffer lanes emitted by the kernel
+
+
+def pack_gbuffer_coeff_matrix(
+    coeffs: Array,       # (VM, R, 12) from setup_triangles
+    attr_planes: Array,  # (VM, R, 9, 3) from setup_triangles
+    tri_valid: Array,    # (VM, R)
+    mat_consts: Array,   # (VM, 8) per-meshlet material constants
+) -> Array:
+    """(VM, 3, 21R) plane-major matmul matrix for the G-buffer raster kernel.
+
+    Plane order: e0 e1 e2 z (as pack_coeff_matrix), then 1/w, wpos.xyz/w,
+    wnrm.xyz/w, uv/w, then 8 constant planes (a=b=0, c=material constant) so the
+    kernel's single matmul also broadcasts per-meshlet material parameters —
+    replacing the reference's per-pixel visbuffer_decode.slang material fetch."""
+    vm, r = coeffs.shape[0], coeffs.shape[1]
+    c4 = coeffs.reshape(vm, r, 4, 3)
+    kill = ~tri_valid
+    c4 = c4.at[:, :, 0, 2].set(jnp.where(kill, -1e30, c4[:, :, 0, 2]))
+    zero = jnp.zeros((vm, r, 8, 1), coeffs.dtype)
+    cplanes = jnp.concatenate(
+        [zero, zero, jnp.broadcast_to(mat_consts[:, None, :, None], (vm, r, 8, 1))],
+        axis=-1,
+    )  # (VM, R, 8, 3)
+    allp = jnp.concatenate([c4, attr_planes, cplanes], axis=2)  # (VM, R, 21, 3)
+    allp = jnp.moveaxis(allp, 3, 1)       # (VM, 3, R, 21)
+    allp = jnp.swapaxes(allp, 2, 3)       # (VM, 3, 21, R)
+    return allp.reshape(vm, 3, N_GB_PLANES * r)
+
+
+def _gbuffer_kernel(
+    tile_list_ref, cnt_ref, tx_ref, coeff_hbm, depth_out, vid_out, gb_out, buf, sem
+):
+    """_raster_kernel extended with winner-attribute selection: the same matmul
+    evaluates all 21 planes; the winning slot's attribute rows are pulled with
+    masked reductions and carried per pixel; perspective division by the 1/w plane
+    happens once at the end.
+
+    The 21-plane coefficient matrix is too big for VMEM (~350 MB at the default
+    capacities), so it stays in HBM and each meshlet's (8, 21R) block is DMA'd with
+    double buffering — the k+1 fetch is issued before computing k, hiding the
+    ~15 µs serial DMA latency that killed the first 2D-kernel design."""
+    t = pl.program_id(0)
+    row = t % ROWG
+    n_slots = coeff_hbm.shape[-1] // N_GB_PLANES
+    k_cap = tile_list_ref.shape[1]
+
+    tx = tx_ref[0]
+    x0 = ((t % tx) * TILE).astype(jnp.float32)
+    y0 = ((t // tx) * TILE).astype(jnp.float32)
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    px = x0 + (lin % TILE).astype(jnp.float32) + 0.5
+    py = y0 + (lin // TILE).astype(jnp.float32) + 0.5
+    rid = jax.lax.broadcasted_iota(jnp.int32, (8, PIX), 0)
+    pmat8 = jnp.where(rid == 0, px, jnp.where(rid == 1, py, jnp.where(rid == 2, 1.0, 0.0)))
+
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (n_slots, PIX), 0)
+    n = cnt_ref[row, 0]
+    n_attr = N_GB_PLANES - 4  # 1/w + 8 perspective attrs + 8 consts
+
+    def fetch(k, par):
+        vm = tile_list_ref[row, jnp.minimum(k, k_cap - 1)]
+        cp = pltpu.make_async_copy(
+            coeff_hbm.at[pl.ds(vm * 8, 8), :],
+            buf.at[pl.ds(par * 8, 8), :],
+            sem.at[par],
+        )
+        cp.start()
+        return cp
+
+    fetch(0, 0)
+
+    def loop(k, carry):
+        depth, vid = carry[0], carry[1]
+        attrs = carry[2:]
+        par = k % 2
+        # prefetch k+1 into the other buffer before waiting on k
+        fetch(k + 1, 1 - par)
+        pltpu.make_async_copy(
+            coeff_hbm.at[pl.ds(0, 8), :], buf.at[pl.ds(par * 8, 8), :], sem.at[par]
+        ).wait()
+        blk = buf[pl.ds(par * 8, 8), :]
+        e = jax.lax.dot_general(
+            blk, pmat8,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (21R, PIX)
+        e0 = e[0:n_slots, :]
+        e1 = e[n_slots : 2 * n_slots, :]
+        e2 = e[2 * n_slots : 3 * n_slots, :]
+        z = e[3 * n_slots : 4 * n_slots, :]
+        cover = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+        zm = jnp.where(cover, z, -1.0)
+        best = jnp.max(zm, axis=0, keepdims=True)
+        arg = jnp.min(
+            jnp.where(zm >= best, slot_iota, jnp.int32(1 << 20)), axis=0, keepdims=True
+        )
+        winner = slot_iota == arg
+        better = best > depth
+        vm = tile_list_ref[row, k]
+        pid = vm * 256 + arg
+        new = [
+            jnp.where(better, best, depth),
+            jnp.where(better, pid, vid),
+        ]
+        for i in range(n_attr):
+            rows = e[(4 + i) * n_slots : (5 + i) * n_slots, :]
+            val = jnp.sum(jnp.where(winner, rows, 0.0), axis=0, keepdims=True)
+            new.append(jnp.where(better, val, attrs[i]))
+        return tuple(new)
+
+    depth0 = jnp.zeros((1, PIX), jnp.float32)
+    vid0 = jnp.full((1, PIX), -1, jnp.int32)
+    init = (depth0, vid0) + tuple(jnp.zeros((1, PIX), jnp.float32) for _ in range(n_attr))
+    out = jax.lax.fori_loop(0, n, loop, init)
+    # drain the one outstanding prefetch (issued for slot n, parity n % 2)
+    pltpu.make_async_copy(
+        coeff_hbm.at[pl.ds(0, 8), :], buf.at[pl.ds((n % 2) * 8, 8), :], sem.at[n % 2]
+    ).wait()
+    depth, vid = out[0], out[1]
+    invw = out[2]
+    persp = out[3:11]   # wpos xyz, wnrm xyz, uv — stored as q/w
+    consts = out[11:19]  # material constants
+
+    rw = 1.0 / jnp.where(jnp.abs(invw) > 1e-12, invw, 1.0)
+    tp = lambda a: jnp.swapaxes(a, 0, 1)
+    depth_out[:, :] = tp(depth)
+    vid_out[:, :] = tp(vid)
+    gb_cols = [tp(p * rw) for p in persp] + [tp(c) for c in consts]
+    gb_out[:, :] = jnp.concatenate(gb_cols, axis=1)  # (PIX, 16)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "interpret"))
+def rasterize_gbuffer_pallas(
+    coeff_mat: Array, tile_list: Array, width: int, height: int, interpret: bool = False
+):
+    """Returns (depth (H,W), vid (H,W) i32, gbuffer (H,W,16)) — lanes
+    [wpos xyz, wnrm xyz, uv, alb rgb, metallic, roughness, emissive rgb]."""
+    tx, ty = _tile_grid(width, height)
+    n_tiles = tx * ty
+    k_cap = tile_list.shape[1]
+    vm = coeff_mat.shape[0]
+
+    coeff_pad = jnp.pad(coeff_mat, ((0, 0), (0, 5), (0, 0))).reshape(vm * 8, -1)
+    k_coeff = coeff_mat.shape[-1] // N_GB_PLANES  # raster slots per meshlet
+    cnt = jnp.sum((tile_list >= 0).astype(jnp.int32), axis=1, keepdims=True)
+    tl_c = jnp.maximum(tile_list, 0)
+
+    def pad_rows(a, fill):
+        if a.shape[0] % ROWG != 0:
+            p = ROWG - a.shape[0] % ROWG
+            a = jnp.pad(a, ((0, p), (0, 0)), constant_values=fill)
+        return a
+
+    depth, vid, gb = pl.pallas_call(
+        _gbuffer_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((ROWG, k_cap), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ROWG, 1), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # 21-plane matrix stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((PIX, 1), lambda t: (t, 0)),
+            pl.BlockSpec((PIX, 1), lambda t: (t, 0)),
+            pl.BlockSpec((PIX, N_GB_ATTR), lambda t: (t, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles * PIX, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles * PIX, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles * PIX, N_GB_ATTR), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((16, N_GB_PLANES * k_coeff), jnp.float32),  # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(pad_rows(tl_c, 0), pad_rows(cnt, 0), jnp.array([tx], jnp.int32), coeff_pad)
+
+    def untile(a, ch):
+        a = a.reshape(n_tiles, PIX, ch).reshape(ty, tx, TILE, TILE, ch)
+        return a.transpose(0, 2, 1, 3, 4).reshape(ty * TILE, tx * TILE, ch)[:height, :width]
+
+    return (
+        untile(depth, 1)[..., 0],
+        untile(vid, 1)[..., 0],
+        untile(gb, N_GB_ATTR),
+    )
+
+
+def gbuffer_from_raster(gb: Array, vid: Array) -> dict[str, Array]:
+    """Unpack the kernel's (H, W, 16) attribute image into the GBuffer dict that
+    decode_visbuffer produces (ops/decode3d.py) — no per-pixel gathers."""
+    hit = vid >= 0
+    hitf = hit[..., None]
+    nrm = gb[..., 3:6]
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+    return {
+        "hit": hit,
+        "world_pos": jnp.where(hitf, gb[..., 0:3], 0.0),
+        "normal": jnp.where(hitf, nrm, 0.0),
+        "uv": gb[..., 6:8],
+        "albedo": jnp.where(hitf, gb[..., 8:11], 0.0),
+        "metallic": jnp.where(hit, gb[..., 11], 0.0),
+        "roughness": jnp.where(hit, gb[..., 12], 1.0),
+        "emissive": jnp.where(hitf, gb[..., 13:16], 0.0),
+        "occlusion": jnp.ones_like(gb[..., 11]),
+    }

@@ -65,6 +65,15 @@ def setup_triangles(
     pos_h = jnp.concatenate([pos, jnp.ones_like(pos[..., :1])], axis=-1)  # (VM,64,3,4)
     clip = jnp.einsum("vik,vtck->vtci", mvp, pos_h)  # (VM,64,3,4)
 
+    # per-vertex attributes carried through clipping so the raster kernel can emit
+    # the G-buffer directly (the per-pixel decode gather pass costs ~0.5 s at 1080p
+    # on this target — PERF_NOTES.md): world position, world normal, uv → (VM,64,3,8)
+    nrm_v = gscene.normals[gvert]
+    uv_v = gscene.uvs[gvert]
+    wpos_v = jnp.einsum("vij,vtcj->vtci", world[:, :3, :3], pos) + world[:, None, None, :3, 3]
+    wnrm_v = jnp.einsum("vij,vtcj->vtci", world[:, :3, :3], nrm_v)
+    attrs = jnp.concatenate([wpos_v, wnrm_v, uv_v], axis=-1)  # (VM,64,3,8)
+
     # ---- homogeneous near-plane clipping (w = eps) --------------------------
     # Each triangle yields up to SUBS_PER_TRI clipped sub-triangles; raster slot
     # r = tri*2 + s, so the visbuffer id still fits 8 bits and decode recovers the
@@ -91,18 +100,26 @@ def setup_triangles(
     perm = perm_table[case]          # (VM,64,3)
     n_in = n_in_table[case]          # (VM,64)
     pc = jnp.take_along_axis(clip, perm[..., None], axis=2)  # permuted clip verts
+    at = jnp.take_along_axis(attrs, perm[..., None], axis=2)  # permuted attributes
     a, bb, cc = pc[..., 0, :], pc[..., 1, :], pc[..., 2, :]
+    aa_, ab_, ac_ = at[..., 0, :], at[..., 1, :], at[..., 2, :]
 
-    def lerp_to_eps(p0, p1):
+    def clip_t(p0, p1):
         t = (w_eps - p0[..., 3]) / jnp.where(
             jnp.abs(p1[..., 3] - p0[..., 3]) > 1e-12, p1[..., 3] - p0[..., 3], 1e-12
         )
-        t = jnp.clip(t, 0.0, 1.0)[..., None]
-        return p0 + (p1 - p0) * t
+        return jnp.clip(t, 0.0, 1.0)[..., None]
 
-    i_ab = lerp_to_eps(a, bb)
-    i_ac = lerp_to_eps(a, cc)
-    i_bc = lerp_to_eps(bb, cc)
+    t_ab = clip_t(a, bb)
+    t_ac = clip_t(a, cc)
+    t_bc = clip_t(bb, cc)
+    i_ab = a + (bb - a) * t_ab
+    i_ac = a + (cc - a) * t_ac
+    i_bc = bb + (cc - bb) * t_bc
+    # attributes are linear in clip space → same lerp weights
+    ai_ab = aa_ + (ab_ - aa_) * t_ab
+    ai_ac = aa_ + (ac_ - aa_) * t_ac
+    ai_bc = ab_ + (ac_ - ab_) * t_bc
 
     one = n_in[..., None, None] == 1
     two = n_in[..., None, None] == 2
@@ -112,11 +129,16 @@ def setup_triangles(
     sub0 = jnp.where(two, jnp.stack([a, bb, i_bc], axis=-2), sub0)
     # sub1: only for count==2 → (A, I_BC, I_AC)
     sub1 = jnp.stack([a, i_bc, i_ac], axis=-2)
+    asub0 = jnp.stack([aa_, ab_, ac_], axis=-2)
+    asub0 = jnp.where(one, jnp.stack([aa_, ai_ab, ai_ac], axis=-2), asub0)
+    asub0 = jnp.where(two, jnp.stack([aa_, ab_, ai_bc], axis=-2), asub0)
+    asub1 = jnp.stack([aa_, ai_bc, ai_ac], axis=-2)
     sub0_live = n_in >= 1
     sub1_live = n_in == 2
 
     # interleave: raster slot r = tri*2 + s  → (VM, 128, 3, 4)
     subs = jnp.stack([sub0, sub1], axis=2).reshape(vm, TRIS_PER_MESHLET * 2, 3, 4)
+    asubs = jnp.stack([asub0, asub1], axis=2).reshape(vm, TRIS_PER_MESHLET * 2, 3, 8)
     sub_live = jnp.stack([sub0_live, sub1_live], axis=2).reshape(vm, TRIS_PER_MESHLET * 2)
     tri_of_slot = jax.lax.broadcasted_iota(jnp.int32, (vm, TRIS_PER_MESHLET * 2), 1) // 2
     slot_in_range = jnp.repeat(tri_in_range, 2, axis=1)
@@ -167,6 +189,26 @@ def setup_triangles(
     )  # (VM, 128, 12)
     coeffs = jnp.where(tri_valid[..., None], coeffs, 0.0)
 
+    # attribute planes for the G-buffer raster: every vertex quantity q is
+    # interpolated perspective-correctly as plane(q/w) / plane(1/w); both are affine
+    # in screen space, so they use the same Σ vᵢ·Eᵢ / area construction as depth.
+    # Layout: plane 0 = 1/w, planes 1..8 = [wpos xyz, wnrm xyz, uv] / w.
+    inv_wv = 1.0 / jnp.maximum(wsub, w_eps * 0.25)  # (VM, 128, 3)
+    over_w = jnp.concatenate(
+        [inv_wv[..., None], asubs * inv_wv[..., None]], axis=-1
+    )  # (VM, 128, 3, 9)
+
+    def plane_of(q):  # q: (VM, 128, 3) per-sub-vertex values → (VM, 128, 3) abc
+        pa = (e0[0] * q[..., 0] + e1[0] * q[..., 1] + e2[0] * q[..., 2]) * -inv_area * flip
+        pb = (e0[1] * q[..., 0] + e1[1] * q[..., 1] + e2[1] * q[..., 2]) * -inv_area * flip
+        pc_ = (e0[2] * q[..., 0] + e1[2] * q[..., 1] + e2[2] * q[..., 2]) * -inv_area * flip
+        return jnp.stack([pa, pb, pc_], axis=-1)
+
+    attr_planes = jnp.stack(
+        [plane_of(over_w[..., i]) for i in range(9)], axis=-2
+    )  # (VM, 128, 9, 3)
+    attr_planes = jnp.where(tri_valid[..., None, None], attr_planes, 0.0)
+
     vm_slot = jax.lax.broadcasted_iota(jnp.int32, tri_valid.shape, 0)
     raster_slot = jax.lax.broadcasted_iota(jnp.int32, tri_valid.shape, 1)
     packed_id = (vm_slot << 8) | raster_slot  # visbuffer.slang packing, vm-slot-relative
@@ -184,6 +226,7 @@ def setup_triangles(
 
     return {
         "coeffs": coeffs,
+        "attr_planes": attr_planes,
         "tri_valid": tri_valid,
         "packed_id": packed_id,
         "slots_per_tri": 2,

@@ -63,29 +63,37 @@ def gtao(
     n_slices, n_samples = QUALITY_PRESETS.get(quality_level, (3, 3))
 
     view_dir = -view_pos / jnp.maximum(jnp.linalg.norm(view_pos, axis=-1, keepdims=True), 1e-6)
-    noise = _pixel_hash(h, w, frame)
 
-    # screen-space step scale: project world radius at the pixel's depth
-    depth_lin = jnp.maximum(-view_pos[..., 2], 1e-3)
-    px_radius = radius / depth_lin * (h * 0.5)  # ≈ pixels per world radius
-    px_radius = jnp.clip(px_radius, 2.0, 64.0)
+    # Gather-free sampling (PERF_NOTES.md: one dynamic 2-D gather ≈ 15 ms at 1080p;
+    # the original per-pixel-radius march cost 18 of them): taps are FIXED integer
+    # screen offsets realized as pad+slice shifts. The horizon math still uses true
+    # view-space deltas, so occlusion remains geometrically correct — only the
+    # sampling pattern is fixed in screen space (SSAO-style kernel). Per-pixel
+    # radius scaling and per-pixel noise rotation trade for a ~10× faster pass.
+    import math as _math
 
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    max_px = 24
+    pad = jnp.pad(
+        view_pos, ((max_px, max_px), (max_px, max_px), (0, 0)), mode="edge"
+    )
+
+    def tap(dy, dx):  # static shift of view_pos
+        return pad[max_px + dy : max_px + dy + h, max_px + dx : max_px + dx + w]
 
     ao_acc = jnp.zeros((h, w))
     for s in range(n_slices):
-        angle = (s + noise) * jnp.pi / n_slices
-        dir2 = jnp.stack([jnp.cos(angle), jnp.sin(angle)], axis=-1)  # (H, W, 2)
+        angle = (s + 0.5) * _math.pi / n_slices
+        ux, uy = _math.cos(angle), _math.sin(angle)
 
-        # horizon search along ±direction
         cos_h = [jnp.full((h, w), -1.0), jnp.full((h, w), -1.0)]
         for side, sign in enumerate((1.0, -1.0)):
             for i in range(1, n_samples + 1):
-                step = px_radius * (i / n_samples) ** 1.5
-                sx = jnp.clip(xs + dir2[..., 0] * step * sign, 0, w - 1).astype(jnp.int32)
-                sy = jnp.clip(ys + dir2[..., 1] * step * sign, 0, h - 1).astype(jnp.int32)
-                sample_pos = view_pos[sy, sx]
+                step = max_px * (i / n_samples) ** 1.5
+                dx = int(round(ux * step * sign))
+                dy = int(round(uy * step * sign))
+                if dx == 0 and dy == 0:
+                    dx = int(sign)
+                sample_pos = tap(dy, dx)
                 delta = sample_pos - view_pos
                 dist = jnp.linalg.norm(delta, axis=-1)
                 sdir = delta / jnp.maximum(dist, 1e-6)[..., None]

@@ -148,11 +148,48 @@ class RendererInstance:
         )
         cm = pack_coeff_matrix(setup["coeffs"], setup["tri_valid"])
         platform = jax.devices()[0].platform
-        raster = (
-            rasterize_pallas
-            if (spec.use_pallas and platform in ("tpu", "axon"))
-            else rasterize_reference
-        )
+        use_gbuffer_raster = spec.use_pallas and platform in ("tpu", "axon")
+        if use_gbuffer_raster:
+            # G-buffer raster: attributes + material constants interpolated inside
+            # the kernel (the per-pixel decode gather pass costs ~0.5 s at 1080p on
+            # this target — PERF_NOTES.md). Material textures are not sampled on
+            # this path yet; factors/colors only.
+            from ..ops.raster3d import (
+                gbuffer_from_raster,
+                pack_gbuffer_coeff_matrix,
+                rasterize_gbuffer_pallas,
+            )
+
+            mat_idx = gscene.inst_material[vm_inst]
+            mat_consts = jnp.concatenate(
+                [
+                    materials.albedo_color[mat_idx][:, :3],
+                    materials.metallic_factor[mat_idx][:, None],
+                    materials.roughness_factor[mat_idx][:, None],
+                    materials.emissive_color[mat_idx],
+                ],
+                axis=1,
+            )  # (VM, 8)
+            cm_gb = pack_gbuffer_coeff_matrix(
+                setup["coeffs"], setup["attr_planes"], setup["tri_valid"], mat_consts
+            )
+            gb_state = {}
+
+            def raster(_cm, tile_list, w_, h_):
+                d, v, gb = rasterize_gbuffer_pallas(cm_gb, tile_list, w_, h_)
+                if "gb" in gb_state:  # two-pass occlusion: max-merge the G-buffer too
+                    prev_d = gb_state["depth"]
+                    better = (d > prev_d)[..., None]
+                    gb = jnp.where(better, gb, gb_state["gb"])
+                gb_state["gb"] = gb
+                gb_state["depth"] = d
+                return d, v
+        else:
+            raster = (
+                rasterize_pallas
+                if (spec.use_pallas and platform in ("tpu", "axon"))
+                else rasterize_reference
+            )
 
         # conservative nearest depth per meshlet for occlusion testing
         ml_near = jnp.max(
@@ -199,9 +236,12 @@ class RendererInstance:
         ctx = self._run_cbs(RenderStage.VISBUFFER_ENCODE, "after", ctx)
 
         # ---- Decode → GBuffer --------------------------------------------
-        gbuffer = decode_visbuffer(
-            vid, setup, vm_inst, gscene, world, materials, atlas, width=w, height=h
-        )
+        if use_gbuffer_raster:
+            gbuffer = gbuffer_from_raster(gb_state["gb"], vid)
+        else:
+            gbuffer = decode_visbuffer(
+                vid, setup, vm_inst, gscene, world, materials, atlas, width=w, height=h
+            )
         ctx["gbuffer"] = gbuffer
         ctx = self._run_cbs(RenderStage.VISBUFFER_DECODE, "after", ctx)
 
@@ -243,7 +283,10 @@ class RendererInstance:
                 + camera.right[None, None, :] * (xs[None, :, None] * tan_half * aspect)
                 - camera.up[None, None, :] * (ys[:, None, None] * tan_half)
             )
-            background = sample_sky_view(sky_lut, dirs)
+            # background sampled at half resolution (a full-res bilinear LUT fetch
+            # is ~4 gathers × 15 ms; the sky is smooth) and upsampled
+            bg_half = sample_sky_view(sky_lut, dirs[::2, ::2])
+            background = jax.image.resize(bg_half, (h, w, 3), method="linear")
             if ambient_color is None:
                 from .sky import sky_sh_ambient
 
@@ -264,13 +307,17 @@ class RendererInstance:
             shadow = resolve_shadows(gbuffer["world_pos"], gbuffer["hit"], light_vps, shadow_maps)
             ctx["shadow_maps"] = shadow_maps
             if config.contact_shadows:
-                cs = contact_fn(
-                    depth, gbuffer["world_pos"], gbuffer["hit"], sun_dir,
+                # quarter-res march (each step is a full-image gather, ~15 ms at
+                # full res — PERF_NOTES.md); contact shadows are soft, upsample
+                cs4 = contact_fn(
+                    depth[::4, ::4], gbuffer["world_pos"][::4, ::4],
+                    gbuffer["hit"][::4, ::4], sun_dir,
                     camera.view_projection,
                     steps=config.contact_shadows_steps,
                     thickness=config.contact_shadows_thickness,
                     length=max(config.contact_shadows_length, 0.05),
                 )
+                cs = jax.image.resize(cs4, (h, w), method="linear")
                 shadow = shadow * cs
             ctx["shadow"] = shadow
 
@@ -311,11 +358,16 @@ class RendererInstance:
             from .sky import aerial_perspective
 
             t_lut2, ms_lut2 = ctx["_sky_luts"]
-            ap_l, ap_t = aerial_perspective(
-                atmosphere, t_lut2, ms_lut2, gbuffer["world_pos"], gbuffer["hit"],
+            # quarter-res march: the 8-step march does 2 LUT gathers per step
+            # (~240 ms at full res — PERF_NOTES.md); aerial perspective is smooth
+            ap_l4, ap_t4 = aerial_perspective(
+                atmosphere, t_lut2, ms_lut2,
+                gbuffer["world_pos"][::4, ::4], gbuffer["hit"][::4, ::4],
                 camera.position, -sun_dir, sun_intensity=jnp.asarray(sun_intensity),
                 meters_per_km=50.0,  # game-scale worlds: 50 units ≈ 1 km of air
             )
+            ap_l = jax.image.resize(ap_l4, (h, w, 3), method="linear")
+            ap_t = jax.image.resize(ap_t4, (h, w, 3), method="linear")
             hdr = jnp.where(gbuffer["hit"][..., None], hdr * ap_t + ap_l, hdr)
         ctx["hdr"] = hdr
         ctx = self._run_cbs(RenderStage.LIGHTING, "after", ctx)

@@ -84,7 +84,13 @@ def render_shadow_clipmaps(
         )
         tile_list, _ = bin_meshlets_to_tiles(setup, SHADOW_MAP_SIZE, SHADOW_MAP_SIZE, 32, k_per_tile)
         cm = pack_coeff_matrix(setup["coeffs"], setup["tri_valid"])
-        depth, _ = rasterize_reference(cm, tile_list, SHADOW_MAP_SIZE, SHADOW_MAP_SIZE)
+        platform = jax.devices()[0].platform
+        if platform in ("tpu", "axon"):
+            from ..ops.raster3d import rasterize_pallas
+
+            depth, _ = rasterize_pallas(cm, tile_list, SHADOW_MAP_SIZE, SHADOW_MAP_SIZE)
+        else:
+            depth, _ = rasterize_reference(cm, tile_list, SHADOW_MAP_SIZE, SHADOW_MAP_SIZE)
         maps.append(depth)
     return jnp.stack(maps)
 
@@ -100,11 +106,16 @@ def resolve_shadows(
     (the `resolve_shadowmaps` pass, `Shadowmaps.cpp:543-610`)."""
     s = shadow_maps.shape[-1]
     n_lvls = light_vps.shape[0]
-
-    factor = jnp.ones(world_pos.shape[:2])
-    chosen = jnp.full(world_pos.shape[:2], -1, jnp.int32)
     ph = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], axis=-1)
 
+    # pick the finest containing clipmap per pixel with cheap fused math, then do
+    # the 2×2 PCF with FOUR gathers total from the flattened (L*S*S,) map stack —
+    # a per-level PCF loop costs 16 full-res gathers (~15 ms each, PERF_NOTES.md)
+    best_lvl = jnp.full(world_pos.shape[:2], n_lvls - 1, jnp.int32)
+    best_u = jnp.zeros(world_pos.shape[:2])
+    best_v = jnp.zeros(world_pos.shape[:2])
+    best_z = jnp.zeros(world_pos.shape[:2])
+    any_inside = jnp.zeros(world_pos.shape[:2], jnp.bool_)
     for lvl in range(n_lvls - 1, -1, -1):
         clip = jnp.einsum("ij,hwj->hwi", light_vps[lvl], ph)
         ndc = clip[..., :3] / jnp.maximum(jnp.abs(clip[..., 3:4]), 1e-9)
@@ -112,23 +123,26 @@ def resolve_shadows(
         v = ndc[..., 1] * 0.5 + 0.5
         z = ndc[..., 2]
         inside = (u > 0.01) & (u < 0.99) & (v > 0.01) & (v < 0.99) & (z > 0.0) & (z < 1.0)
+        best_lvl = jnp.where(inside, lvl, best_lvl)
+        best_u = jnp.where(inside, u, best_u)
+        best_v = jnp.where(inside, v, best_v)
+        best_z = jnp.where(inside, z, best_z)
+        any_inside = any_inside | inside
 
-        x = jnp.clip((u * s).astype(jnp.int32), 0, s - 1)
-        y = jnp.clip((v * s).astype(jnp.int32), 0, s - 1)
-        lit = jnp.zeros_like(factor)
-        for dy in (0, 1):
-            for dx in (0, 1):
-                xs = jnp.clip(x + dx, 0, s - 1)
-                ys = jnp.clip(y + dy, 0, s - 1)
-                stored = shadow_maps[lvl][ys, xs]
-                # reverse-Z: nearer = larger; lit when the pixel is at/nearer than the
-                # stored occluder depth (within bias)
-                lit = lit + jnp.where(z + bias >= stored, 1.0, 0.0)
-        lit = lit * 0.25
-        # finest level wins (loop runs coarse→fine and overwrites)
-        factor = jnp.where(inside, lit, factor)
-        chosen = jnp.where(inside, lvl, chosen)
-
+    flat = shadow_maps.reshape(-1)
+    x = jnp.clip((best_u * s).astype(jnp.int32), 0, s - 1)
+    y = jnp.clip((best_v * s).astype(jnp.int32), 0, s - 1)
+    base = best_lvl * (s * s)
+    lit = jnp.zeros(world_pos.shape[:2])
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xs = jnp.clip(x + dx, 0, s - 1)
+            ys = jnp.clip(y + dy, 0, s - 1)
+            stored = flat[base + ys * s + xs]
+            # reverse-Z: nearer = larger; lit when the pixel is at/nearer than the
+            # stored occluder depth (within bias)
+            lit = lit + jnp.where(best_z + bias >= stored, 1.0, 0.0)
+    factor = jnp.where(any_inside, lit * 0.25, 1.0)
     return jnp.where(hit, factor, 1.0)
 
 

@@ -1,0 +1,109 @@
+"""G-buffer raster kernel vs the decode oracle (interpret mode).
+
+The Pallas kernel interpolates world position / normal / uv and broadcasts
+material constants via extra coefficient planes (ops/raster3d.py
+pack_gbuffer_coeff_matrix); decode_visbuffer reconstructs the same quantities
+per pixel with analytic barycentrics — the two must agree on covered pixels.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oxylus_tpu.assets.material import empty_gpu_materials
+from oxylus_tpu.ops.cull import cull_instances, cull_meshlets, expand_meshlet_instances
+from oxylus_tpu.ops.decode3d import decode_visbuffer
+from oxylus_tpu.ops.raster3d import (
+    gbuffer_from_raster,
+    pack_coeff_matrix,
+    pack_gbuffer_coeff_matrix,
+    rasterize_gbuffer_pallas,
+    rasterize_reference,
+)
+from oxylus_tpu.ops.setup3d import bin_meshlets_to_tiles, setup_triangles
+from oxylus_tpu.render.camera import camera_matrices
+from oxylus_tpu.render.scene3d import upload_meshes
+from tests.test_render3d import cube_mesh
+
+from oxylus_tpu.assets.bake import bake_mesh
+
+W, H = 128, 96
+
+
+@pytest.fixture(scope="module")
+def scene():
+    cp, cn, cu, ci = cube_mesh()
+    baked = bake_mesh(cp, cn, cu, ci)
+    gscene = upload_meshes([baked], [(0, 0, 0)])
+    world = jnp.eye(4)[None]
+    cam = camera_matrices(
+        position=jnp.array([0.6, 0.8, 3.0]), yaw=jnp.float32(-jnp.pi / 2),
+        pitch=jnp.float32(-0.2), tilt=jnp.float32(0.0), fov_deg=jnp.float32(60.0),
+        near=jnp.float32(0.1), far=jnp.float32(100.0), zoom=jnp.float32(1.0),
+        projection_kind=jnp.int32(0), aspect=jnp.float32(W / H),
+    )
+    vis, lod = cull_instances(gscene, world, cam.frustum_planes, cam.position, jnp.float32(55.0))
+    inst, meshlet, valid = expand_meshlet_instances(gscene, vis, lod, capacity=16)
+    vm_inst, vm_ml, vm_valid, _ = cull_meshlets(
+        gscene, world, inst, meshlet, valid, cam.frustum_planes, cam.position, capacity=16
+    )
+    setup = setup_triangles(gscene, world, vm_inst, vm_ml, vm_valid, cam.view_projection, W, H)
+    tile_list, _ = bin_meshlets_to_tiles(setup, W, H, 32, 8)
+    return gscene, world, setup, vm_inst, tile_list
+
+
+def test_gbuffer_matches_decode(scene):
+    gscene, world, setup, vm_inst, tile_list = scene
+    mats = empty_gpu_materials(4)
+    import dataclasses
+
+    mats = dataclasses.replace(
+        mats,
+        albedo_color=mats.albedo_color.at[0].set(jnp.array([0.8, 0.4, 0.2, 1.0])),
+        roughness_factor=mats.roughness_factor.at[0].set(0.3),
+        metallic_factor=mats.metallic_factor.at[0].set(0.9),
+    )
+    atlas = jnp.zeros((16, 16, 4), jnp.uint8)
+
+    mat_idx = gscene.inst_material[vm_inst]
+    mat_consts = jnp.concatenate(
+        [
+            mats.albedo_color[mat_idx][:, :3],
+            mats.metallic_factor[mat_idx][:, None],
+            mats.roughness_factor[mat_idx][:, None],
+            mats.emissive_color[mat_idx],
+        ],
+        axis=1,
+    )
+    cm_gb = pack_gbuffer_coeff_matrix(
+        setup["coeffs"], setup["attr_planes"], setup["tri_valid"], mat_consts
+    )
+    depth, vid, gb = rasterize_gbuffer_pallas(cm_gb, tile_list, W, H, interpret=True)
+    got = gbuffer_from_raster(gb, vid)
+
+    # oracle: reference raster (identical visbuffer) + analytic decode
+    cm = pack_coeff_matrix(setup["coeffs"], setup["tri_valid"])
+    d_ref, v_ref = rasterize_reference(cm, tile_list, W, H)
+    np.testing.assert_array_equal(np.asarray(vid), np.asarray(v_ref))
+    want = decode_visbuffer(
+        v_ref, setup, vm_inst, gscene, world, mats, atlas, width=W, height=H
+    )
+
+    hit = np.asarray(got["hit"])
+    assert hit.mean() > 0.05
+    np.testing.assert_array_equal(hit, np.asarray(want["hit"]))
+    for key, tol in (("world_pos", 5e-2), ("normal", 5e-2), ("uv", 5e-2)):
+        a = np.asarray(got[key])[hit]
+        b = np.asarray(want[key])[hit]
+        assert np.abs(a - b).max() < tol, f"{key} max err {np.abs(a - b).max()}"
+    np.testing.assert_allclose(
+        np.asarray(got["albedo"])[hit],
+        np.asarray(want["albedo"])[hit][:, :3],  # kernel emits RGB; decode RGBA
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["metallic"])[hit], np.asarray(want["metallic"])[hit], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["roughness"])[hit], np.asarray(want["roughness"])[hit], atol=1e-5
+    )
