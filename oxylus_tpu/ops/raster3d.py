@@ -300,14 +300,17 @@ def _gbuffer_kernel(
         cp.start()
         return cp
 
-    fetch(0, 0)
+    # a lax.cond costs ~1.5 µs but an unconditional 86 KB fetch on every (mostly
+    # empty) tile costs far more — guard the initial fetch on occupancy
+    jax.lax.cond(n > 0, lambda: fetch(0, 0) and None, lambda: None)
 
     def loop(k, carry):
         depth, vid = carry[0], carry[1]
         attrs = carry[2:]
         par = k % 2
-        # prefetch k+1 into the other buffer before waiting on k
-        fetch(k + 1, 1 - par)
+        # prefetch k+1 into the other buffer before waiting on k (clamped: the
+        # last iteration re-fetches its own block, which is then drained below)
+        fetch(jnp.minimum(k + 1, n - 1), 1 - par)
         pltpu.make_async_copy(
             coeff_hbm.at[pl.ds(0, 8), :], buf.at[pl.ds(par * 8, 8), :], sem.at[par]
         ).wait()
@@ -346,10 +349,15 @@ def _gbuffer_kernel(
     vid0 = jnp.full((1, PIX), -1, jnp.int32)
     init = (depth0, vid0) + tuple(jnp.zeros((1, PIX), jnp.float32) for _ in range(n_attr))
     out = jax.lax.fori_loop(0, n, loop, init)
-    # drain the one outstanding prefetch (issued for slot n, parity n % 2)
-    pltpu.make_async_copy(
-        coeff_hbm.at[pl.ds(0, 8), :], buf.at[pl.ds((n % 2) * 8, 8), :], sem.at[n % 2]
-    ).wait()
+    # drain the one outstanding prefetch (issued for slot n, parity n % 2);
+    # nothing was ever fetched for empty tiles
+    jax.lax.cond(
+        n > 0,
+        lambda: pltpu.make_async_copy(
+            coeff_hbm.at[pl.ds(0, 8), :], buf.at[pl.ds((n % 2) * 8, 8), :], sem.at[n % 2]
+        ).wait(),
+        lambda: None,
+    )
     depth, vid = out[0], out[1]
     invw = out[2]
     persp = out[3:11]   # wpos xyz, wnrm xyz, uv — stored as q/w
