@@ -269,6 +269,9 @@ class Scene:
         self._comp_data[comp][field][index] = np.asarray(value)
         self._device_dirty = True
 
+    def get_field(self, index: int, comp: str, field: str) -> Any:
+        return np.array(self._comp_data[comp][field][index])
+
     def get_component(self, index: int, comp: str) -> dict[str, Any]:
         cdef = C.BY_NAME[comp]
         if not self._comp_mask[comp][index]:
