@@ -298,12 +298,20 @@ class RendererInstance:
         # ---- Shadows ------------------------------------------------------
         shadow = None
         if enable_shadows:
-            from .shadows import clipmap_matrices, contact_shadows as contact_fn, render_shadow_clipmaps, resolve_shadows
+            from .shadows import (
+                clipmap_matrices,
+                contact_shadows as contact_fn,
+                render_shadow_clipmaps_cached,
+                resolve_shadows,
+            )
 
             light_vps = clipmap_matrices(
                 sun_dir, camera.position, first_width=first_clipmap_width
             )
-            shadow_maps = render_shadow_clipmaps(gscene, world, light_vps)
+            shadow_maps, shadow_carry = render_shadow_clipmaps_cached(
+                gscene, world, light_vps, prev.get("shadow_cache")
+            )
+            carry["shadow_cache"] = shadow_carry
             shadow = resolve_shadows(gbuffer["world_pos"], gbuffer["hit"], light_vps, shadow_maps)
             ctx["shadow_maps"] = shadow_maps
             if config.contact_shadows:

@@ -95,6 +95,137 @@ def render_shadow_clipmaps(
     return jnp.stack(maps)
 
 
+PAGE = 32                      # shadow-map page side in texels (= raster tile)
+PAGES = SHADOW_MAP_SIZE // PAGE  # pages per map side
+
+
+def render_shadow_clipmaps_cached(
+    gscene,
+    entity_world: Array,
+    light_vps: Array,     # (L, 4, 4)
+    prev: dict | None,
+    capacity: int = 2048,
+    k_per_tile: int = 32,
+) -> tuple[Array, dict]:
+    """Page-cached clipmap rendering (the reference's RMVSM page tables,
+    `Shadowmaps.cpp` mark-visible-pages → clear-pages → draw-pages, re-shaped for
+    fixed-grid raster): each 32×32-texel page keeps its cached depth unless
+
+    - the level's light VP changed (camera snap crossed a texel boundary), or
+    - an instance whose world transform changed this frame overlaps the page
+      (both its current and previous footprint, so stale shadows are erased).
+
+    Invalid pages get re-rasterized with page-masked tile lists; valid pages copy
+    forward. Returns (maps (L, S, S), carry) — feed `carry` back as `prev`."""
+    n_lvls = light_vps.shape[0]
+    s = SHADOW_MAP_SIZE
+    n_inst = gscene.inst_entity.shape[0]
+
+    # which entities moved since last frame?
+    if prev is not None and "world" in prev:
+        changed_e = jnp.any(
+            jnp.abs(entity_world - prev["world"]) > 1e-6, axis=(1, 2)
+        )  # (N,)
+    else:
+        changed_e = jnp.ones(entity_world.shape[0], bool)
+    inst_changed = changed_e[gscene.inst_entity] & gscene.inst_valid  # (I,)
+
+    # conservative instance bounding spheres in world space
+    amin = gscene.mesh_aabb_min[gscene.inst_mesh]
+    amax = gscene.mesh_aabb_max[gscene.inst_mesh]
+    c_local = (amin + amax) * 0.5
+    r_local = jnp.linalg.norm((amax - amin) * 0.5, axis=-1)
+    iw = entity_world[gscene.inst_entity]  # (I, 4, 4)
+    c_ws = jnp.einsum("iab,ib->ia", iw[:, :3, :3], c_local) + iw[:, :3, 3]
+    scale = jnp.max(jnp.linalg.norm(iw[:, :3, :3], axis=1), axis=-1)
+    r_ws = r_local * scale
+
+    page_ids = jnp.arange(PAGES * PAGES, dtype=jnp.int32)
+    page_x = (page_ids % PAGES).astype(jnp.float32)
+    page_y = (page_ids // PAGES).astype(jnp.float32)
+
+    maps = []
+    dyn_pages_out = []
+    for lvl in range(n_lvls):
+        vp = light_vps[lvl]
+        if prev is not None and "vps" in prev:
+            vp_changed = jnp.any(jnp.abs(vp - prev["vps"][lvl]) > 1e-7)
+        else:
+            vp_changed = jnp.bool_(True)
+
+        # changed-instance footprints in page space (ortho light: ndc radius is
+        # the world radius scaled by the projection diagonal)
+        ch = jnp.concatenate([c_ws, jnp.ones_like(c_ws[:, :1])], axis=-1)
+        clip = jnp.einsum("ab,ib->ia", vp, ch)
+        u = (clip[:, 0] * 0.5 + 0.5) * PAGES
+        v = (clip[:, 1] * 0.5 + 0.5) * PAGES
+        ru = r_ws * jnp.abs(vp[0, 0]) * 0.5 * PAGES
+        rv = r_ws * jnp.abs(vp[1, 1]) * 0.5 * PAGES
+        live = inst_changed
+        lo_u = jnp.where(live, u - ru, 1e9)
+        hi_u = jnp.where(live, u + ru, -1e9)
+        lo_v = jnp.where(live, v - rv, 1e9)
+        hi_v = jnp.where(live, v + rv, -1e9)
+        overlap = (
+            (page_x[:, None] + 1.0 >= lo_u[None, :])
+            & (page_x[:, None] <= hi_u[None, :])
+            & (page_y[:, None] + 1.0 >= lo_v[None, :])
+            & (page_y[:, None] <= hi_v[None, :])
+        )  # (P, I)
+        dyn_pages = jnp.any(overlap, axis=1)  # (P,)
+        dyn_pages_out.append(dyn_pages)
+
+        prev_dyn = (
+            prev["dyn_pages"][lvl]
+            if prev is not None and "dyn_pages" in prev
+            else jnp.ones_like(dyn_pages)
+        )
+        page_invalid = dyn_pages | prev_dyn | vp_changed  # (P,)
+
+        # render only invalid pages
+        planes = math3d.frustum_planes_from_mat(vp)
+        vis = gscene.inst_valid
+        lod = jnp.zeros_like(gscene.inst_mesh)
+        mi_i, mi_m, mi_v = expand_meshlet_instances(gscene, vis, lod, capacity)
+        vm_i, vm_m, vm_v, _ = cull_meshlets(
+            gscene, entity_world, mi_i, mi_m, mi_v, planes, jnp.zeros(3),
+            capacity=capacity, cone_enabled=False,
+        )
+        setup = setup_triangles(
+            gscene, entity_world, vm_i, vm_m, vm_v, vp, s, s, backface_enabled=False
+        )
+        tile_list, _ = bin_meshlets_to_tiles(setup, s, s, PAGE, k_per_tile)
+        tile_list = jnp.where(page_invalid[:, None], tile_list, -1)
+        cm = _pack(setup)
+        platform = jax.devices()[0].platform
+        if platform in ("tpu", "axon"):
+            from ..ops.raster3d import rasterize_pallas
+
+            depth, _ = rasterize_pallas(cm, tile_list, s, s)
+        else:
+            depth, _ = rasterize_reference(cm, tile_list, s, s)
+
+        pix_invalid = jnp.repeat(
+            jnp.repeat(page_invalid.reshape(PAGES, PAGES), PAGE, 0), PAGE, 1
+        )
+        if prev is not None and "maps" in prev:
+            depth = jnp.where(pix_invalid, depth, prev["maps"][lvl])
+        maps.append(depth)
+
+    maps = jnp.stack(maps)
+    carry = {
+        "maps": maps,
+        "vps": light_vps,
+        "dyn_pages": jnp.stack(dyn_pages_out),
+        "world": entity_world,
+    }
+    return maps, carry
+
+
+def _pack(setup):
+    return pack_coeff_matrix(setup["coeffs"], setup["tri_valid"])
+
+
 def resolve_shadows(
     world_pos: Array,   # (H, W, 3)
     hit: Array,         # (H, W)
