@@ -37,8 +37,16 @@ def bench_physics(n_boxes=1022, worlds=64, steps_per_call=60, calls=3, warmup=1,
         # banded (default): Morton-sorted rank bands + analytic hub planes +
         # geometry hoisting (megakernel_banded.py) — ~6x the dense kernel.
         if os.environ.get("OX_BENCH_BANDED", "1") == "1":
-            from oxylus_tpu.physics.megakernel_banded import (
-                megakernel_substeps_banded as mega_fn,
+            from functools import partial
+
+            from oxylus_tpu.physics.megakernel_banded import megakernel_substeps_banded
+
+            # production solver config: warm-started accumulated impulses let 3
+            # sweeps settle the pile BETTER than 10 cold Jacobi sweeps (lower
+            # kinetic energy at rest), and the SAT manifold cache holds for 2
+            # substeps (scripts/tune_warm.py, PERF_NOTES.md)
+            mega_fn = partial(
+                megakernel_substeps_banded, iterations=3, warm=0.7, geom_every=2
             )
         else:
             from oxylus_tpu.physics.megakernel import megakernel_substeps as mega_fn

@@ -40,7 +40,7 @@ def decode_visbuffer(
     tri = (pid & 0xFF) // setup["slots_per_tri"]
 
     clip = setup["clip"][vm_slot, tri]  # (H, W, 3, 4)
-    gvert = setup["gvert"][vm_slot, tri]  # (H, W, 3)
+    packed = setup["packed_verts"][vm_slot, tri]  # (H, W, 3, 8): pos | nrm | uv
 
     # pixel NDC
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
@@ -73,10 +73,10 @@ def decode_visbuffer(
     inv_sum = jnp.where(jnp.abs(bsum) > 1e-12, 1.0 / bsum, 0.0)
     bary = jnp.stack([b0, b1, b2], axis=-1) * inv_sum[..., None]  # (H, W, 3)
 
-    # interpolate attributes
-    nrm_v = gscene.normals[gvert]  # (H, W, 3, 3)
-    uv_v = gscene.uvs[gvert]  # (H, W, 3, 2)
-    pos_v = gscene.positions[gvert]  # (H, W, 3, 3) object space
+    # interpolate attributes (from the prebaked per-meshlet vertex pack)
+    pos_v = packed[..., 0:3]  # (H, W, 3, 3) object space
+    nrm_v = packed[..., 3:6]  # (H, W, 3, 3)
+    uv_v = packed[..., 6:8]  # (H, W, 3, 2)
     normal_obj = jnp.einsum("hwk,hwki->hwi", bary, nrm_v)
     uv = jnp.einsum("hwk,hwki->hwi", bary, uv_v)
     pos_obj = jnp.einsum("hwk,hwki->hwi", bary, pos_v)

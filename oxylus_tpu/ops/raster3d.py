@@ -34,18 +34,18 @@ TILE = 32
 PIX = TILE * TILE  # 1024
 
 
+N_DEPTH_PLANES = 5  # e0 e1 e2 | zn wd (homogeneous raster: depth = zn/wd)
+
+
 def pack_coeff_matrix(coeffs: Array, tri_valid: Array) -> Array:
-    """(VM, R, 12) → (VM, 3, 4R) matmul-ready: rows (a,b,c), cols plane-major
-    [e0·R | e1·R | e2·R | z·R]. Invalid triangles get e0 ≡ -∞ so they never cover.
-    R is the raster-slot count (2× meshlet tris after near clipping)."""
+    """(VM, R, 5, 3) → (VM, 3, 5R) matmul-ready: rows (a,b,c), cols plane-major
+    [e0·R | e1·R | e2·R | zn·R | wd·R]. Invalid triangles already carry e0 ≡ -∞
+    (ops/setup3d.py) so they never cover. R = 64 (one slot per meshlet triangle —
+    homogeneous rasterization needs no near-plane clipping)."""
     vm, r = coeffs.shape[0], coeffs.shape[1]
-    c = coeffs.reshape(vm, r, 4, 3)  # (VM, slot, plane, abc)
-    c = jnp.moveaxis(c, 3, 1)  # (VM, abc, slot, plane)
-    c = jnp.swapaxes(c, 2, 3)  # (VM, 3, 4, R)
-    # kill invalid tris: set edge0 constant to -inf (c row, plane 0)
-    kill = ~tri_valid  # (VM, R)
-    c = c.at[:, 2, 0, :].set(jnp.where(kill, -1e30, c[:, 2, 0, :]))
-    return c.reshape(vm, 3, 4 * r)
+    c = jnp.moveaxis(coeffs, 3, 1)  # (VM, abc, slot, plane)
+    c = jnp.swapaxes(c, 2, 3)  # (VM, 3, 5, R)
+    return c.reshape(vm, 3, N_DEPTH_PLANES * r)
 
 
 def _tile_grid(width: int, height: int) -> tuple[int, int]:
@@ -80,11 +80,17 @@ def rasterize_reference(
         depth, vid = carry
         vm = tile_list[:, k]  # (T,)
         live = vm >= 0
-        cm = coeff_mat[jnp.maximum(vm, 0)]  # (T, 3, 4R)
-        r = cm.shape[-1] // 4
-        e = jnp.einsum("tpc,tcq->tpq", pmat, cm)  # (T, PIX, 4R)
-        e0, e1, e2, z = e[..., :r], e[..., r : 2 * r], e[..., 2 * r : 3 * r], e[..., 3 * r :]
-        cover = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & live[:, None, None]
+        cm = coeff_mat[jnp.maximum(vm, 0)]  # (T, 3, 5R)
+        r = cm.shape[-1] // N_DEPTH_PLANES
+        e = jnp.einsum("tpc,tcq->tpq", pmat, cm)  # (T, PIX, 5R)
+        e0, e1, e2 = e[..., :r], e[..., r : 2 * r], e[..., 2 * r : 3 * r]
+        zn, wd = e[..., 3 * r : 4 * r], e[..., 4 * r :]
+        cover = (
+            (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+            & (wd > 0) & (zn >= 0) & (zn <= wd)
+            & live[:, None, None]
+        )
+        z = zn / jnp.where(wd > 0, wd, 1.0)
         zm = jnp.where(cover, z, -1.0)
         best = jnp.max(zm, axis=-1)  # (T, PIX)
         arg = jnp.argmax(zm, axis=-1).astype(jnp.int32)
@@ -118,7 +124,7 @@ def _raster_kernel(tile_list_ref, cnt_ref, tx_ref, coeff_ref, depth_out, vid_out
     sliced on 8-aligned sublane ranges."""
     t = pl.program_id(0)
     row = t % ROWG
-    n_slots = coeff_ref.shape[-1] // 4  # 4R columns per meshlet; rows padded to 8
+    n_slots = coeff_ref.shape[-1] // N_DEPTH_PLANES  # 5R cols per meshlet; rows padded to 8
 
     tx = tx_ref[0]
     x0 = ((t % tx) * TILE).astype(jnp.float32)
@@ -144,12 +150,14 @@ def _raster_kernel(tile_list_ref, cnt_ref, tx_ref, coeff_ref, depth_out, vid_out
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (4R, PIX) — plane-major rows: e0 | e1 | e2 | z
+        )  # (5R, PIX) — plane-major rows: e0 | e1 | e2 | zn | wd
         e0 = e[0:n_slots, :]
         e1 = e[n_slots : 2 * n_slots, :]
         e2 = e[2 * n_slots : 3 * n_slots, :]
-        z = e[3 * n_slots :, :]
-        cover = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+        zn = e[3 * n_slots : 4 * n_slots, :]
+        wd = e[4 * n_slots :, :]
+        cover = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (wd > 0) & (zn >= 0) & (zn <= wd)
+        z = zn / jnp.where(wd > 0, wd, 1.0)
         zm = jnp.where(cover, z, -1.0)  # (R, PIX)
         best = jnp.max(zm, axis=0, keepdims=True)  # (1, PIX)
         # first-max slot (argmax semantics) via masked min-reduction
@@ -229,34 +237,32 @@ def rasterize(coeff_mat: Array, tile_list: Array, width: int, height: int):
 # G-buffer raster: attributes interpolated in-kernel (no decode gather pass)
 # ---------------------------------------------------------------------------
 
-N_GB_PLANES = 21   # e0 e1 e2 z | 1/w, [wpos xyz, wnrm xyz, uv]/w | 8 material consts
+N_GB_PLANES = 22   # e0 e1 e2 zn wd | ss, [wpos xyz, wnrm xyz, uv] | 8 material consts
 N_GB_ATTR = 16     # per-pixel G-buffer lanes emitted by the kernel
 
 
 def pack_gbuffer_coeff_matrix(
-    coeffs: Array,       # (VM, R, 12) from setup_triangles
-    attr_planes: Array,  # (VM, R, 9, 3) from setup_triangles
+    coeffs: Array,       # (VM, R, 5, 3) from setup_triangles
+    attr_planes: Array,  # (VM, R, 9, 3) from setup_triangles: ss + 8 raw attrs
     tri_valid: Array,    # (VM, R)
     mat_consts: Array,   # (VM, 8) per-meshlet material constants
 ) -> Array:
-    """(VM, 3, 21R) plane-major matmul matrix for the G-buffer raster kernel.
+    """(VM, 3, 22R) plane-major matmul matrix for the G-buffer raster kernel.
 
-    Plane order: e0 e1 e2 z (as pack_coeff_matrix), then 1/w, wpos.xyz/w,
-    wnrm.xyz/w, uv/w, then 8 constant planes (a=b=0, c=material constant) so the
-    kernel's single matmul also broadcasts per-meshlet material parameters —
-    replacing the reference's per-pixel visbuffer_decode.slang material fetch."""
+    Plane order: e0 e1 e2 zn wd (as pack_coeff_matrix), then ss = Σeᵢ and the 8
+    attribute planes Σaᵢ·eᵢ (perspective-correct attr = plane/ss), then 8 constant
+    planes (a=b=0, c=material constant) so the kernel's single matmul also
+    broadcasts per-meshlet material parameters — replacing the reference's
+    per-pixel visbuffer_decode.slang material fetch."""
     vm, r = coeffs.shape[0], coeffs.shape[1]
-    c4 = coeffs.reshape(vm, r, 4, 3)
-    kill = ~tri_valid
-    c4 = c4.at[:, :, 0, 2].set(jnp.where(kill, -1e30, c4[:, :, 0, 2]))
     zero = jnp.zeros((vm, r, 8, 1), coeffs.dtype)
     cplanes = jnp.concatenate(
         [zero, zero, jnp.broadcast_to(mat_consts[:, None, :, None], (vm, r, 8, 1))],
         axis=-1,
     )  # (VM, R, 8, 3)
-    allp = jnp.concatenate([c4, attr_planes, cplanes], axis=2)  # (VM, R, 21, 3)
-    allp = jnp.moveaxis(allp, 3, 1)       # (VM, 3, R, 21)
-    allp = jnp.swapaxes(allp, 2, 3)       # (VM, 3, 21, R)
+    allp = jnp.concatenate([coeffs, attr_planes, cplanes], axis=2)  # (VM, R, 22, 3)
+    allp = jnp.moveaxis(allp, 3, 1)       # (VM, 3, R, 22)
+    allp = jnp.swapaxes(allp, 2, 3)       # (VM, 3, 22, R)
     return allp.reshape(vm, 3, N_GB_PLANES * r)
 
 
@@ -288,7 +294,7 @@ def _gbuffer_kernel(
 
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (n_slots, PIX), 0)
     n = cnt_ref[row, 0]
-    n_attr = N_GB_PLANES - 4  # 1/w + 8 perspective attrs + 8 consts
+    n_attr = N_GB_PLANES - 5  # ss + 8 perspective attrs + 8 consts
 
     def fetch(k, par):
         vm = tile_list_ref[row, jnp.minimum(k, k_cap - 1)]
@@ -320,12 +326,14 @@ def _gbuffer_kernel(
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (21R, PIX)
+        )  # (22R, PIX)
         e0 = e[0:n_slots, :]
         e1 = e[n_slots : 2 * n_slots, :]
         e2 = e[2 * n_slots : 3 * n_slots, :]
-        z = e[3 * n_slots : 4 * n_slots, :]
-        cover = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+        zn = e[3 * n_slots : 4 * n_slots, :]
+        wd = e[4 * n_slots : 5 * n_slots, :]
+        cover = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (wd > 0) & (zn >= 0) & (zn <= wd)
+        z = zn / jnp.where(wd > 0, wd, 1.0)
         zm = jnp.where(cover, z, -1.0)
         best = jnp.max(zm, axis=0, keepdims=True)
         arg = jnp.min(
@@ -340,7 +348,7 @@ def _gbuffer_kernel(
             jnp.where(better, pid, vid),
         ]
         for i in range(n_attr):
-            rows = e[(4 + i) * n_slots : (5 + i) * n_slots, :]
+            rows = e[(5 + i) * n_slots : (6 + i) * n_slots, :]
             val = jnp.sum(jnp.where(winner, rows, 0.0), axis=0, keepdims=True)
             new.append(jnp.where(better, val, attrs[i]))
         return tuple(new)
@@ -359,11 +367,11 @@ def _gbuffer_kernel(
         lambda: None,
     )
     depth, vid = out[0], out[1]
-    invw = out[2]
-    persp = out[3:11]   # wpos xyz, wnrm xyz, uv — stored as q/w
+    ssum = out[2]       # Σeᵢ of the winning slot
+    persp = out[3:11]   # wpos xyz, wnrm xyz, uv — stored as Σaᵢ·eᵢ
     consts = out[11:19]  # material constants
 
-    rw = 1.0 / jnp.where(jnp.abs(invw) > 1e-12, invw, 1.0)
+    rw = 1.0 / jnp.where(jnp.abs(ssum) > 1e-12, ssum, 1.0)
     tp = lambda a: jnp.swapaxes(a, 0, 1)
     depth_out[:, :] = tp(depth)
     vid_out[:, :] = tp(vid)

@@ -50,14 +50,13 @@ def setup_triangles(
     tri_slots = jax.lax.broadcasted_iota(jnp.int32, (vm, TRIS_PER_MESHLET), 1)
     tri_in_range = tri_slots < gscene.ml_tri_count[ml][:, None]
 
-    # double indirection gather: local tri → meshlet vertex slot → global vertex
-    tri_idx = gscene.ml_tri_offset[ml][:, None] + jnp.minimum(
-        tri_slots, jnp.maximum(gscene.ml_tri_count[ml][:, None] - 1, 0)
-    )
-    local3 = gscene.local_triangles[tri_idx]  # (VM, 64, 3) meshlet-local slots
-    vslot = gscene.ml_vertex_offset[ml][:, None, None] + local3
-    gvert = gscene.indirect_vertices[vslot]  # (VM, 64, 3) global vertex index
-    pos = gscene.positions[gvert]  # (VM, 64, 3, 3)
+    # ONE row gather of the prebaked per-meshlet vertex pack replaces the
+    # double-indirection chain (`scene.slang:335-366`) — gathers are the expensive
+    # primitive on this target (PERF_NOTES.md)
+    packed = gscene.ml_packed_verts[ml]  # (VM, 64, 3, 8): pos | nrm | uv
+    pos = packed[..., 0:3]
+    nrm_v = packed[..., 3:6]
+    uv_v = packed[..., 6:8]
 
     # transform: MVP = view_proj @ instance world
     world = entity_world[gscene.inst_entity[vm_instance]]  # (VM,4,4)
@@ -65,160 +64,103 @@ def setup_triangles(
     pos_h = jnp.concatenate([pos, jnp.ones_like(pos[..., :1])], axis=-1)  # (VM,64,3,4)
     clip = jnp.einsum("vik,vtck->vtci", mvp, pos_h)  # (VM,64,3,4)
 
-    # per-vertex attributes carried through clipping so the raster kernel can emit
-    # the G-buffer directly (the per-pixel decode gather pass costs ~0.5 s at 1080p
+    # per-vertex attributes interpolated by the raster kernel so it can emit the
+    # G-buffer directly (the per-pixel decode gather pass costs ~0.5 s at 1080p
     # on this target — PERF_NOTES.md): world position, world normal, uv → (VM,64,3,8)
-    nrm_v = gscene.normals[gvert]
-    uv_v = gscene.uvs[gvert]
     wpos_v = jnp.einsum("vij,vtcj->vtci", world[:, :3, :3], pos) + world[:, None, None, :3, 3]
     wnrm_v = jnp.einsum("vij,vtcj->vtci", world[:, :3, :3], nrm_v)
     attrs = jnp.concatenate([wpos_v, wnrm_v, uv_v], axis=-1)  # (VM,64,3,8)
 
-    # ---- homogeneous near-plane clipping (w = eps) --------------------------
-    # Each triangle yields up to SUBS_PER_TRI clipped sub-triangles; raster slot
-    # r = tri*2 + s, so the visbuffer id still fits 8 bits and decode recovers the
-    # source triangle as r // 2 (attributes always interpolate from the ORIGINAL
-    # clip verts, which is exact for any pixel the clipped geometry covers).
-    # clip at w = near_w (≈ the camera near plane): clipping at a tiny epsilon would
-    # project clipped vertices to ~1e6-pixel coordinates and destroy f32 edge precision
-    w_eps = near_w
-    w_all = clip[..., 3]  # (VM,64,3)
-    inside = w_all > w_eps
-    case = (
-        inside[..., 0].astype(jnp.int32)
-        + inside[..., 1].astype(jnp.int32) * 2
-        + inside[..., 2].astype(jnp.int32) * 4
-    )  # (VM,64) in 0..7
-    perm_table = jnp.array(
-        [
-            [0, 1, 2], [0, 1, 2], [1, 2, 0], [0, 1, 2],
-            [2, 0, 1], [2, 0, 1], [1, 2, 0], [0, 1, 2],
-        ],
-        jnp.int32,
-    )
-    n_in_table = jnp.array([0, 1, 1, 2, 1, 2, 2, 3], jnp.int32)
-    perm = perm_table[case]          # (VM,64,3)
-    n_in = n_in_table[case]          # (VM,64)
-    pc = jnp.take_along_axis(clip, perm[..., None], axis=2)  # permuted clip verts
-    at = jnp.take_along_axis(attrs, perm[..., None], axis=2)  # permuted attributes
-    a, bb, cc = pc[..., 0, :], pc[..., 1, :], pc[..., 2, :]
-    aa_, ab_, ac_ = at[..., 0, :], at[..., 1, :], at[..., 2, :]
+    # ---- homogeneous (Olano–Greer) triangle setup ---------------------------
+    # No near-plane clipping: edge functions are built directly from the 2D
+    # homogeneous pixel coordinates (x_pix·w, y_pix·w, w). The visible region of
+    # any triangle — including ones crossing w = 0 — is exactly where all three
+    # edge forms are positive and the interpolated w is positive, so the clipping
+    # stage (and its 2× raster-slot blowup) disappears: R = 64, not 128.
+    x_c = clip[..., 0]
+    y_c = clip[..., 1]
+    z_c = clip[..., 2]
+    w_c = clip[..., 3]  # (VM, 64, 3)
+    xp = (x_c * 0.5 + 0.5 * w_c) * width
+    yp = (y_c * 0.5 + 0.5 * w_c) * height
+    v = jnp.stack([xp, yp, w_c], axis=-1)  # (VM, 64, 3 verts, 3)
 
-    def clip_t(p0, p1):
-        t = (w_eps - p0[..., 3]) / jnp.where(
-            jnp.abs(p1[..., 3] - p0[..., 3]) > 1e-12, p1[..., 3] - p0[..., 3], 1e-12
+    def cross3(a, b):
+        return jnp.stack(
+            [
+                a[..., 1] * b[..., 2] - a[..., 2] * b[..., 1],
+                a[..., 2] * b[..., 0] - a[..., 0] * b[..., 2],
+                a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0],
+            ],
+            axis=-1,
         )
-        return jnp.clip(t, 0.0, 1.0)[..., None]
 
-    t_ab = clip_t(a, bb)
-    t_ac = clip_t(a, cc)
-    t_bc = clip_t(bb, cc)
-    i_ab = a + (bb - a) * t_ab
-    i_ac = a + (cc - a) * t_ac
-    i_bc = bb + (cc - bb) * t_bc
-    # attributes are linear in clip space → same lerp weights
-    ai_ab = aa_ + (ab_ - aa_) * t_ab
-    ai_ac = aa_ + (ac_ - aa_) * t_ac
-    ai_bc = ab_ + (ac_ - ab_) * t_bc
+    v0, v1, v2 = v[..., 0, :], v[..., 1, :], v[..., 2, :]
+    e0 = cross3(v1, v2)  # (VM, 64, 3) coefficients over (px, py, 1)
+    e1 = cross3(v2, v0)
+    e2 = cross3(v0, v1)
+    det = jnp.sum(e0 * v0, axis=-1)  # = det[v0 v1 v2]; det < 0 ⇔ front (CCW)
 
-    one = n_in[..., None, None] == 1
-    two = n_in[..., None, None] == 2
-    # sub0: count==1 → (A, I_AB, I_AC); count==2 → (A, B, I_BC); count==3 → (A, B, C)
-    sub0 = jnp.stack([a, bb, cc], axis=-2)
-    sub0 = jnp.where(one, jnp.stack([a, i_ab, i_ac], axis=-2), sub0)
-    sub0 = jnp.where(two, jnp.stack([a, bb, i_bc], axis=-2), sub0)
-    # sub1: only for count==2 → (A, I_BC, I_AC)
-    sub1 = jnp.stack([a, i_bc, i_ac], axis=-2)
-    asub0 = jnp.stack([aa_, ab_, ac_], axis=-2)
-    asub0 = jnp.where(one, jnp.stack([aa_, ai_ab, ai_ac], axis=-2), asub0)
-    asub0 = jnp.where(two, jnp.stack([aa_, ab_, ai_bc], axis=-2), asub0)
-    asub1 = jnp.stack([aa_, ai_bc, ai_ac], axis=-2)
-    sub0_live = n_in >= 1
-    sub1_live = n_in == 2
+    front = det < 0.0
+    keep_winding = jnp.where(jnp.asarray(backface_enabled), front, jnp.abs(det) > 1e-20)
+    tri_valid = tri_in_range & keep_winding & (jnp.abs(det) > 1e-20) & vm_valid[:, None]
+    # fully behind the near plane → reject (w test; exact for perspective)
+    all_behind = jnp.all(w_c < near_w, axis=-1)
+    tri_valid = tri_valid & ~all_behind
 
-    # interleave: raster slot r = tri*2 + s  → (VM, 128, 3, 4)
-    subs = jnp.stack([sub0, sub1], axis=2).reshape(vm, TRIS_PER_MESHLET * 2, 3, 4)
-    asubs = jnp.stack([asub0, asub1], axis=2).reshape(vm, TRIS_PER_MESHLET * 2, 3, 8)
-    sub_live = jnp.stack([sub0_live, sub1_live], axis=2).reshape(vm, TRIS_PER_MESHLET * 2)
-    tri_of_slot = jax.lax.broadcasted_iota(jnp.int32, (vm, TRIS_PER_MESHLET * 2), 1) // 2
-    slot_in_range = jnp.repeat(tri_in_range, 2, axis=1)
+    # orientation + scale normalization: inside ⇔ sign(det)·e > 0; scale so edge
+    # evaluations live at pixel magnitude (the raw cross products are ~(px·w)²)
+    maxc = jnp.maximum(
+        jnp.max(jnp.abs(e0), axis=-1),
+        jnp.maximum(jnp.max(jnp.abs(e1), axis=-1), jnp.max(jnp.abs(e2), axis=-1)),
+    )
+    s = jnp.where(det < 0.0, -1.0, 1.0) / jnp.maximum(maxc, 1e-30)
+    e0 = e0 * s[..., None]
+    e1 = e1 * s[..., None]
+    e2 = e2 * s[..., None]
 
-    # ---- screen projection of clipped sub-triangles -------------------------
-    wsub = jnp.maximum(subs[..., 3], w_eps * 0.5)
-    ndc = subs[..., :3] / wsub[..., None]
-    sx = (ndc[..., 0] * 0.5 + 0.5) * width   # (VM,128,3)
-    sy = (ndc[..., 1] * 0.5 + 0.5) * height
-    sz = ndc[..., 2]
+    # linear-in-clip planes: zn = Σ zᵢ·eᵢ, wd = Σ wᵢ·eᵢ, ss = Σ eᵢ. Per pixel the
+    # reverse-Z depth is zn/wd (0 far … 1 near); cover additionally requires
+    # wd > 0 (in front of the eye) and 0 ≤ zn ≤ wd (inside the depth range —
+    # subsuming the near/far clip). Attributes interpolate perspective-correctly
+    # as (Σ aᵢ·eᵢ) / ss  [Olano & Greer 1997, 2D homogeneous rasterization].
+    zn = (
+        e0 * z_c[..., 0, None] + e1 * z_c[..., 1, None] + e2 * z_c[..., 2, None]
+    )
+    wd = (
+        e0 * w_c[..., 0, None] + e1 * w_c[..., 1, None] + e2 * w_c[..., 2, None]
+    )
+    ss = e0 + e1 + e2
 
-    # backface: signed area in screen space (winding preserved by rotation/clipping;
-    # CCW front → CW on screen after the projection's Y flip, i.e. area2 < 0)
-    area2 = (sx[..., 1] - sx[..., 0]) * (sy[..., 2] - sy[..., 0]) - (
-        sx[..., 2] - sx[..., 0]
-    ) * (sy[..., 1] - sy[..., 0])
-    front = jnp.where(jnp.asarray(backface_enabled), area2 < 0.0, jnp.abs(area2) > 1e-12)
-    degenerate = jnp.abs(area2) < 1e-12
+    coeffs = jnp.stack([e0, e1, e2, zn, wd], axis=-2)  # (VM, 64, 5, 3)
+    coeffs = jnp.where(tri_valid[..., None, None], coeffs, 0.0)
+    # kill invalid slots: e0 ≡ -1e30 never covers
+    coeffs = coeffs.at[..., 0, 2].set(jnp.where(tri_valid, coeffs[..., 0, 2], -1e30))
 
-    tri_valid = slot_in_range & sub_live & front & ~degenerate & vm_valid[:, None]
-
-    # edge functions oriented so inside ≥ 0:
-    def edge(jx, jy, kx, ky):
-        ea = jy - ky
-        eb = -(jx - kx)
-        ec = -(ea * kx + eb * ky)
-        return ea, eb, ec
-
-    e0 = edge(sx[..., 1], sy[..., 1], sx[..., 2], sy[..., 2])
-    e1 = edge(sx[..., 2], sy[..., 2], sx[..., 0], sy[..., 0])
-    e2 = edge(sx[..., 0], sy[..., 0], sx[..., 1], sy[..., 1])
-    flip = jnp.where(area2 < 0.0, -1.0, 1.0)  # make inside-positive
-
-    # depth plane z(x, y) = Σ zi · Ei(x,y) / Σ Ei (affine in screen space)
-    inv_area = jnp.where(jnp.abs(area2) > 1e-12, 1.0 / area2, 0.0)
-    za = (e0[0] * sz[..., 0] + e1[0] * sz[..., 1] + e2[0] * sz[..., 2]) * -inv_area * flip
-    zb = (e0[1] * sz[..., 0] + e1[1] * sz[..., 1] + e2[1] * sz[..., 2]) * -inv_area * flip
-    zc = (e0[2] * sz[..., 0] + e1[2] * sz[..., 1] + e2[2] * sz[..., 2]) * -inv_area * flip
-
-    coeffs = jnp.stack(
-        [
-            e0[0] * flip, e0[1] * flip, e0[2] * flip,
-            e1[0] * flip, e1[1] * flip, e1[2] * flip,
-            e2[0] * flip, e2[1] * flip, e2[2] * flip,
-            za, zb, zc,
-        ],
-        axis=-1,
-    )  # (VM, 128, 12)
-    coeffs = jnp.where(tri_valid[..., None], coeffs, 0.0)
-
-    # attribute planes for the G-buffer raster: every vertex quantity q is
-    # interpolated perspective-correctly as plane(q/w) / plane(1/w); both are affine
-    # in screen space, so they use the same Σ vᵢ·Eᵢ / area construction as depth.
-    # Layout: plane 0 = 1/w, planes 1..8 = [wpos xyz, wnrm xyz, uv] / w.
-    inv_wv = 1.0 / jnp.maximum(wsub, w_eps * 0.25)  # (VM, 128, 3)
-    over_w = jnp.concatenate(
-        [inv_wv[..., None], asubs * inv_wv[..., None]], axis=-1
-    )  # (VM, 128, 3, 9)
-
-    def plane_of(q):  # q: (VM, 128, 3) per-sub-vertex values → (VM, 128, 3) abc
-        pa = (e0[0] * q[..., 0] + e1[0] * q[..., 1] + e2[0] * q[..., 2]) * -inv_area * flip
-        pb = (e0[1] * q[..., 0] + e1[1] * q[..., 1] + e2[1] * q[..., 2]) * -inv_area * flip
-        pc_ = (e0[2] * q[..., 0] + e1[2] * q[..., 1] + e2[2] * q[..., 2]) * -inv_area * flip
-        return jnp.stack([pa, pb, pc_], axis=-1)
-
-    attr_planes = jnp.stack(
-        [plane_of(over_w[..., i]) for i in range(9)], axis=-2
-    )  # (VM, 128, 9, 3)
+    # attribute planes (raw attribute values × edge forms; resolve divides by ss)
+    e_stack = jnp.stack([e0, e1, e2], axis=-2)  # (VM, 64, vert, coeff)
+    attr_planes = jnp.einsum("vtna,vtnc->vtac", attrs, e_stack)  # (VM, 64, 8, 3)
+    attr_planes = jnp.concatenate([ss[..., None, :], attr_planes], axis=-2)  # (VM,64,9,3)
     attr_planes = jnp.where(tri_valid[..., None, None], attr_planes, 0.0)
 
     vm_slot = jax.lax.broadcasted_iota(jnp.int32, tri_valid.shape, 0)
     raster_slot = jax.lax.broadcasted_iota(jnp.int32, tri_valid.shape, 1)
     packed_id = (vm_slot << 8) | raster_slot  # visbuffer.slang packing, vm-slot-relative
 
-    # meshlet screen bounds from valid sub-triangles
+    # screen bounds for binning: triangles with any vertex near/behind w = 0
+    # project unboundedly → conservatively bin them to the whole screen
+    safe = w_c > near_w
+    all_safe = jnp.all(safe, axis=-1)
+    wsafe = jnp.where(safe, w_c, 1.0)
+    sx = jnp.where(safe, (x_c / wsafe * 0.5 + 0.5) * width, 0.0)
+    sy = jnp.where(safe, (y_c / wsafe * 0.5 + 0.5) * height, 0.0)
+    sz = jnp.where(safe, z_c / wsafe, 1.0)  # behind-near ⇒ nearest (conservative)
+
     big = jnp.float32(1e9)
-    txmin = jnp.where(tri_valid, jnp.min(sx, -1), big)
-    txmax = jnp.where(tri_valid, jnp.max(sx, -1), -big)
-    tymin = jnp.where(tri_valid, jnp.min(sy, -1), big)
-    tymax = jnp.where(tri_valid, jnp.max(sy, -1), -big)
+    txmin = jnp.where(tri_valid, jnp.where(all_safe, jnp.min(sx, -1), 0.0), big)
+    txmax = jnp.where(tri_valid, jnp.where(all_safe, jnp.max(sx, -1), float(width)), -big)
+    tymin = jnp.where(tri_valid, jnp.where(all_safe, jnp.min(sy, -1), 0.0), big)
+    tymax = jnp.where(tri_valid, jnp.where(all_safe, jnp.max(sy, -1), float(height)), -big)
     ml_xmin = jnp.min(txmin, axis=-1)
     ml_xmax = jnp.max(txmax, axis=-1)
     ml_ymin = jnp.min(tymin, axis=-1)
@@ -229,14 +171,14 @@ def setup_triangles(
         "attr_planes": attr_planes,
         "tri_valid": tri_valid,
         "packed_id": packed_id,
-        "slots_per_tri": 2,
-        "tri_of_slot": tri_of_slot,
+        "slots_per_tri": 1,
+        "tri_of_slot": raster_slot,
         "ml_xmin": ml_xmin,
         "ml_xmax": ml_xmax,
         "ml_ymin": ml_ymin,
         "ml_ymax": ml_ymax,
         "clip": clip,
-        "gvert": gvert,
+        "packed_verts": packed,
         "sxyz": jnp.stack([sx, sy, sz], axis=-1),
     }
 

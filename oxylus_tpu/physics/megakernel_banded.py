@@ -49,13 +49,22 @@ Array = jax.Array
 
 BCHUNK = 128          # rows per pair block (sublane-aligned chunks of ranks)
 BAND = 128            # max |rank_a - rank_b| for a pair to be considered
-SLAB = BCHUNK + 2 * BAND  # 384 columns per chunk, lane-aligned offsets
+SLAB = BCHUNK + 2 * BAND  # 384 columns per chunk, 128-aligned slab offsets
+# (BCHUNK=64/BAND=160 was tried for a wider band at equal pair-space cost, but
+# doubling the chunk count + unaligned slab slices cost ~43% wall-clock — the
+# per-chunk transposes and hoisted loads dominate. The slab sort key below keeps
+# worst-case pair rank distance ≈ slab population (~136 on the flagship pile),
+# so the 128 band misses only the farthest ~1% lateral pairs for one launch.)
 
+LAM_DT = jnp.bfloat16  # pair impulse caches: a warm-start hint tolerates 8-bit
+                       # mantissas, and bf16 halves 12 (B, SLAB) scratch arrays
 N_SLOT = 4            # manifold points per pair (box-box uses all 4)
 N_GEOM = 3 + 5 * N_SLOT   # big (B, SLAB) geometry scratch arrays
+N_WARM = 4 * N_SLOT   # per-slot impulse caches (lam_n, lam_t xyz) for warm starting
 N_PLANE = 4           # analytic bounded-plane slots (large static "hub" boxes)
 PLANE_SC = 16         # scalars per plane in the scalar block
-N_SMALL = 13 + 9 + 3 + 3 + 4 + N_PLANE * N_SLOT * 5  # (1, B) scratch arrays
+N_SMALL = 13 + 9 + 3 + 3 + 4 + N_PLANE * N_SLOT * 5 + 1  # (1, B) scratch arrays
+N_PWARM = N_PLANE * N_SLOT * 4  # plane-contact impulse caches, (1, B) each
 
 
 def _slab_start(c: int, b: int) -> int:
@@ -79,6 +88,8 @@ def _banded_kernel(
     *scratch,
     iterations: int,
     n_bodies: int,
+    warm: float = 0.0,
+    geom_every: int = 1,
 ):
     dt = scalars_ref[0]
     g = (scalars_ref[1], scalars_ref[2], scalars_ref[3])
@@ -92,7 +103,29 @@ def _banded_kernel(
 
     # ---- unpack scratch ----------------------------------------------------
     geom = scratch[:N_GEOM]
-    small = scratch[N_GEOM:]
+    off = N_GEOM
+    if geom_every > 1:
+        g_d0 = scratch[off : off + N_SLOT]  # cached contact depth per slot
+        off += N_SLOT
+    if warm > 0.0:
+        lam = scratch[off : off + N_WARM]
+        off += N_WARM
+        plam = scratch[off : off + N_PWARM]
+        off += N_PWARM
+        small = scratch[off:]
+        # per slot: [lam_n, lam_tx, lam_ty, lam_tz] (B, SLAB)
+        g_lam = [lam[4 * k : 4 * (k + 1)] for k in range(N_SLOT)]
+        # per (plane, slot): [lam_n, lam_tx, lam_ty, lam_tz] (1, B)
+        p_lam = [
+            [plam[(p * N_SLOT + k) * 4 : (p * N_SLOT + k) * 4 + 4] for k in range(N_SLOT)]
+            for p in range(N_PLANE)
+        ]
+        for ref in lam:
+            ref[:] = jnp.zeros_like(ref[:])
+        for ref in plam:
+            ref[:] = jnp.zeros_like(ref[:])
+    else:
+        small = scratch[off:]
     (g_nx, g_ny, g_nz) = geom[:3]
     g_ra = [geom[3 + 5 * k : 3 + 5 * (k + 1)] for k in range(N_SLOT)]
     (
@@ -103,11 +136,15 @@ def _banded_kernel(
         s_cax, s_cay, s_caz,
         s_ime, s_imex, s_imey, s_imez,
     ) = small[:32]
+    n_psmall = 32 + N_PLANE * N_SLOT * 5
     # per (plane, slot): [rax, ray, raz, ikn, bias]
     p_geo = [
         [small[32 + (p * N_SLOT + k) * 5 : 32 + (p * N_SLOT + k) * 5 + 5] for k in range(N_SLOT)]
         for p in range(N_PLANE)
     ]
+    s_paircnt = small[n_psmall]  # cached pair-contact counts (1, B)
+    if geom_every > 1:
+        s_px0, s_py0, s_pz0 = small[n_psmall + 1 : n_psmall + 4]  # positions at last SAT
 
     def plane_scalars(p):
         o = 8 + p * PLANE_SC
@@ -134,7 +171,7 @@ def _banded_kernel(
         """Slab lanes of a (1, B) ref as a (1, SLAB) row."""
         return ref[0:1, cs : cs + SLAB]
 
-    def body_substep(_, carry):
+    def body_substep(step_i, carry):
         # --- integrate velocities (gravity; dynamics only) -------------------
         grav_dt = grav[:] * dynamic[:] * dt
         s_vx[:] = s_vx[:] + g[0] * grav_dt
@@ -161,9 +198,14 @@ def _banded_kernel(
         s_cay[:] = s_r11[:] * hlen[:]
         s_caz[:] = s_r21[:] * hlen[:]
 
-        # ============== phase 1: geometry + AABB counts, once per substep ======
-        row_counts = []
-        for _c in range(n_chunks):
+        # ============== phase 1: geometry + AABB counts ========================
+        # With geom_every > 1 the SAT manifold build runs on every geom_every-th
+        # substep (the Jolt-style contact cache, `BodyPairCache`); between
+        # rebuilds only the Baumgarte bias is refreshed from the cached depth
+        # and the position drift along the cached normal.
+        def build_pair_geometry():
+          row_counts = []
+          for _c in range(n_chunks):
             start = _c * BCHUNK
             cs = _slab_start(_c, b)
             row = lambda ref: rowT(ref, start)
@@ -453,11 +495,42 @@ def _banded_kernel(
                 # non-touching pairs get bias = -1e30: lam = max(0, -(vn-bias)/kn)
                 # and lam_t = min(tvl/kn, mu*lam) both collapse to 0 — no separate
                 # touching-mask cache needed
+                d0v = jnp.where(active, depth, -1e30)
+                if geom_every > 1:
+                    g_d0[k][sl, :] = d0v
                 s_bias[sl, :] = jnp.where(
-                    active & (depth > 0.0),
-                    baumgarte / dt * jnp.maximum(depth - slop, 0.0),
+                    d0v > 0.0,
+                    baumgarte / dt * jnp.maximum(d0v - slop, 0.0),
                     -1e30,
                 )
+          s_paircnt[:] = (
+              row_counts[0] if n_chunks == 1 else jnp.concatenate(row_counts, axis=1)
+          )
+          if geom_every > 1:
+              s_px0[:] = s_px[:]; s_py0[:] = s_py[:]; s_pz0[:] = s_pz[:]
+
+        def refresh_pair_bias():
+          for _c in range(n_chunks):
+            start = _c * BCHUNK
+            cs = _slab_start(_c, b)
+            sl = slice(start, start + BCHUNK)
+            ddx = (colS(s_px, cs) - colS(s_px0, cs)) - (rowT(s_px, start) - rowT(s_px0, start))
+            ddy = (colS(s_py, cs) - colS(s_py0, cs)) - (rowT(s_py, start) - rowT(s_py0, start))
+            ddz = (colS(s_pz, cs) - colS(s_pz0, cs)) - (rowT(s_pz, start) - rowT(s_pz0, start))
+            nx = g_nx[sl, :]; ny = g_ny[sl, :]; nz = g_nz[sl, :]
+            for k in range(N_SLOT):
+                _1, _2, _3, _4, s_bias = g_ra[k]
+                d = g_d0[k][sl, :] - (ddx * nx + ddy * ny + ddz * nz)
+                s_bias[sl, :] = jnp.where(
+                    d > 0.0, baumgarte / dt * jnp.maximum(d - slop, 0.0), -1e30
+                )
+
+        if geom_every > 1:
+            rebuild = (step_i % geom_every) == 0
+            pl.when(rebuild)(build_pair_geometry)
+            pl.when(jnp.logical_not(rebuild))(refresh_pair_bias)
+        else:
+            build_pair_geometry()
 
         # ---- analytic bounded planes (large static hub boxes) ----------------
         # Each plane is a two-sided slab face: bodies contact the side they are on.
@@ -552,17 +625,16 @@ def _banded_kernel(
                 )
                 plane_cnt = plane_cnt + touching.astype(jnp.float32)
 
-        cnt = (
-            row_counts[0] if n_chunks == 1 else jnp.concatenate(row_counts, axis=1)
-        ) + plane_cnt
+        cnt = s_paircnt[:] + plane_cnt
         split = jnp.maximum(cnt, 1.0)
         s_ime[:] = inv_mass[:] * split
         s_imex[:] = im3x[:] * split
         s_imey[:] = im3y[:] * split
         s_imez[:] = im3z[:] * split
 
-        # ============== phase 2: effective masses (1/kn), once per substep =====
-        for _c in range(n_chunks):
+        # ============== phase 2: effective masses (1/kn) =======================
+        def build_pair_ikn():
+          for _c in range(n_chunks):
             start = _c * BCHUNK
             cs = _slab_start(_c, b)
             sl = slice(start, start + BCHUNK)
@@ -596,6 +668,11 @@ def _banded_kernel(
                 kn = row(s_ime) + col(s_ime) + ang_a + ang_b + 1e-9
                 s_ikn[sl, :] = 1.0 / kn
 
+        if geom_every > 1:
+            pl.when((step_i % geom_every) == 0)(build_pair_ikn)
+        else:
+            build_pair_ikn()
+
         # plane-contact effective masses (body side only; plane is infinite mass)
         for p in range(N_PLANE):
             P = plane_scalars(p)
@@ -620,7 +697,13 @@ def _banded_kernel(
                 s_pikn[:] = 1.0 / kn
 
         # ============== phase 3: solver sweeps over cached geometry ============
-        def solve_iter(_, icarry):
+        # warm > 0 switches the sweep math to accumulated-impulse clamping with
+        # per-slot lambda caches: a "warm" pass first re-applies decay*lambda_prev
+        # (contacts persist across substeps since rank assignment is fixed per
+        # launch), then each sweep adjusts the accumulated lambda and applies only
+        # the delta. Resting stacks then start each substep pre-loaded with the
+        # correct impulse, so ~4 sweeps match 10 cold Jacobi sweeps.
+        def solve_iter(_, icarry, is_warm=False):
             row_parts = []
             colacc = [jnp.zeros((1, b), jnp.float32) for _ in range(6)]
             for _c in range(n_chunks):
@@ -657,10 +740,73 @@ def _banded_kernel(
                     ikn = s_ikn[sl, :]; bias = s_bias[sl, :]
                     rbx = rax - dxc; rby = ray - dyc; rbz = raz - dzc
 
+                    if is_warm:
+                        # re-apply decayed cached impulses to kick-start the substep
+                        s_ln, s_ltx, s_lty, s_ltz = g_lam[k]
+                        touch = (bias > -1e29).astype(jnp.float32) * warm
+                        # round through the bf16 cache dtype so applied == cached
+                        lamw = (s_ln[sl, :].astype(jnp.float32) * touch).astype(LAM_DT)
+                        ltxw = (s_ltx[sl, :].astype(jnp.float32) * touch).astype(LAM_DT)
+                        ltyw = (s_lty[sl, :].astype(jnp.float32) * touch).astype(LAM_DT)
+                        ltzw = (s_ltz[sl, :].astype(jnp.float32) * touch).astype(LAM_DT)
+                        jx = nx * lamw.astype(jnp.float32) + ltxw.astype(jnp.float32)
+                        jy = ny * lamw.astype(jnp.float32) + ltyw.astype(jnp.float32)
+                        jz = nz * lamw.astype(jnp.float32) + ltzw.astype(jnp.float32)
+                        s_ln[sl, :] = lamw
+                        s_ltx[sl, :] = ltxw
+                        s_lty[sl, :] = ltyw
+                        s_ltz[sl, :] = ltzw
+                        jx_t = jx_t + jx; jy_t = jy_t + jy; jz_t = jz_t + jz
+                        ta_x = ta_x + ray * jz - raz * jy
+                        ta_y = ta_y + raz * jx - rax * jz
+                        ta_z = ta_z + rax * jy - ray * jx
+                        tb_x = tb_x + rby * jz - rbz * jy
+                        tb_y = tb_y + rbz * jx - rbx * jz
+                        tb_z = tb_z + rbx * jy - rby * jx
+                        continue
+
                     rvx = c_vx + c_wy * rbz - c_wz * rby - (r_vx + r_wy * raz - r_wz * ray)
                     rvy = c_vy + c_wz * rbx - c_wx * rbz - (r_vy + r_wz * rax - r_wx * raz)
                     rvz = c_vz + c_wx * rby - c_wy * rbx - (r_vz + r_wx * ray - r_wy * rax)
                     vn = rvx * nx + rvy * ny + rvz * nz
+
+                    if warm > 0.0:
+                        # accumulated-impulse clamp: adjust cached lambda, apply delta
+                        # (deltas computed against the bf16-rounded stored values so
+                        # the velocity state and the cache never drift apart)
+                        s_ln, s_ltx, s_lty, s_ltz = g_lam[k]
+                        ln_old = s_ln[sl, :].astype(jnp.float32)
+                        ln_store = jnp.maximum(ln_old - (vn - bias) * ikn, 0.0).astype(LAM_DT)
+                        ln_new = ln_store.astype(jnp.float32)
+                        dlam = ln_new - ln_old
+                        s_ln[sl, :] = ln_store
+
+                        tvx = rvx - vn * nx
+                        tvy = rvy - vn * ny
+                        tvz = rvz - vn * nz
+                        ltx_old = s_ltx[sl, :].astype(jnp.float32)
+                        lty_old = s_lty[sl, :].astype(jnp.float32)
+                        ltz_old = s_ltz[sl, :].astype(jnp.float32)
+                        ltx_c = ltx_old - tvx * ikn
+                        lty_c = lty_old - tvy * ikn
+                        ltz_c = ltz_old - tvz * ikn
+                        ltl = jnp.sqrt(ltx_c * ltx_c + lty_c * lty_c + ltz_c * ltz_c) + 1e-9
+                        tscale = jnp.minimum(mu * ln_new / ltl, 1.0)
+                        ltx_s = (ltx_c * tscale).astype(LAM_DT)
+                        lty_s = (lty_c * tscale).astype(LAM_DT)
+                        ltz_s = (ltz_c * tscale).astype(LAM_DT)
+                        s_ltx[sl, :] = ltx_s; s_lty[sl, :] = lty_s; s_ltz[sl, :] = ltz_s
+                        jx = nx * dlam + (ltx_s.astype(jnp.float32) - ltx_old)
+                        jy = ny * dlam + (lty_s.astype(jnp.float32) - lty_old)
+                        jz = nz * dlam + (ltz_s.astype(jnp.float32) - ltz_old)
+                        jx_t = jx_t + jx; jy_t = jy_t + jy; jz_t = jz_t + jz
+                        ta_x = ta_x + ray * jz - raz * jy
+                        ta_y = ta_y + raz * jx - rax * jz
+                        ta_z = ta_z + rax * jy - ray * jx
+                        tb_x = tb_x + rby * jz - rbz * jy
+                        tb_y = tb_y + rbz * jx - rbx * jz
+                        tb_z = tb_z + rbx * jy - rby * jx
+                        continue
 
                     lam = jnp.maximum(-(vn - bias) * ikn, 0.0)
 
@@ -728,10 +874,55 @@ def _banded_kernel(
                     s_prax, s_pray, s_praz, s_pikn, s_pbias = p_geo[p][k]
                     rax = s_prax[:]; ray = s_pray[:]; raz = s_praz[:]
                     ikn = s_pikn[:]; bias = s_pbias[:]
+
+                    if is_warm:
+                        s_ln, s_ltx, s_lty, s_ltz = p_lam[p][k]
+                        touch = (bias > -1e29).astype(jnp.float32) * warm
+                        lamw = s_ln[:] * touch
+                        jx = nex * lamw + s_ltx[:] * touch
+                        jy = ney * lamw + s_lty[:] * touch
+                        jz = nez * lamw + s_ltz[:] * touch
+                        s_ln[:] = lamw
+                        s_ltx[:] = s_ltx[:] * touch
+                        s_lty[:] = s_lty[:] * touch
+                        s_ltz[:] = s_ltz[:] * touch
+                        accx = accx + jx; accy = accy + jy; accz = accz + jz
+                        tqx = tqx + ray * jz - raz * jy
+                        tqy = tqy + raz * jx - rax * jz
+                        tqz = tqz + rax * jy - ray * jx
+                        continue
+
                     rvx = bvx + bwy * raz - bwz * ray
                     rvy = bvy + bwz * rax - bwx * raz
                     rvz = bvz + bwx * ray - bwy * rax
                     vn = rvx * nex + rvy * ney + rvz * nez
+
+                    if warm > 0.0:
+                        s_ln, s_ltx, s_lty, s_ltz = p_lam[p][k]
+                        ln_old = s_ln[:]
+                        ln_new = jnp.maximum(ln_old - (vn - bias) * ikn, 0.0)
+                        dlam = ln_new - ln_old
+                        s_ln[:] = ln_new
+                        tvx = rvx - vn * nex
+                        tvy = rvy - vn * ney
+                        tvz = rvz - vn * nez
+                        ltx_old = s_ltx[:]; lty_old = s_lty[:]; ltz_old = s_ltz[:]
+                        ltx_c = ltx_old - tvx * ikn
+                        lty_c = lty_old - tvy * ikn
+                        ltz_c = ltz_old - tvz * ikn
+                        ltl = jnp.sqrt(ltx_c * ltx_c + lty_c * lty_c + ltz_c * ltz_c) + 1e-9
+                        tscale = jnp.minimum(mu_p * ln_new / ltl, 1.0)
+                        ltx_n = ltx_c * tscale; lty_n = lty_c * tscale; ltz_n = ltz_c * tscale
+                        s_ltx[:] = ltx_n; s_lty[:] = lty_n; s_ltz[:] = ltz_n
+                        jx = nex * dlam + (ltx_n - ltx_old)
+                        jy = ney * dlam + (lty_n - lty_old)
+                        jz = nez * dlam + (ltz_n - ltz_old)
+                        accx = accx + jx; accy = accy + jy; accz = accz + jz
+                        tqx = tqx + ray * jz - raz * jy
+                        tqy = tqy + raz * jx - rax * jz
+                        tqz = tqz + rax * jy - ray * jx
+                        continue
+
                     lam = jnp.maximum(-(vn - bias) * ikn, 0.0)
                     tvx = rvx - vn * nex
                     tvy = rvy - vn * ney
@@ -755,7 +946,9 @@ def _banded_kernel(
             s_wz[:] = s_wz[:] + tqz * im3z[:] * mov_f
             return icarry
 
-        jax.lax.fori_loop(0, iterations, solve_iter, 0)
+        if warm > 0.0:
+            solve_iter(0, 0, is_warm=True)
+        jax.lax.fori_loop(0, iterations, solve_iter, 0, unroll=False)
 
         # --- integrate positions ---------------------------------------------
         mov_dt = movable[:] * dt
@@ -807,6 +1000,28 @@ def morton_rank_key(ps: PhysicsState, exclude: Array | None = None) -> Array:
     morton = _part1by1(qx) | (_part1by1(qz) << 1)
     last = ~ps.active if exclude is None else (~ps.active) | exclude
     return morton + last.astype(jnp.int32) * (1 << 22)
+
+
+def slab_rank_key(ps: PhysicsState, exclude: Array | None = None) -> Array:
+    """x-slab-major, z-minor sort key (f32). Lateral neighbors then sit within
+    ~2 slab populations of rank distance — a hard bound Morton cannot give (its
+    quadrant seams jump arbitrarily far; measured worst 519 vs 136 on the
+    flagship pile). Slab width ≈ 1.1 body diameters: bodies cannot pack tighter
+    laterally, so each slab holds ≈ one body column per z cell."""
+    act = ps.active if exclude is None else ps.active & ~exclude
+    actf = act.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(actf), 1.0)
+    eff_half = jnp.maximum(jnp.max(ps.half_extent, axis=1), ps.radius)
+    cell = 2.2 * jnp.sum(eff_half * actf) / n  # ≈ 1.1 × mean diameter
+    cell = jnp.maximum(cell, 1e-3)
+    big = jnp.float32(3e9)
+    lo_x = jnp.min(jnp.where(act, ps.pos[:, 0], big))
+    lo_z = jnp.min(jnp.where(act, ps.pos[:, 2], big))
+    hi_z = jnp.max(jnp.where(act, ps.pos[:, 2], -big))
+    qx = jnp.floor((ps.pos[:, 0] - lo_x) / cell)
+    zn = (ps.pos[:, 2] - lo_z) / jnp.maximum(hi_z - lo_z, 1e-3)
+    key = qx + jnp.clip(zn, 0.0, 0.999)
+    return jnp.where(act, key, big)
 
 
 HUB_MIN_FACE_AREA = 25.0  # m²: static boxes with a larger face become analytic planes
@@ -879,7 +1094,10 @@ def _permute_state(ps: PhysicsState, perm: Array) -> PhysicsState:
     return dataclasses.replace(ps, **updates)
 
 
-@partial(jax.jit, static_argnames=("iterations", "n_substeps", "interpret"))
+@partial(
+    jax.jit,
+    static_argnames=("iterations", "n_substeps", "interpret", "warm", "geom_every"),
+)
 def megakernel_substeps_banded(
     ps: PhysicsState,
     params: PhysicsParams,
@@ -887,6 +1105,8 @@ def megakernel_substeps_banded(
     n_substeps: int = 1,
     iterations: int = 10,
     interpret: bool = False,
+    warm: float = 0.0,
+    geom_every: int = 1,
 ) -> PhysicsState:
     """Banded throughput path: Morton-sort ranks once per launch, run the banded +
     geometry-hoisted kernel for `n_substeps`, permute results back to slot order."""
@@ -900,7 +1120,7 @@ def megakernel_substeps_banded(
     )
 
     plane_block, is_hub = extract_hub_planes(ps)
-    key = morton_rank_key(ps, exclude=is_hub)
+    key = slab_rank_key(ps, exclude=is_hub)
     iota = jnp.arange(b, dtype=jnp.int32)
     _, perm = jax.lax.sort((key, iota), num_keys=1)
     sorted_ps = _permute_state(ps, perm)
@@ -922,7 +1142,9 @@ def megakernel_substeps_banded(
                     params.gravity[2],
                     params.baumgarte,
                     params.penetration_slop,
-                    jnp.asarray(0.04, jnp.float32),
+                    # AABB margin: scaled by the geometry stride so pairs that
+                    # will first touch between SAT rebuilds are already candidates
+                    jnp.asarray(0.04 * geom_every, jnp.float32),
                     jnp.asarray(float(n_substeps), jnp.float32),
                 ]
             ),
@@ -947,14 +1169,21 @@ def megakernel_substeps_banded(
     ]
 
     out_shapes = [jax.ShapeDtypeStruct((1, b), jnp.float32)] * 13
+    n_d0 = N_SLOT if geom_every > 1 else 0
+    n_lam = N_WARM if warm > 0.0 else 0
+    n_small = N_SMALL + (N_PWARM if warm > 0.0 else 0) + (3 if geom_every > 1 else 0)
     outs = pl.pallas_call(
-        partial(_banded_kernel, iterations=iterations, n_bodies=b),
+        partial(
+            _banded_kernel,
+            iterations=iterations, n_bodies=b, warm=warm, geom_every=geom_every,
+        ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((b, SLAB), jnp.float32)] * N_GEOM
-        + [pltpu.VMEM((1, b), jnp.float32)] * N_SMALL,
+        scratch_shapes=[pltpu.VMEM((b, SLAB), jnp.float32)] * (N_GEOM + n_d0)
+        + [pltpu.VMEM((b, SLAB), LAM_DT)] * n_lam
+        + [pltpu.VMEM((1, b), jnp.float32)] * n_small,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),

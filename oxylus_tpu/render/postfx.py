@@ -101,7 +101,10 @@ def apply_bloom(
     contribution = jnp.maximum(soft, lum - threshold) / jnp.maximum(lum, 1e-5)
     pre = jnp.minimum(hdr * contribution, clamp_value)
 
-    chain = [pre]
+    # the chain runs at half resolution like the reference's bloom
+    # (`PostProcess.cpp:79-205` — "half-res, mip count from extent"); full-res
+    # strided resamples are the expensive part on this target
+    chain = [_downsample2x(pre)]
     for _ in range(mips - 1):
         if min(chain[-1].shape[:2]) < 4:
             break
@@ -109,7 +112,8 @@ def apply_bloom(
     acc = chain[-1]
     for i in range(len(chain) - 2, -1, -1):
         acc = chain[i] + _upsample2x(acc, chain[i].shape[:2])
-    return hdr + acc * (intensity / max(len(chain), 1))
+    acc = _upsample2x(acc, hdr.shape[:2])
+    return hdr + acc * (intensity / max(len(chain) + 1, 1))
 
 
 # ---------------------------------------------------------------------------

@@ -59,7 +59,10 @@ class RenderSpec:
 
     width: int = 1920
     height: int = 1080
-    max_meshlet_instances: int = 1 << 16
+    # fixed-capacity compaction budgets: the compaction sorts scale with these,
+    # so keep them near the scene's real meshlet-instance count (a 64K budget
+    # for a 5K scene costs ~8 ms/frame of pure sort on this target)
+    max_meshlet_instances: int = 1 << 13
     max_visible_meshlets: int = 4096
     meshlets_per_tile: int = 64
     use_pallas: bool = True
@@ -270,9 +273,28 @@ class RendererInstance:
                 ms_lut = multiscatter_lut(atmosphere, t_lut)
                 self._sky_cache[key] = (t_lut, ms_lut)
             t_lut, ms_lut = self._sky_cache[key]
-            sky_lut = sky_view_lut(
-                atmosphere, t_lut, ms_lut, -sun_dir, sun_intensity=jnp.asarray(sun_intensity)
+            # the sky-view LUT is a pure function of (sun, intensity); re-raymarch
+            # only when the sun moved (the reference recomputes per frame on GPU,
+            # but on this target the LUT march is ~tens of ms — frame-cache it)
+            sky_key_now = jnp.concatenate(
+                [sun_dir, jnp.atleast_1d(jnp.asarray(sun_intensity, jnp.float32))]
             )
+
+            def compute_sky_lut():
+                return sky_view_lut(
+                    atmosphere, t_lut, ms_lut, -sun_dir,
+                    sun_intensity=jnp.asarray(sun_intensity),
+                )
+
+            if "sky_view_lut" in prev and "sky_key" in prev:
+                sun_moved = jnp.any(jnp.abs(sky_key_now - prev["sky_key"]) > 1e-7)
+                sky_lut = jax.lax.cond(
+                    sun_moved, compute_sky_lut, lambda: prev["sky_view_lut"]
+                )
+            else:
+                sky_lut = compute_sky_lut()
+            carry["sky_view_lut"] = sky_lut
+            carry["sky_key"] = sky_key_now
             # per-pixel view rays for the background
             xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
             ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0 - 1.0
@@ -284,13 +306,41 @@ class RendererInstance:
                 - camera.up[None, None, :] * (ys[:, None, None] * tan_half)
             )
             # background sampled at half resolution (a full-res bilinear LUT fetch
-            # is ~4 gathers × 15 ms; the sky is smooth) and upsampled
-            bg_half = sample_sky_view(sky_lut, dirs[::2, ::2])
-            background = jax.image.resize(bg_half, (h, w, 3), method="linear")
+            # is ~4 gathers × 15 ms; the sky is smooth) and upsampled; re-sampled
+            # only when the camera or sun moved
+            cam_key_now = jnp.concatenate(
+                [sky_key_now, camera.forward, camera.right, camera.up]
+            )
+
+            def compute_background():
+                bg_half = sample_sky_view(sky_lut, dirs[::2, ::2])
+                return jax.image.resize(bg_half, (h, w, 3), method="linear")
+
+            if "sky_background" in prev and "sky_cam_key" in prev:
+                view_moved = jnp.any(jnp.abs(cam_key_now - prev["sky_cam_key"]) > 1e-7)
+                background = jax.lax.cond(
+                    view_moved, compute_background, lambda: prev["sky_background"]
+                )
+            else:
+                background = compute_background()
+            carry["sky_background"] = background
+            carry["sky_cam_key"] = cam_key_now
+
             if ambient_color is None:
                 from .sky import sky_sh_ambient
 
-                ambient_color = sky_sh_ambient(sky_lut) * 0.3  # (9,3) SH IBL
+                def compute_ambient():
+                    return sky_sh_ambient(sky_lut) * 0.3  # (9,3) SH IBL
+
+                if "sky_ambient" in prev and "sky_key" in prev:
+                    ambient_color = jax.lax.cond(
+                        jnp.any(jnp.abs(sky_key_now - prev["sky_key"]) > 1e-7),
+                        compute_ambient,
+                        lambda: prev["sky_ambient"],
+                    )
+                else:
+                    ambient_color = compute_ambient()
+                carry["sky_ambient"] = ambient_color
             ctx["sky_view_lut"] = sky_lut
             ctx["_sky_luts"] = (t_lut, ms_lut)
         ctx = self._run_cbs(RenderStage.ATMOSPHERE, "after", ctx)

@@ -27,7 +27,7 @@ Array = jax.Array
         "positions", "normals", "uvs",
         "ml_vertex_offset", "ml_vertex_count", "ml_tri_offset", "ml_tri_count",
         "ml_center", "ml_extent", "ml_cone_axis", "ml_cone_cutoff",
-        "indirect_vertices", "local_triangles",
+        "indirect_vertices", "local_triangles", "ml_packed_verts",
         "mesh_lod_meshlet_offset", "mesh_lod_meshlet_count", "mesh_lod_error",
         "mesh_aabb_min", "mesh_aabb_max", "mesh_lod_count",
         "inst_mesh", "inst_entity", "inst_material", "inst_valid",
@@ -51,6 +51,11 @@ class GPUScene:
     ml_cone_cutoff: Array     # (M,) f32
     indirect_vertices: Array  # (IV,) i32 global vertex index
     local_triangles: Array    # (LT, 3) i32 meshlet-local vertex slot
+    # prebaked per-meshlet geometry: [pos xyz | nrm xyz | uv] per corner of every
+    # triangle slot (slots past tri_count repeat the last triangle). One row gather
+    # by meshlet id replaces the per-frame double-indirection chain — gathers are
+    # the expensive primitive on this target (PERF_NOTES.md).
+    ml_packed_verts: Array    # (M, 64, 3, 8) f32
     # mesh table
     mesh_lod_meshlet_offset: Array  # (meshes, MAX_LODS) i32
     mesh_lod_meshlet_count: Array   # (meshes, MAX_LODS) i32
@@ -118,6 +123,27 @@ def upload_meshes(meshes: list[BakedMesh], instances: list[tuple[int, int, int]]
             lod_err[mi, li] = lod_err[mi, len(mesh.lods) - 1]
         v_base += len(mesh.positions)
 
+    # prebake packed per-meshlet vertex data (numpy, once per upload)
+    mvo_np = np.asarray(mvo, np.int64)
+    mtc_np = np.asarray(mtc, np.int64)
+    mto_np = np.asarray(mto, np.int64)
+    n_ml = len(mvo_np)
+    if n_ml:
+        lt_np = np.concatenate([x.astype(np.int64) for x in local_l]) if local_l else np.zeros((0, 3), np.int64)
+        iv_np = np.concatenate([x.astype(np.int64) for x in indirect_l]) if indirect_l else np.zeros(0, np.int64)
+        pos_np = np.concatenate(pos_l).astype(np.float32)
+        nrm_np = np.concatenate(nrm_l).astype(np.float32)
+        uv_np = np.concatenate(uv_l).astype(np.float32)
+        slots = np.arange(64, dtype=np.int64)[None, :]
+        tri_idx = mto_np[:, None] + np.minimum(slots, np.maximum(mtc_np[:, None] - 1, 0))
+        local3 = lt_np[tri_idx]                                   # (M, 64, 3)
+        gv = iv_np[mvo_np[:, None, None] + local3]                # (M, 64, 3)
+        packed = np.concatenate(
+            [pos_np[gv], nrm_np[gv], uv_np[gv]], axis=-1
+        ).astype(np.float32)                                      # (M, 64, 3, 8)
+    else:
+        packed = np.zeros((0, 64, 3, 8), np.float32)
+
     cat = lambda lst, dtype, d=None: (
         jnp.asarray(np.concatenate(lst).astype(dtype))
         if lst
@@ -148,6 +174,7 @@ def upload_meshes(meshes: list[BakedMesh], instances: list[tuple[int, int, int]]
         ml_cone_cutoff=cat(ccut, np.float32),
         indirect_vertices=cat(indirect_l, np.int32),
         local_triangles=cat([x.astype(np.int32) for x in local_l], np.int32, 3),
+        ml_packed_verts=jnp.asarray(packed),
         mesh_lod_meshlet_offset=jnp.asarray(lod_off),
         mesh_lod_meshlet_count=jnp.asarray(lod_cnt),
         mesh_lod_error=jnp.asarray(lod_err),

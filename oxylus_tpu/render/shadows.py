@@ -116,7 +116,12 @@ def render_shadow_clipmaps_cached(
       (both its current and previous footprint, so stale shadows are erased).
 
     Invalid pages get re-rasterized with page-masked tile lists; valid pages copy
-    forward. Returns (maps (L, S, S), carry) — feed `carry` back as `prev`."""
+    forward. When NOTHING is dirty (static scene, texel-stable light) the whole
+    geometry chain (cull → setup → bin → raster, the dominant per-level cost on
+    this target) is skipped via `lax.cond` — the analog of the reference's
+    zero-dirty-pages frame where `_draw_physical_pages` has an empty work list.
+
+    Returns (maps (L, S, S), carry) — feed `carry` back as `prev`."""
     n_lvls = light_vps.shape[0]
     s = SHADOW_MAP_SIZE
     n_inst = gscene.inst_entity.shape[0]
@@ -130,49 +135,65 @@ def render_shadow_clipmaps_cached(
         changed_e = jnp.ones(entity_world.shape[0], bool)
     inst_changed = changed_e[gscene.inst_entity] & gscene.inst_valid  # (I,)
 
-    # conservative instance bounding spheres in world space
+    # conservative instance bounding spheres in world space — at BOTH the current
+    # and the previous transform, so a moved instance invalidates the pages its
+    # stale shadow sits on as well as the ones its new shadow lands on
     amin = gscene.mesh_aabb_min[gscene.inst_mesh]
     amax = gscene.mesh_aabb_max[gscene.inst_mesh]
     c_local = (amin + amax) * 0.5
     r_local = jnp.linalg.norm((amax - amin) * 0.5, axis=-1)
-    iw = entity_world[gscene.inst_entity]  # (I, 4, 4)
-    c_ws = jnp.einsum("iab,ib->ia", iw[:, :3, :3], c_local) + iw[:, :3, 3]
-    scale = jnp.max(jnp.linalg.norm(iw[:, :3, :3], axis=1), axis=-1)
-    r_ws = r_local * scale
+
+    def sphere_of(world_mats):
+        iw = world_mats[gscene.inst_entity]  # (I, 4, 4)
+        c = jnp.einsum("iab,ib->ia", iw[:, :3, :3], c_local) + iw[:, :3, 3]
+        scale = jnp.max(jnp.linalg.norm(iw[:, :3, :3], axis=1), axis=-1)
+        return c, r_local * scale
+
+    spheres = [sphere_of(entity_world)]
+    if prev is not None and "world" in prev:
+        spheres.append(sphere_of(prev["world"]))
 
     page_ids = jnp.arange(PAGES * PAGES, dtype=jnp.int32)
     page_x = (page_ids % PAGES).astype(jnp.float32)
     page_y = (page_ids // PAGES).astype(jnp.float32)
 
-    maps = []
+    # per-level dirtiness (cheap, always computed: drives the cond + the carry)
+    vp_changed = []
     dyn_pages_out = []
+    page_invalid_lvls = []
     for lvl in range(n_lvls):
         vp = light_vps[lvl]
         if prev is not None and "vps" in prev:
-            vp_changed = jnp.any(jnp.abs(vp - prev["vps"][lvl]) > 1e-7)
+            vpc = jnp.any(jnp.abs(vp - prev["vps"][lvl]) > 1e-7)
         else:
-            vp_changed = jnp.bool_(True)
+            vpc = jnp.bool_(True)
+        vp_changed.append(vpc)
 
         # changed-instance footprints in page space (ortho light: ndc radius is
-        # the world radius scaled by the projection diagonal)
-        ch = jnp.concatenate([c_ws, jnp.ones_like(c_ws[:, :1])], axis=-1)
-        clip = jnp.einsum("ab,ib->ia", vp, ch)
-        u = (clip[:, 0] * 0.5 + 0.5) * PAGES
-        v = (clip[:, 1] * 0.5 + 0.5) * PAGES
-        ru = r_ws * jnp.abs(vp[0, 0]) * 0.5 * PAGES
-        rv = r_ws * jnp.abs(vp[1, 1]) * 0.5 * PAGES
-        live = inst_changed
-        lo_u = jnp.where(live, u - ru, 1e9)
-        hi_u = jnp.where(live, u + ru, -1e9)
-        lo_v = jnp.where(live, v - rv, 1e9)
-        hi_v = jnp.where(live, v + rv, -1e9)
-        overlap = (
-            (page_x[:, None] + 1.0 >= lo_u[None, :])
-            & (page_x[:, None] <= hi_u[None, :])
-            & (page_y[:, None] + 1.0 >= lo_v[None, :])
-            & (page_y[:, None] <= hi_v[None, :])
-        )  # (P, I)
-        dyn_pages = jnp.any(overlap, axis=1)  # (P,)
+        # the world radius scaled by the projection diagonal), at current AND
+        # previous transforms
+        dyn_pages = jnp.zeros(PAGES * PAGES, bool)
+        for c_ws, r_ws in spheres:
+            ch = jnp.concatenate([c_ws, jnp.ones_like(c_ws[:, :1])], axis=-1)
+            clip = jnp.einsum("ab,ib->ia", vp, ch)
+            u = (clip[:, 0] * 0.5 + 0.5) * PAGES
+            v = (clip[:, 1] * 0.5 + 0.5) * PAGES
+            # radius scale = norm of the VP row (the light view rotates, so the
+            # diagonal element alone underestimates the world→clip scale)
+            ru = r_ws * jnp.linalg.norm(vp[0, :3]) * 0.5 * PAGES
+            rv = r_ws * jnp.linalg.norm(vp[1, :3]) * 0.5 * PAGES
+            live = inst_changed
+            lo_u = jnp.where(live, u - ru, 1e9)
+            hi_u = jnp.where(live, u + ru, -1e9)
+            lo_v = jnp.where(live, v - rv, 1e9)
+            hi_v = jnp.where(live, v + rv, -1e9)
+            overlap = (
+                (page_x[:, None] + 1.0 >= lo_u[None, :])
+                & (page_x[:, None] <= hi_u[None, :])
+                & (page_y[:, None] + 1.0 >= lo_v[None, :])
+                & (page_y[:, None] <= hi_v[None, :])
+            )  # (P, I)
+            dyn_pages = dyn_pages | jnp.any(overlap, axis=1)  # (P,)
         dyn_pages_out.append(dyn_pages)
 
         prev_dyn = (
@@ -180,39 +201,48 @@ def render_shadow_clipmaps_cached(
             if prev is not None and "dyn_pages" in prev
             else jnp.ones_like(dyn_pages)
         )
-        page_invalid = dyn_pages | prev_dyn | vp_changed  # (P,)
+        page_invalid_lvls.append(dyn_pages | prev_dyn | vpc)  # (P,)
 
-        # render only invalid pages
-        planes = math3d.frustum_planes_from_mat(vp)
-        vis = gscene.inst_valid
-        lod = jnp.zeros_like(gscene.inst_mesh)
-        mi_i, mi_m, mi_v = expand_meshlet_instances(gscene, vis, lod, capacity)
-        vm_i, vm_m, vm_v, _ = cull_meshlets(
-            gscene, entity_world, mi_i, mi_m, mi_v, planes, jnp.zeros(3),
-            capacity=capacity, cone_enabled=False,
-        )
-        setup = setup_triangles(
-            gscene, entity_world, vm_i, vm_m, vm_v, vp, s, s, backface_enabled=False
-        )
-        tile_list, _ = bin_meshlets_to_tiles(setup, s, s, PAGE, k_per_tile)
-        tile_list = jnp.where(page_invalid[:, None], tile_list, -1)
-        cm = _pack(setup)
-        platform = jax.devices()[0].platform
-        if platform in ("tpu", "axon"):
-            from ..ops.raster3d import rasterize_pallas
+    def render_levels():
+        maps = []
+        for lvl in range(n_lvls):
+            vp = light_vps[lvl]
+            page_invalid = page_invalid_lvls[lvl]
+            planes = math3d.frustum_planes_from_mat(vp)
+            vis = gscene.inst_valid
+            lod = jnp.zeros_like(gscene.inst_mesh)
+            mi_i, mi_m, mi_v = expand_meshlet_instances(gscene, vis, lod, capacity)
+            vm_i, vm_m, vm_v, _ = cull_meshlets(
+                gscene, entity_world, mi_i, mi_m, mi_v, planes, jnp.zeros(3),
+                capacity=capacity, cone_enabled=False,
+            )
+            setup = setup_triangles(
+                gscene, entity_world, vm_i, vm_m, vm_v, vp, s, s, backface_enabled=False
+            )
+            tile_list, _ = bin_meshlets_to_tiles(setup, s, s, PAGE, k_per_tile)
+            tile_list = jnp.where(page_invalid[:, None], tile_list, -1)
+            cm = _pack(setup)
+            platform = jax.devices()[0].platform
+            if platform in ("tpu", "axon"):
+                from ..ops.raster3d import rasterize_pallas
 
-            depth, _ = rasterize_pallas(cm, tile_list, s, s)
-        else:
-            depth, _ = rasterize_reference(cm, tile_list, s, s)
+                depth, _ = rasterize_pallas(cm, tile_list, s, s)
+            else:
+                depth, _ = rasterize_reference(cm, tile_list, s, s)
 
-        pix_invalid = jnp.repeat(
-            jnp.repeat(page_invalid.reshape(PAGES, PAGES), PAGE, 0), PAGE, 1
-        )
-        if prev is not None and "maps" in prev:
-            depth = jnp.where(pix_invalid, depth, prev["maps"][lvl])
-        maps.append(depth)
+            pix_invalid = jnp.repeat(
+                jnp.repeat(page_invalid.reshape(PAGES, PAGES), PAGE, 0), PAGE, 1
+            )
+            if prev is not None and "maps" in prev:
+                depth = jnp.where(pix_invalid, depth, prev["maps"][lvl])
+            maps.append(depth)
+        return jnp.stack(maps)
 
-    maps = jnp.stack(maps)
+    if prev is not None and "maps" in prev:
+        any_dirty = jnp.any(jnp.stack([jnp.any(pi) for pi in page_invalid_lvls]))
+        maps = jax.lax.cond(any_dirty, render_levels, lambda: prev["maps"])
+    else:
+        maps = render_levels()
     carry = {
         "maps": maps,
         "vps": light_vps,

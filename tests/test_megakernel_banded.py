@@ -8,7 +8,7 @@ from oxylus_tpu.physics.megakernel import megakernel_substeps
 from oxylus_tpu.physics.megakernel_banded import (
     BAND,
     megakernel_substeps_banded,
-    morton_rank_key,
+    slab_rank_key,
 )
 from oxylus_tpu.physics.state import SHAPE_BOX, PhysicsParams
 from oxylus_tpu.scene.scene import Scene
@@ -78,9 +78,9 @@ def test_banded_long_horizon_stable():
 
 def test_band_covers_scene_pairs():
     """Sanity: in the test scene, every AABB-overlapping pair is within BAND ranks
-    of the Morton order (the premise of the banded == dense comparison)."""
+    of the slab order (the premise of the banded == dense comparison)."""
     ps = _falling_boxes()
-    key = np.asarray(morton_rank_key(ps))
+    key = np.asarray(slab_rank_key(ps))
     rank = np.empty(len(key), np.int64)
     rank[np.argsort(key, kind="stable")] = np.arange(len(key))
     pos = np.asarray(ps.pos)
@@ -101,8 +101,23 @@ def test_band_covers_scene_pairs():
     assert worst <= BAND, f"scene pair at rank distance {worst} exceeds band {BAND}"
 
 
-def test_morton_key_sorts_inactive_last():
+def test_slab_key_sorts_inactive_last():
     ps = _falling_boxes(n_boxes=4)
-    key = np.asarray(morton_rank_key(ps))
+    key = np.asarray(slab_rank_key(ps))
     active = np.asarray(ps.active)
     assert key[active].max() < key[~active].min()
+
+
+def test_warm_start_stable():
+    """The warm-started accumulated-impulse config (the bench configuration)
+    settles the pile without explosion or floor tunneling."""
+    ps = _falling_boxes()
+    n_dyn = int(np.asarray(ps.active).sum()) - 1
+    out = megakernel_substeps_banded(
+        ps, PhysicsParams(), DT, n_substeps=60, iterations=4, warm=1.0, interpret=True
+    )
+    pos = np.asarray(out.pos)[1 : 1 + n_dyn]
+    vel = np.asarray(out.linvel)[1 : 1 + n_dyn]
+    assert np.all(pos[:, 1] > -0.5), "bodies fell through the floor"
+    assert np.all(np.abs(pos) < 50.0), "explosion"
+    assert np.all(np.abs(vel) < 30.0), "velocity blow-up"
