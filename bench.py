@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_physics(n_boxes=1022, worlds=64, steps_per_call=60, calls=3, warmup=1, mega=False):
+def bench_physics(n_boxes=1022, worlds=64, steps_per_call=60, calls=8, warmup=2, mega=False):
     from __graft_entry__ import _build_flagship
     from oxylus_tpu.physics.state import PhysicsParams
     from oxylus_tpu.physics.step import physics_substep
@@ -51,11 +51,19 @@ def bench_physics(n_boxes=1022, worlds=64, steps_per_call=60, calls=3, warmup=1,
         else:
             from oxylus_tpu.physics.megakernel import megakernel_substeps as mega_fn
 
-        run = jax.jit(lambda p: mega_fn(p, params, dt, n_substeps=steps_per_call))
         if worlds > 1:
             ps = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (worlds,) + x.shape), ps)
             run = jax.jit(
                 jax.vmap(lambda p: mega_fn(p, params, dt, n_substeps=steps_per_call))
+            )
+        else:
+            # NOTE: wrapping several launches in a lax.scan to amortize dispatch
+            # RTT was tried and is ~2.7x SLOWER — XLA inserts copies around the
+            # big pallas call when it is a scan body. One launch per dispatch,
+            # with the state buffers donated across launches.
+            run = jax.jit(
+                lambda p: mega_fn(p, params, dt, n_substeps=steps_per_call),
+                donate_argnums=0,
             )
     else:
         if worlds > 1:

@@ -57,7 +57,7 @@ def worlds_reduce_mean(values):
 # ---------------------------------------------------------------------------
 
 def rasterize_tiles_sharded(
-    coeff_mat,      # (VM, 3, 4R) — replicated
+    coeff_mat,      # (VM, 3, 5R) — replicated
     tile_list,      # (T, K) — sharded over tiles
     width: int,
     height: int,
@@ -102,10 +102,16 @@ def rasterize_tiles_sharded(
             vm = tiles_shard[:, k]
             live = vm >= 0
             cm = coeffs[jnp.maximum(vm, 0)]
-            r = cm.shape[-1] // 4
+            r = cm.shape[-1] // 5  # homogeneous planes: e0 e1 e2 | zn wd
             e = jnp.einsum("tpc,tcq->tpq", pmat, cm)
-            e0, e1, e2, z = e[..., :r], e[..., r : 2 * r], e[..., 2 * r : 3 * r], e[..., 3 * r :]
-            cover = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & live[:, None, None]
+            e0, e1, e2 = e[..., :r], e[..., r : 2 * r], e[..., 2 * r : 3 * r]
+            zn, wd = e[..., 3 * r : 4 * r], e[..., 4 * r :]
+            cover = (
+                (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+                & (wd > 0) & (zn >= 0) & (zn <= wd)
+                & live[:, None, None]
+            )
+            z = zn / jnp.where(wd > 0, wd, 1.0)
             zm = jnp.where(cover, z, -1.0)
             best = jnp.max(zm, axis=-1)
             arg = jnp.argmax(zm, axis=-1).astype(jnp.int32)

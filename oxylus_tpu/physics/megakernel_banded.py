@@ -3,13 +3,13 @@
 Extends `megakernel.py` (whole substep as one Pallas launch) with the two levers from
 PERF_NOTES.md:
 
-1. **Pair banding**: bodies are pre-sorted by a Morton(x, z) rank on the host side
-   (one `lax.sort` + gathers inside the same jit, amortized over the launch's
-   substeps). Each 128-row chunk of bodies then only forms pairs against a 384-lane
-   slab of ranks `[chunk_start - 128, chunk_start + 256)` with a hard
-   `|rank_a - rank_b| <= 128` mask — both orderings of every in-band pair are kept so
-   impulse application stays symmetric, exactly as in the dense kernel. Slab offsets
-   are multiples of 128 so all VMEM slices stay lane-aligned.
+1. **Pair banding**: bodies are pre-sorted by an x-slab-major rank (one `lax.sort`
+   + gathers inside the same jit, amortized over the launch's substeps). Each
+   128-row chunk of bodies then only forms pairs against a 256-lane slab of ranks
+   `[chunk_start, chunk_start + 256)` with a hard `1 <= rank_b - rank_a <= 128`
+   mask — each unordered pair is processed once, and the sweep applies -j to the
+   row side and +j to the col side (symmetry without mirrored lanes). Slab
+   offsets are multiples of 128 so all VMEM slices stay lane-aligned.
 
 2. **Geometry hoisting**: per substep, contact geometry (normal, manifold points,
    Baumgarte bias, touching mask, friction, effective-mass inverse) is computed ONCE
@@ -48,8 +48,14 @@ from .state import BODY_DYNAMIC, BODY_STATIC, SHAPE_BOX, PhysicsParams, PhysicsS
 Array = jax.Array
 
 BCHUNK = 128          # rows per pair block (sublane-aligned chunks of ranks)
-BAND = 128            # max |rank_a - rank_b| for a pair to be considered
-SLAB = BCHUNK + 2 * BAND  # 384 columns per chunk, 128-aligned slab offsets
+BAND = 128            # max rank_b - rank_a for a pair to be considered
+SLAB = BCHUNK + BAND  # 256 columns per chunk, 128-aligned slab offsets
+# Single-ordering pair space: each unordered pair {a, b} (0 < rank_b - rank_a
+# ≤ BAND) lives only at (row = a, col = b); the sweep applies -j to the row side
+# and +j to the col side, so symmetry needs no mirrored lane — 1/3 less pair
+# work than the double-ordering 384-wide slab. Coverage is exact: row i of a
+# chunk reaches col offsets i+1 … i+BAND, and the trailing chunk's clamp only
+# drops offsets beyond the last rank.
 # (BCHUNK=64/BAND=160 was tried for a wider band at equal pair-space cost, but
 # doubling the chunk count + unaligned slab slices cost ~43% wall-clock — the
 # per-chunk transposes and hoisted loads dominate. The slab sort key below keeps
@@ -57,10 +63,10 @@ SLAB = BCHUNK + 2 * BAND  # 384 columns per chunk, 128-aligned slab offsets
 # so the 128 band misses only the farthest ~1% lateral pairs for one launch.)
 
 LAM_DT = jnp.bfloat16  # pair impulse caches: a warm-start hint tolerates 8-bit
-                       # mantissas, and bf16 halves 12 (B, SLAB) scratch arrays
+                       # mantissas, and bf16 halves the (B, SLAB) scratch arrays
 N_SLOT = 4            # manifold points per pair (box-box uses all 4)
 N_GEOM = 3 + 5 * N_SLOT   # big (B, SLAB) geometry scratch arrays
-N_WARM = 4 * N_SLOT   # per-slot impulse caches (lam_n, lam_t xyz) for warm starting
+N_WARM = N_SLOT + 3   # per-slot normal-impulse caches + ONE pair tangent vector
 N_PLANE = 4           # analytic bounded-plane slots (large static "hub" boxes)
 PLANE_SC = 16         # scalars per plane in the scalar block
 N_SMALL = 13 + 9 + 3 + 3 + 4 + N_PLANE * N_SLOT * 5 + 1  # (1, B) scratch arrays
@@ -68,7 +74,7 @@ N_PWARM = N_PLANE * N_SLOT * 4  # plane-contact impulse caches, (1, B) each
 
 
 def _slab_start(c: int, b: int) -> int:
-    return max(0, min(c * BCHUNK - BAND, b - SLAB))
+    return max(0, min(c * BCHUNK, b - SLAB))
 
 
 def _banded_kernel(
@@ -113,8 +119,9 @@ def _banded_kernel(
         plam = scratch[off : off + N_PWARM]
         off += N_PWARM
         small = scratch[off:]
-        # per slot: [lam_n, lam_tx, lam_ty, lam_tz] (B, SLAB)
-        g_lam = [lam[4 * k : 4 * (k + 1)] for k in range(N_SLOT)]
+        # per slot: lam_n (B, SLAB); one shared pair tangent vector
+        g_lam = [lam[k] for k in range(N_SLOT)]
+        g_lamt = lam[N_SLOT : N_SLOT + 3]
         # per (plane, slot): [lam_n, lam_tx, lam_ty, lam_tz] (1, B)
         p_lam = [
             [plam[(p * N_SLOT + k) * 4 : (p * N_SLOT + k) * 4 + 4] for k in range(N_SLOT)]
@@ -205,6 +212,7 @@ def _banded_kernel(
         # and the position drift along the cached normal.
         def build_pair_geometry():
           row_counts = []
+          col_cnt = jnp.zeros((1, b), jnp.float32)
           for _c in range(n_chunks):
             start = _c * BCHUNK
             cs = _slab_start(_c, b)
@@ -223,14 +231,24 @@ def _banded_kernel(
             both_act = (row(act) * col(act)) > 0.5
             a_ids = jax.lax.broadcasted_iota(jnp.int32, (BCHUNK, SLAB), 0) + start
             b_ids = jax.lax.broadcasted_iota(jnp.int32, (BCHUNK, SLAB), 1) + cs
-            in_band = (a_ids != b_ids) & (jnp.abs(a_ids - b_ids) <= BAND)
+            delta = b_ids - a_ids
+            in_band = (delta >= 1) & (delta <= BAND)
             active = overlap & some_dyn & both_act & in_band
 
             ovf = active.astype(jnp.float32)
-            # both pair orderings exist in-band → total count = 2 × row count
+            # single ordering: each pair counts once on each side
             row_counts.append(
-                jnp.swapaxes(jnp.sum(ovf, axis=1, keepdims=True), 0, 1) * 2.0
+                jnp.swapaxes(jnp.sum(ovf, axis=1, keepdims=True), 0, 1)
             )
+            cpart = jnp.sum(ovf, axis=0, keepdims=True)  # (1, SLAB)
+            upd = col_cnt[0:1, cs : cs + SLAB] + cpart
+            pieces = []
+            if cs > 0:
+                pieces.append(col_cnt[0:1, 0:cs])
+            pieces.append(upd)
+            if cs + SLAB < b:
+                pieces.append(col_cnt[0:1, cs + SLAB : b])
+            col_cnt = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
 
             # ---- contact generation (same model as megakernel._kernel) -------
             r_box = row(is_box); c_box = col(is_box)
@@ -505,7 +523,7 @@ def _banded_kernel(
                 )
           s_paircnt[:] = (
               row_counts[0] if n_chunks == 1 else jnp.concatenate(row_counts, axis=1)
-          )
+          ) + col_cnt
           if geom_every > 1:
               s_px0[:] = s_px[:]; s_py0[:] = s_py[:]; s_pz0[:] = s_pz[:]
 
@@ -734,79 +752,109 @@ def _banded_kernel(
                 tb_y = jnp.zeros((BCHUNK, SLAB), jnp.float32)
                 tb_z = jnp.zeros((BCHUNK, SLAB), jnp.float32)
 
-                for k in range(N_SLOT):
+                def apply(jx, jy, jz, rax, ray, raz, rbx, rby, rbz):
+                    nonlocal jx_t, jy_t, jz_t, ta_x, ta_y, ta_z, tb_x, tb_y, tb_z
+                    jx_t = jx_t + jx; jy_t = jy_t + jy; jz_t = jz_t + jz
+                    ta_x = ta_x + ray * jz - raz * jy
+                    ta_y = ta_y + raz * jx - rax * jz
+                    ta_z = ta_z + rax * jy - ray * jx
+                    tb_x = tb_x + rby * jz - rbz * jy
+                    tb_y = tb_y + rbz * jx - rbx * jz
+                    tb_z = tb_z + rbx * jy - rby * jx
+
+                if warm > 0.0:
+                    # manifold-level solve: per-slot NORMAL impulses (accumulated
+                    # clamp against the bf16 lambda caches), then ONE friction
+                    # solve per pair at the touching-point centroid capped by
+                    # mu * sum(lambda_n) — 4 tangent solves collapse to 1
+                    sum_ln = jnp.zeros((BCHUNK, SLAB), jnp.float32)
+                    c_ax = jnp.zeros((BCHUNK, SLAB), jnp.float32)
+                    c_ay = jnp.zeros((BCHUNK, SLAB), jnp.float32)
+                    c_az = jnp.zeros((BCHUNK, SLAB), jnp.float32)
+                    c_w = jnp.zeros((BCHUNK, SLAB), jnp.float32)
+                    for k in range(N_SLOT):
+                        s_rax, s_ray, s_raz, s_ikn, s_bias = g_ra[k]
+                        rax = s_rax[sl, :]; ray = s_ray[sl, :]; raz = s_raz[sl, :]
+                        bias = s_bias[sl, :]
+                        rbx = rax - dxc; rby = ray - dyc; rbz = raz - dzc
+                        touch = (bias > -1e29).astype(jnp.float32)
+                        s_ln = g_lam[k]
+                        if is_warm:
+                            lamw = (
+                                s_ln[sl, :].astype(jnp.float32) * (touch * warm)
+                            ).astype(LAM_DT)
+                            s_ln[sl, :] = lamw
+                            ln_eff = lamw.astype(jnp.float32)
+                            dl = ln_eff
+                        else:
+                            ikn = s_ikn[sl, :]
+                            rvx = c_vx + c_wy * rbz - c_wz * rby - (r_vx + r_wy * raz - r_wz * ray)
+                            rvy = c_vy + c_wz * rbx - c_wx * rbz - (r_vy + r_wz * rax - r_wx * raz)
+                            rvz = c_vz + c_wx * rby - c_wy * rbx - (r_vz + r_wx * ray - r_wy * rax)
+                            vn = rvx * nx + rvy * ny + rvz * nz
+                            ln_old = s_ln[sl, :].astype(jnp.float32)
+                            ln_store = jnp.maximum(
+                                ln_old - (vn - bias) * ikn, 0.0
+                            ).astype(LAM_DT)
+                            s_ln[sl, :] = ln_store
+                            ln_eff = ln_store.astype(jnp.float32)
+                            dl = ln_eff - ln_old
+                        sum_ln = sum_ln + ln_eff
+                        apply(nx * dl, ny * dl, nz * dl, rax, ray, raz, rbx, rby, rbz)
+                        c_ax = c_ax + touch * rax
+                        c_ay = c_ay + touch * ray
+                        c_az = c_az + touch * raz
+                        c_w = c_w + touch
+
+                    # pair friction at the manifold centroid
+                    inv_cw = 1.0 / jnp.maximum(c_w, 1.0)
+                    rax = c_ax * inv_cw; ray = c_ay * inv_cw; raz = c_az * inv_cw
+                    rbx = rax - dxc; rby = ray - dyc; rbz = raz - dzc
+                    s_ltx, s_lty, s_ltz = g_lamt
+                    ltx_old = s_ltx[sl, :].astype(jnp.float32)
+                    lty_old = s_lty[sl, :].astype(jnp.float32)
+                    ltz_old = s_ltz[sl, :].astype(jnp.float32)
+                    if is_warm:
+                        gate = (c_w > 0.5).astype(jnp.float32) * warm
+                        ltx_s = (ltx_old * gate).astype(LAM_DT)
+                        lty_s = (lty_old * gate).astype(LAM_DT)
+                        ltz_s = (ltz_old * gate).astype(LAM_DT)
+                        djx = ltx_s.astype(jnp.float32)
+                        djy = lty_s.astype(jnp.float32)
+                        djz = ltz_s.astype(jnp.float32)
+                    else:
+                        ikn0 = g_ra[0][3][sl, :]
+                        rvx = c_vx + c_wy * rbz - c_wz * rby - (r_vx + r_wy * raz - r_wz * ray)
+                        rvy = c_vy + c_wz * rbx - c_wx * rbz - (r_vy + r_wz * rax - r_wx * raz)
+                        rvz = c_vz + c_wx * rby - c_wy * rbx - (r_vz + r_wx * ray - r_wy * rax)
+                        vn = rvx * nx + rvy * ny + rvz * nz
+                        tvx = rvx - vn * nx
+                        tvy = rvy - vn * ny
+                        tvz = rvz - vn * nz
+                        ltx_c = ltx_old - tvx * ikn0
+                        lty_c = lty_old - tvy * ikn0
+                        ltz_c = ltz_old - tvz * ikn0
+                        ltl = jnp.sqrt(ltx_c * ltx_c + lty_c * lty_c + ltz_c * ltz_c) + 1e-9
+                        tscale = jnp.minimum(mu * sum_ln / ltl, 1.0)
+                        ltx_s = (ltx_c * tscale).astype(LAM_DT)
+                        lty_s = (lty_c * tscale).astype(LAM_DT)
+                        ltz_s = (ltz_c * tscale).astype(LAM_DT)
+                        djx = ltx_s.astype(jnp.float32) - ltx_old
+                        djy = lty_s.astype(jnp.float32) - lty_old
+                        djz = ltz_s.astype(jnp.float32) - ltz_old
+                    s_ltx[sl, :] = ltx_s; s_lty[sl, :] = lty_s; s_ltz[sl, :] = ltz_s
+                    apply(djx, djy, djz, rax, ray, raz, rbx, rby, rbz)
+                else:
+                  for k in range(N_SLOT):
                     s_rax, s_ray, s_raz, s_ikn, s_bias = g_ra[k]
                     rax = s_rax[sl, :]; ray = s_ray[sl, :]; raz = s_raz[sl, :]
                     ikn = s_ikn[sl, :]; bias = s_bias[sl, :]
                     rbx = rax - dxc; rby = ray - dyc; rbz = raz - dzc
 
-                    if is_warm:
-                        # re-apply decayed cached impulses to kick-start the substep
-                        s_ln, s_ltx, s_lty, s_ltz = g_lam[k]
-                        touch = (bias > -1e29).astype(jnp.float32) * warm
-                        # round through the bf16 cache dtype so applied == cached
-                        lamw = (s_ln[sl, :].astype(jnp.float32) * touch).astype(LAM_DT)
-                        ltxw = (s_ltx[sl, :].astype(jnp.float32) * touch).astype(LAM_DT)
-                        ltyw = (s_lty[sl, :].astype(jnp.float32) * touch).astype(LAM_DT)
-                        ltzw = (s_ltz[sl, :].astype(jnp.float32) * touch).astype(LAM_DT)
-                        jx = nx * lamw.astype(jnp.float32) + ltxw.astype(jnp.float32)
-                        jy = ny * lamw.astype(jnp.float32) + ltyw.astype(jnp.float32)
-                        jz = nz * lamw.astype(jnp.float32) + ltzw.astype(jnp.float32)
-                        s_ln[sl, :] = lamw
-                        s_ltx[sl, :] = ltxw
-                        s_lty[sl, :] = ltyw
-                        s_ltz[sl, :] = ltzw
-                        jx_t = jx_t + jx; jy_t = jy_t + jy; jz_t = jz_t + jz
-                        ta_x = ta_x + ray * jz - raz * jy
-                        ta_y = ta_y + raz * jx - rax * jz
-                        ta_z = ta_z + rax * jy - ray * jx
-                        tb_x = tb_x + rby * jz - rbz * jy
-                        tb_y = tb_y + rbz * jx - rbx * jz
-                        tb_z = tb_z + rbx * jy - rby * jx
-                        continue
-
                     rvx = c_vx + c_wy * rbz - c_wz * rby - (r_vx + r_wy * raz - r_wz * ray)
                     rvy = c_vy + c_wz * rbx - c_wx * rbz - (r_vy + r_wz * rax - r_wx * raz)
                     rvz = c_vz + c_wx * rby - c_wy * rbx - (r_vz + r_wx * ray - r_wy * rax)
                     vn = rvx * nx + rvy * ny + rvz * nz
-
-                    if warm > 0.0:
-                        # accumulated-impulse clamp: adjust cached lambda, apply delta
-                        # (deltas computed against the bf16-rounded stored values so
-                        # the velocity state and the cache never drift apart)
-                        s_ln, s_ltx, s_lty, s_ltz = g_lam[k]
-                        ln_old = s_ln[sl, :].astype(jnp.float32)
-                        ln_store = jnp.maximum(ln_old - (vn - bias) * ikn, 0.0).astype(LAM_DT)
-                        ln_new = ln_store.astype(jnp.float32)
-                        dlam = ln_new - ln_old
-                        s_ln[sl, :] = ln_store
-
-                        tvx = rvx - vn * nx
-                        tvy = rvy - vn * ny
-                        tvz = rvz - vn * nz
-                        ltx_old = s_ltx[sl, :].astype(jnp.float32)
-                        lty_old = s_lty[sl, :].astype(jnp.float32)
-                        ltz_old = s_ltz[sl, :].astype(jnp.float32)
-                        ltx_c = ltx_old - tvx * ikn
-                        lty_c = lty_old - tvy * ikn
-                        ltz_c = ltz_old - tvz * ikn
-                        ltl = jnp.sqrt(ltx_c * ltx_c + lty_c * lty_c + ltz_c * ltz_c) + 1e-9
-                        tscale = jnp.minimum(mu * ln_new / ltl, 1.0)
-                        ltx_s = (ltx_c * tscale).astype(LAM_DT)
-                        lty_s = (lty_c * tscale).astype(LAM_DT)
-                        ltz_s = (ltz_c * tscale).astype(LAM_DT)
-                        s_ltx[sl, :] = ltx_s; s_lty[sl, :] = lty_s; s_ltz[sl, :] = ltz_s
-                        jx = nx * dlam + (ltx_s.astype(jnp.float32) - ltx_old)
-                        jy = ny * dlam + (lty_s.astype(jnp.float32) - lty_old)
-                        jz = nz * dlam + (ltz_s.astype(jnp.float32) - ltz_old)
-                        jx_t = jx_t + jx; jy_t = jy_t + jy; jz_t = jz_t + jz
-                        ta_x = ta_x + ray * jz - raz * jy
-                        ta_y = ta_y + raz * jx - rax * jz
-                        ta_z = ta_z + rax * jy - ray * jx
-                        tb_x = tb_x + rby * jz - rbz * jy
-                        tb_y = tb_y + rbz * jx - rbx * jz
-                        tb_z = tb_z + rbx * jy - rby * jx
-                        continue
 
                     lam = jnp.maximum(-(vn - bias) * ikn, 0.0)
 
@@ -818,14 +866,7 @@ def _banded_kernel(
                     jx = nx * lam - tvx / tvl * lam_t
                     jy = ny * lam - tvy / tvl * lam_t
                     jz = nz * lam - tvz / tvl * lam_t
-
-                    jx_t = jx_t + jx; jy_t = jy_t + jy; jz_t = jz_t + jz
-                    ta_x = ta_x + ray * jz - raz * jy
-                    ta_y = ta_y + raz * jx - rax * jz
-                    ta_z = ta_z + rax * jy - ray * jx
-                    tb_x = tb_x + rby * jz - rbz * jy
-                    tb_y = tb_y + rbz * jx - rbx * jz
-                    tb_z = tb_z + rbx * jy - rby * jx
+                    apply(jx, jy, jz, rax, ray, raz, rbx, rby, rbz)
 
                 rT = lambda m: jnp.swapaxes(jnp.sum(m, axis=1, keepdims=True), 0, 1)
                 cS = lambda m: jnp.sum(m, axis=0, keepdims=True)

@@ -362,7 +362,14 @@ class RendererInstance:
                 gscene, world, light_vps, prev.get("shadow_cache")
             )
             carry["shadow_cache"] = shadow_carry
-            shadow = resolve_shadows(gbuffer["world_pos"], gbuffer["hit"], light_vps, shadow_maps)
+            # resolve at half res: the PCF lookup is 4 full-image gathers — the
+            # single most expensive per-pixel op family on this target
+            # (PERF_NOTES.md); shadows upsample well
+            shadow_h = resolve_shadows(
+                gbuffer["world_pos"][::2, ::2], gbuffer["hit"][::2, ::2],
+                light_vps, shadow_maps,
+            )
+            shadow = jax.image.resize(shadow_h, (h, w), method="linear")
             ctx["shadow_maps"] = shadow_maps
             if config.contact_shadows:
                 # quarter-res march (each step is a full-image gather, ~15 ms at
