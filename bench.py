@@ -187,6 +187,77 @@ def bench_frame_3d(width=1920, height=1080, frames=20, calls=2, n_objects=200):
     return frames * calls / elapsed
 
 
+def bench_frame_5(width=1920, height=1080, frames=12, calls=2, n_objects=150, n_boxes=255):
+    """BASELINE config 5: full frame (visbuffer + GTAO + SSR + shadows + post)
+    with rigid-body physics running in the same frame step."""
+    import dataclasses
+
+    import numpy as np
+
+    from oxylus_tpu.assets.bake import bake_mesh
+    from oxylus_tpu.render.renderer3d import RenderSpec
+    from oxylus_tpu.render.sky import AtmosphereParams
+    from oxylus_tpu.runtime import SceneRunner
+    from oxylus_tpu.scene.scene import Scene
+    from oxylus_tpu.scene.state import SceneSpec
+    from tests.test_render3d import cube_mesh
+    from tests.test_native_bake import sphere_mesh
+
+    spec = SceneSpec(max_entities=1024, max_bodies=512)
+    s = Scene("full_frame", spec=spec)
+    cam = s.create_entity("camera")
+    cam.add("TransformComponent", position=(0.0, 8.0, 30.0))
+    cam.add("CameraComponent", fov=60.0)
+    s.set_field(cam.index, "CameraComponent", "pitch", -0.25)
+    sun = s.create_entity("sun")
+    sun.add("TransformComponent", rotation=(-0.383, 0.0, 0.0, 0.924))
+    sun.add("LightComponent", type="Directional", intensity=4.0)
+    floor = s.create_entity("floor")
+    floor.add("TransformComponent", position=(0.0, -1.0, 0.0))
+    floor.add("BoxColliderComponent", size=(100.0, 1.0, 100.0), friction=0.6)
+
+    side = int(np.ceil(np.sqrt(n_objects)))
+    for i in range(n_objects):
+        e = s.create_entity(f"obj_{i}")
+        e.add(
+            "TransformComponent",
+            position=((i % side - side / 2) * 3.0, 0.0, (i // side - side / 2) * 3.0),
+        )
+        e.add("MeshComponent", mesh_index=i % 2)
+    rng = np.random.default_rng(5)
+    bside = int(np.ceil(n_boxes ** (1 / 3)))
+    cnt = 0
+    for ix in range(bside):
+        for iy in range(bside):
+            for iz in range(bside):
+                if cnt >= n_boxes:
+                    break
+                e = s.create_entity(f"box_{cnt}")
+                j = rng.uniform(-0.05, 0.05, 3)
+                e.add("TransformComponent", position=(
+                    (ix - bside / 2) * 1.2 + j[0], 3.0 + iy * 1.2 + j[1],
+                    (iz - bside / 2) * 1.2 + j[2]))
+                e.add("MeshComponent", mesh_index=0)
+                e.add("BoxColliderComponent", size=(0.5, 0.5, 0.5))
+                e.add("RigidBodyComponent", type="Dynamic", mass=1.0)
+                cnt += 1
+
+    cp, cn, cu, ci = cube_mesh()
+    sp_, sn, su, si = sphere_mesh(16, 32)
+    meshes = [bake_mesh(cp, cn, cu, ci), bake_mesh(sp_, sn, su, si)]
+    runner = SceneRunner(
+        s, width=width, height=height, render_mode="3d", meshes=meshes,
+        render_spec=RenderSpec(width=width, height=height),
+        atmosphere=AtmosphereParams(), enable_shadows=True,
+    )
+    runner.config = dataclasses.replace(runner.config, ssr_enable=True)
+    runner.run(2)
+    t0 = time.perf_counter()
+    runner.run(frames * calls)
+    elapsed = time.perf_counter() - t0
+    return frames * calls / elapsed
+
+
 def main():
     which = os.environ.get("OX_BENCH", "physics")
     if which == "frame2d":
@@ -200,6 +271,13 @@ def main():
         fps = bench_frame_3d()
         print(json.dumps({
             "metric": "frame-steps/sec (meshlet scene + sky/shadows/post, 1080p)",
+            "value": round(fps, 2), "unit": "frames/s", "vs_baseline": round(fps / 60.0, 4),
+        }))
+        return
+    if which == "frame5":
+        fps = bench_frame_5()
+        print(json.dumps({
+            "metric": "frame-steps/sec (full frame: visbuffer+GTAO+SSR+shadows+physics, 1080p)",
             "value": round(fps, 2), "unit": "frames/s", "vs_baseline": round(fps / 60.0, 4),
         }))
         return

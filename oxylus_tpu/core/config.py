@@ -50,6 +50,11 @@ class RendererConfig:
     bloom_clamp: float = 4.0
     # fxaa
     fxaa_enable: bool = True
+    # screen-space reflections (config-5 SSSR-style pass; not part of the
+    # reference's RendererCVar schema, so not serialized in to_json)
+    ssr_enable: bool = False
+    ssr_steps: int = 8
+    ssr_max_roughness: float = 0.5
     # color
     tonemapper: int = 0
     exposure: float = 1.0

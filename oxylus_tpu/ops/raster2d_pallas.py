@@ -241,23 +241,38 @@ MAX_VISIBLE = 1024  # sprites whose texture windows are resampled per frame
 def resample_texture_tiles(packed_prefix: Array, atlas: Array) -> Array:
     """Texture tiles from the packed sorted-record matrix (ops/raster2d.py layout:
     cols 21:23 uv_size, 23:25 uv_offset, 25:29 albedo_rect). Capped to the visible
-    prefix so the atlas gather — the most expensive XLA op on this target — stays
-    bounded regardless of entity capacity."""
+    prefix so per-frame texture work stays bounded regardless of entity capacity.
+
+    The sample grid is SEPARABLE (row index depends only on v, column only on u),
+    so for small atlases the (S, TEX, TEX) gather — measured 5–11 ms per frame
+    (PERF_NOTES.md) — becomes two one-hot matmuls on the MXU (~0.5 GFLOP)."""
     s = packed_prefix.shape[0]
     a = atlas.shape[0]
     uv_size = packed_prefix[:, 21:23]
     uv_offset = packed_prefix[:, 23:25]
     rect = packed_prefix[:, 25:29]
     us = (jnp.arange(TEX, dtype=jnp.float32)) / (TEX - 1)
-    uu = uv_offset[:, None, None, 0] + us[None, None, :] * uv_size[:, None, None, 0]
-    vv = uv_offset[:, None, None, 1] + us[None, :, None] * uv_size[:, None, None, 1]
+    uu = uv_offset[:, None, 0] + us[None, :] * uv_size[:, None, 0]  # (S, TEX)
+    vv = uv_offset[:, None, 1] + us[None, :] * uv_size[:, None, 1]
     uu = jnp.mod(uu, 1.0)
     vv = jnp.mod(vv, 1.0)
-    ax = (rect[:, None, None, 0] + uu * (rect[:, None, None, 2] - rect[:, None, None, 0])) * a
-    ay = (rect[:, None, None, 1] + vv * (rect[:, None, None, 3] - rect[:, None, None, 1])) * a
-    ix = jnp.clip(ax.astype(jnp.int32), 0, a - 1)
-    iy = jnp.clip(ay.astype(jnp.int32), 0, a - 1)
-    return atlas[iy, ix].astype(jnp.float32) / 255.0  # (S, TEX, TEX, 4)
+    ax = (rect[:, None, 0] + uu * (rect[:, None, 2] - rect[:, None, 0])) * a
+    ay = (rect[:, None, 1] + vv * (rect[:, None, 3] - rect[:, None, 1])) * a
+    ix = jnp.clip(ax.astype(jnp.int32), 0, a - 1)  # (S, TEX) column indices
+    iy = jnp.clip(ay.astype(jnp.int32), 0, a - 1)  # (S, TEX) row indices
+
+    if a <= 256:
+        lanes = jnp.arange(a, dtype=jnp.int32)
+        ry = (iy[:, :, None] == lanes[None, None, :]).astype(jnp.float32)  # (S,TEX,A)
+        rx = (ix[:, :, None] == lanes[None, None, :]).astype(jnp.float32)  # (S,TEX,A)
+        atl = atlas.astype(jnp.float32) / 255.0  # (A, A, 4)
+        # rows: one big matmul (S·TEX, A) @ (A, A·4)
+        t1 = jnp.einsum("sra,abk->srbk", ry, atl)     # (S, TEX, A, 4)
+        # cols: batched per-sprite contraction
+        return jnp.einsum("srbk,scb->srck", t1, rx)   # (S, TEX, TEX, 4)
+
+    # large atlases: the gather wins over O(A) one-hot rows
+    return atlas[iy[:, :, None], ix[:, None, :]].astype(jnp.float32) / 255.0
 
 
 def build_sprite_texture_tiles(materials, atlas: Array) -> Array:

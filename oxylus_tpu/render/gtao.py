@@ -22,6 +22,16 @@ Array = jax.Array
 QUALITY_PRESETS = {0: (1, 2), 1: (2, 2), 2: (3, 3), 3: (3, 3)}  # slices, samples/side
 
 
+def _acos_fast(x: Array) -> Array:
+    """Abramowitz–Stegun 4.4.45 polynomial acos (~1e-3 abs error): the exact
+    arccos is a slow transcendental on the VPU and AO only needs arc fractions."""
+    ax = jnp.abs(x)
+    p = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * (
+        1.5707288 + ax * (-0.2121144 + ax * (0.0742610 - ax * 0.0187293))
+    )
+    return jnp.where(x >= 0, p, jnp.pi - p)
+
+
 def prefilter_depth(depth: Array, mips: int = 5) -> list[Array]:
     """Depth mip chain (`vbgtao_prefilter`): min-reduce for conservative reach."""
     out = [depth]
@@ -95,9 +105,11 @@ def gtao(
                     dx = int(sign)
                 sample_pos = tap(dy, dx)
                 delta = sample_pos - view_pos
-                dist = jnp.linalg.norm(delta, axis=-1)
-                sdir = delta / jnp.maximum(dist, 1e-6)[..., None]
-                cos_angle = jnp.sum(sdir * view_dir, axis=-1)
+                # one rsqrt per tap: cos = (delta·v)·rsqrt(d²), dist = d²·rsqrt(d²)
+                d2 = jnp.sum(delta * delta, axis=-1)
+                rs = jax.lax.rsqrt(jnp.maximum(d2, 1e-12))
+                cos_angle = jnp.sum(delta * view_dir, axis=-1) * rs
+                dist = d2 * rs
                 # range falloff + thin-occluder thickness heuristic
                 in_range = dist < radius
                 falloff = jnp.clip(1.0 - (dist / radius - 1.0) / thickness, 0.0, 1.0)
@@ -105,8 +117,8 @@ def gtao(
                 cos_h[side] = jnp.maximum(cos_h[side], cos_angle)
 
         # horizon angles from the view direction (cos_h = -1 → fully open → π/2 arc)
-        h1 = jnp.arccos(jnp.clip(cos_h[0], -1.0, 1.0))
-        h2 = jnp.arccos(jnp.clip(cos_h[1], -1.0, 1.0))
+        h1 = _acos_fast(jnp.clip(cos_h[0], -1.0, 1.0))
+        h2 = _acos_fast(jnp.clip(cos_h[1], -1.0, 1.0))
         # visible fraction of the slice arc on each side: angles below π/2 mean the
         # horizon rose above the tangent plane and occludes part of the hemisphere
         a1 = jnp.clip(h1, 0.0, jnp.pi / 2)
@@ -120,16 +132,20 @@ def gtao(
 
 
 def denoise_ao(ao: Array, depth: Array, sigma_depth: float = 0.05) -> Array:
-    """Edge-aware 3×3 blur (`vbgtao_denoise`): weights fall off across depth edges."""
+    """Edge-aware 3×3 blur (`vbgtao_denoise`): weights fall off across depth edges.
+
+    Static pad+slice shifts, NOT index-array taps — advanced indexing lowers to
+    gathers (36 of them here ≈ 33 ms at 1080p), while pad+slice fuses into the
+    elementwise kernel at bandwidth speed (PERF_NOTES.md)."""
     h, w = ao.shape
+    ap = jnp.pad(ao, 1, mode="edge")
+    dp = jnp.pad(depth, 1, mode="edge")
     acc = jnp.zeros_like(ao)
     wsum = jnp.zeros_like(ao)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-            xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-            a = ao[ys][:, xs]
-            d = depth[ys][:, xs]
+            a = ap[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+            d = dp[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
             wgt = jnp.exp(-jnp.abs(d - depth) / sigma_depth)
             acc = acc + a * wgt
             wsum = wsum + wgt

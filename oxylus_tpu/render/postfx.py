@@ -37,8 +37,13 @@ def luminance_histogram(hdr: Array, min_log2: Array, inv_log2_range: Array) -> A
     log_lum = jnp.log2(jnp.maximum(lum, 1e-9))
     t = jnp.clip((log_lum - min_log2) * inv_log2_range, 0.0, 1.0)
     bins = jnp.where(lum < 1e-4, 0, (t * 254.0 + 1.0).astype(jnp.int32))
-    one_hot_counts = jnp.zeros(HISTOGRAM_BINS, jnp.int32).at[bins.reshape(-1)].add(1)
-    return one_hot_counts
+    # compare-and-reduce instead of scatter-add: scatters serialize on TPU
+    # (a 2M-pixel .at[].add was ~45 ms at 1080p; the fused 256-lane compare
+    # streams at VPU speed)
+    lanes = jnp.arange(HISTOGRAM_BINS, dtype=jnp.int32)
+    return jnp.sum(
+        (bins.reshape(-1, 1) == lanes[None, :]).astype(jnp.int32), axis=0
+    )
 
 
 def adapt_exposure(
@@ -130,12 +135,26 @@ _ACES_OUT = jnp.array(
 )
 
 
+def _mat3(m, c):
+    """Per-pixel 3x3 color-matrix transform as fused elementwise math — the
+    (..., 3) @ (3, 3) einsum compiles to a pathologically-shaped matmul on this
+    target (~29 ms at 1080p; this form is bandwidth-speed)."""
+    return jnp.stack(
+        [
+            c[..., 0] * m[0, 0] + c[..., 1] * m[0, 1] + c[..., 2] * m[0, 2],
+            c[..., 0] * m[1, 0] + c[..., 1] * m[1, 1] + c[..., 2] * m[1, 2],
+            c[..., 0] * m[2, 0] + c[..., 1] * m[2, 1] + c[..., 2] * m[2, 2],
+        ],
+        axis=-1,
+    )
+
+
 def tonemap_aces(c: Array) -> Array:
-    v = jnp.einsum("ij,...j->...i", _ACES_IN, c)
+    v = _mat3(_ACES_IN, c)
     a = v * (v + 0.0245786) - 0.000090537
     b = v * (0.983729 * v + 0.4329510) + 0.238081
     v = a / jnp.maximum(b, 1e-9)
-    return jnp.clip(jnp.einsum("ij,...j->...i", _ACES_OUT, v), 0.0, 1.0)
+    return jnp.clip(_mat3(_ACES_OUT, v), 0.0, 1.0)
 
 
 _AGX_IN = jnp.array(
@@ -164,14 +183,14 @@ def _agx_sigmoid(x: Array) -> Array:
 
 def tonemap_agx(c: Array, look_saturation: float = 1.3) -> Array:
     """AgX with punchy-look saturation (tonemap.slang:74-120; EV range [-12.47, 4.03])."""
-    v = jnp.einsum("ij,...j->...i", _AGX_IN, c)
+    v = _mat3(_AGX_IN, c)
     min_ev, max_ev = -12.47393, 4.026069
     v = jnp.clip(jnp.log2(jnp.maximum(v, 1e-10)), min_ev, max_ev)
     v = (v - min_ev) / (max_ev - min_ev)
     v = _agx_sigmoid(v)
     lum = luminance(v)[..., None]
     v = lum + look_saturation * (v - lum)
-    v = jnp.einsum("ij,...j->...i", _AGX_OUT, v)
+    v = _mat3(_AGX_OUT, v)
     return jnp.clip(v, 0.0, 1.0)
 
 
@@ -275,33 +294,28 @@ def apply_fxaa(ldr: Array, span_max: float = 2.0) -> Array:
 
     h, w = lum.shape
     padc = jnp.pad(ldr, ((1, 1), (1, 1), (0, 0)), mode="edge")
-    shift = {
-        (sy, sx): padc[1 + sy : 1 + sy + h, 1 + sx : 1 + sx + w]
-        for sy in (-1, 0, 1)
-        for sx in (-1, 0, 1)
-    }
+    sh = lambda sy, sx: padc[1 + sy : 1 + sy + h, 1 + sx : 1 + sx + w]
 
-    def sample(offset_scale):
-        oy = jnp.clip(dy * offset_scale, -1.0, 1.0)[..., None]
-        ox = jnp.clip(dx * offset_scale, -1.0, 1.0)[..., None]
-        ay, ax = jnp.abs(oy), jnp.abs(ox)
-        ypos, xpos = oy >= 0, ox >= 0
-        c_y = jnp.where(ypos, shift[(1, 0)], shift[(-1, 0)])
-        c_x = jnp.where(xpos, shift[(0, 1)], shift[(0, -1)])
-        c_xy = jnp.where(
-            ypos,
-            jnp.where(xpos, shift[(1, 1)], shift[(1, -1)]),
-            jnp.where(xpos, shift[(-1, 1)], shift[(-1, -1)]),
-        )
+    # the filter only ever uses sample(+s) + sample(-s): summed over both signs,
+    # the sign-selected neighbor pairs collapse to sign-FREE sums (one diagonal
+    # select instead of 3 selects × 4 calls) — ~2× fewer full-res color ops
+    pair_y = sh(1, 0) + sh(-1, 0)
+    pair_x = sh(0, 1) + sh(0, -1)
+    same_sign = (dx * dy >= 0)[..., None]
+    pair_d = jnp.where(same_sign, sh(1, 1) + sh(-1, -1), sh(1, -1) + sh(-1, 1))
+
+    def sym_sample(scale):
+        ay = jnp.clip(jnp.abs(dy) * scale, 0.0, 1.0)[..., None]
+        ax = jnp.clip(jnp.abs(dx) * scale, 0.0, 1.0)[..., None]
         return (
-            ldr * (1 - ay) * (1 - ax)
-            + c_y * ay * (1 - ax)
-            + c_x * (1 - ay) * ax
-            + c_xy * ay * ax
+            ldr * ((1 - ay) * (1 - ax))
+            + pair_y * (0.5 * ay * (1 - ax))
+            + pair_x * (0.5 * (1 - ay) * ax)
+            + pair_d * (0.5 * ay * ax)
         )
 
-    a = (sample(-0.1666) + sample(0.1666)) * 0.5
-    b = a * 0.5 + (sample(-0.5) + sample(0.5)) * 0.25
+    a = sym_sample(0.1666)
+    b = a * 0.5 + sym_sample(0.5) * 0.5
     blum = luminance(b)
     use_a = (blum < lmin) | (blum > lmax)
     out = jnp.where(use_a[..., None], a, b)

@@ -176,23 +176,19 @@ class RendererInstance:
             cm_gb = pack_gbuffer_coeff_matrix(
                 setup["coeffs"], setup["attr_planes"], setup["tri_valid"], mat_consts
             )
-            gb_state = {}
 
-            def raster(_cm, tile_list, w_, h_):
-                d, v, gb = rasterize_gbuffer_pallas(cm_gb, tile_list, w_, h_)
-                if "gb" in gb_state:  # two-pass occlusion: max-merge the G-buffer too
-                    prev_d = gb_state["depth"]
-                    better = (d > prev_d)[..., None]
-                    gb = jnp.where(better, gb, gb_state["gb"])
-                gb_state["gb"] = gb
-                gb_state["depth"] = d
-                return d, v
-        else:
-            raster = (
+        def raster_full(tile_list):
+            """One raster pass → (depth, vid, gbuffer-or-None)."""
+            if use_gbuffer_raster:
+                d, v, gb = rasterize_gbuffer_pallas(cm_gb, tile_list, w, h)
+                return d, v, gb
+            fn = (
                 rasterize_pallas
                 if (spec.use_pallas and platform in ("tpu", "axon"))
                 else rasterize_reference
             )
+            d, v = fn(cm, tile_list, w, h)
+            return d, v, None
 
         # conservative nearest depth per meshlet for occlusion testing
         ml_near = jnp.max(
@@ -215,24 +211,44 @@ class RendererInstance:
                 setup["ml_ymin"], setup["ml_ymax"], ml_near, w, h,
             ) & vm_valid
             tile_list, overflow = masked_bin(early_vis)
-            depth, vid = raster(cm, tile_list, w, h)
+            depth, vid, gb_img = raster_full(tile_list)
             hiz = build_hiz(depth)
             late_vis = occlusion_test(
                 hiz, setup["ml_xmin"], setup["ml_xmax"],
                 setup["ml_ymin"], setup["ml_ymax"], ml_near, w, h,
             ) & vm_valid & ~early_vis
-            tile_list2, overflow2 = masked_bin(late_vis)
-            depth2, vid2 = raster(cm, tile_list2, w, h)
-            better = depth2 > depth
-            depth = jnp.where(better, depth2, depth)
-            vid = jnp.where(better, vid2, vid)
-            carry["hiz"] = build_hiz(depth)
+
+            # the late pass only exists when something was revealed this frame —
+            # skip the second raster + G-buffer merge + HiZ rebuild entirely
+            # otherwise (the steady-state static-scene frame)
+            def late_pass():
+                tile_list2, overflow2 = masked_bin(late_vis)
+                d2, v2, gb2 = raster_full(tile_list2)
+                better = d2 > depth
+                d = jnp.where(better, d2, depth)
+                v = jnp.where(better, v2, vid)
+                gb = (
+                    jnp.where(better[..., None], gb2, gb_img)
+                    if gb_img is not None
+                    else jnp.zeros((), jnp.float32)
+                )
+                return d, v, gb, build_hiz(d), overflow2
+
+            def skip_late():
+                gb = gb_img if gb_img is not None else jnp.zeros((), jnp.float32)
+                return depth, vid, gb, hiz, jnp.int32(0)
+
+            depth, vid, gb_merged, hiz_out, overflow2 = jax.lax.cond(
+                jnp.any(late_vis), late_pass, skip_late
+            )
+            gb_img = gb_merged if gb_img is not None else None
+            carry["hiz"] = hiz_out
             overflow = overflow + overflow2
         else:
             from ..ops.hiz import build_hiz
 
             tile_list, overflow = masked_bin(vm_valid)
-            depth, vid = raster(cm, tile_list, w, h)
+            depth, vid, gb_img = raster_full(tile_list)
             if config.culling_occlusion:
                 carry["hiz"] = build_hiz(depth)
         ctx.update(depth=depth, visbuffer=vid, setup=setup, bin_overflow=overflow)
@@ -240,7 +256,7 @@ class RendererInstance:
 
         # ---- Decode → GBuffer --------------------------------------------
         if use_gbuffer_raster:
-            gbuffer = gbuffer_from_raster(gb_state["gb"], vid)
+            gbuffer = gbuffer_from_raster(gb_img, vid)
         else:
             gbuffer = decode_visbuffer(
                 vid, setup, vm_inst, gscene, world, materials, atlas, width=w, height=h
@@ -362,11 +378,11 @@ class RendererInstance:
                 gscene, world, light_vps, prev.get("shadow_cache")
             )
             carry["shadow_cache"] = shadow_carry
-            # resolve at half res: the PCF lookup is 4 full-image gathers — the
-            # single most expensive per-pixel op family on this target
-            # (PERF_NOTES.md); shadows upsample well
+            # resolve at quarter res: gather cost scales with gathered rows
+            # (~10 ns/row — PERF_NOTES.md) and the PCF lookup is 4 image gathers;
+            # shadows upsample well
             shadow_h = resolve_shadows(
-                gbuffer["world_pos"][::2, ::2], gbuffer["hit"][::2, ::2],
+                gbuffer["world_pos"][::4, ::4], gbuffer["hit"][::4, ::4],
                 light_vps, shadow_maps,
             )
             shadow = jax.image.resize(shadow_h, (h, w), method="linear")
@@ -375,8 +391,8 @@ class RendererInstance:
                 # quarter-res march (each step is a full-image gather, ~15 ms at
                 # full res — PERF_NOTES.md); contact shadows are soft, upsample
                 cs4 = contact_fn(
-                    depth[::4, ::4], gbuffer["world_pos"][::4, ::4],
-                    gbuffer["hit"][::4, ::4], sun_dir,
+                    depth[::8, ::8], gbuffer["world_pos"][::8, ::8],
+                    gbuffer["hit"][::8, ::8], sun_dir,
                     camera.view_projection,
                     steps=config.contact_shadows_steps,
                     thickness=config.contact_shadows_thickness,
@@ -393,16 +409,19 @@ class RendererInstance:
         if enable_gtao:
             from .gtao import denoise_ao, gtao as gtao_fn
 
-            view_pos = jnp.einsum(
-                "ij,hwj->hwi", camera.view[:3, :3], gbuffer["world_pos"]
-            ) + camera.view[:3, 3]
-            view_nrm = jnp.einsum("ij,hwj->hwi", camera.view[:3, :3], gbuffer["normal"])
+            # half-res AO: the slice march is gather-bound (~53 ms at 1080p full
+            # res on this target — PERF_NOTES.md); ambient occlusion upsamples well
+            wp_h = gbuffer["world_pos"][::2, ::2]
+            nr_h = gbuffer["normal"][::2, ::2]
+            view_pos = jnp.einsum("ij,hwj->hwi", camera.view[:3, :3], wp_h) + camera.view[:3, 3]
+            view_nrm = jnp.einsum("ij,hwj->hwi", camera.view[:3, :3], nr_h)
             ao = gtao_fn(
-                view_pos, view_nrm, gbuffer["hit"], frame=state.frame,
+                view_pos, view_nrm, gbuffer["hit"][::2, ::2], frame=state.frame,
                 radius=config.vbgtao_radius, thickness=config.vbgtao_thickness,
                 final_power=config.vbgtao_final_power, quality_level=config.vbgtao_quality_level,
             )
-            ao = denoise_ao(ao, depth)
+            ao = denoise_ao(ao, depth[::2, ::2])
+            ao = jax.image.resize(ao, (h, w), method="linear")
             ctx["ao"] = ao
 
         # ---- Lighting -----------------------------------------------------
@@ -418,6 +437,14 @@ class RendererInstance:
             ao=ctx.get("ao", ao),
             shadow=ctx.get("shadow", shadow),
         )
+        # screen-space reflections (config-5 SSSR-style pass) on the lit image
+        if config.ssr_enable:
+            from .ssr import apply_ssr
+
+            hdr = apply_ssr(
+                hdr, gbuffer, depth, camera.position, camera.view_projection,
+                steps=config.ssr_steps, max_roughness=config.ssr_max_roughness,
+            )
         # aerial perspective: distance scattering over shaded surfaces
         if atmosphere is not None and "_sky_luts" in ctx:
             from .sky import aerial_perspective

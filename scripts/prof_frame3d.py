@@ -55,23 +55,32 @@ if cfg == "nopost":
     pass
 
 runner = SceneRunner(s, width=W, height=H, **kw)
+
+import dataclasses
+
+
+def _cfg(**kv):
+    try:
+        runner.config = dataclasses.replace(runner.config, **kv)
+    except Exception:
+        for k, v in kv.items():
+            setattr(runner.config, k, v)
+
+
 if cfg == "nopost":
-    runner.config = runner.config.replace(bloom_enable=False, fxaa_enable=False, vbgtao_enable=False) if hasattr(runner.config, "replace") else runner.config
-    try:
-        import dataclasses
-        runner.config = dataclasses.replace(runner.config, bloom_enable=False, fxaa_enable=False, vbgtao_enable=False)
-    except Exception:
-        for f in ("bloom_enable", "fxaa_enable", "vbgtao_enable"):
-            setattr(runner.config, f, False)
-if cfg == "raster":
-    import dataclasses
-    try:
-        runner.config = dataclasses.replace(
-            runner.config, bloom_enable=False, fxaa_enable=False, vbgtao_enable=False,
-            contact_shadows=False,
-        )
-    except Exception:
-        pass
+    _cfg(bloom_enable=False, fxaa_enable=False, vbgtao_enable=False)
+elif cfg == "raster":
+    _cfg(bloom_enable=False, fxaa_enable=False, vbgtao_enable=False, contact_shadows=False)
+elif cfg == "nogtao":
+    _cfg(vbgtao_enable=False)
+elif cfg == "nofxaa":
+    _cfg(fxaa_enable=False)
+elif cfg == "nobloom":
+    _cfg(bloom_enable=False)
+elif cfg == "nocontact":
+    _cfg(contact_shadows=False)
+elif cfg == "noocclusion":
+    _cfg(culling_occlusion=False)
 
 img = runner.step(); jax.block_until_ready(img)
 img = runner.step(); jax.block_until_ready(img)  # retrace with carry
