@@ -413,8 +413,9 @@ class RendererInstance:
             # res on this target — PERF_NOTES.md); ambient occlusion upsamples well
             wp_h = gbuffer["world_pos"][::2, ::2]
             nr_h = gbuffer["normal"][::2, ::2]
-            view_pos = jnp.einsum("ij,hwj->hwi", camera.view[:3, :3], wp_h) + camera.view[:3, 3]
-            view_nrm = jnp.einsum("ij,hwj->hwi", camera.view[:3, :3], nr_h)
+            from ..utils import math3d as _m3
+            view_pos = _m3.mat3_dir_image(camera.view[:3, :3], wp_h) + camera.view[:3, 3]
+            view_nrm = _m3.mat3_dir_image(camera.view[:3, :3], nr_h)
             ao = gtao_fn(
                 view_pos, view_nrm, gbuffer["hit"][::2, ::2], frame=state.frame,
                 radius=config.vbgtao_radius, thickness=config.vbgtao_thickness,

@@ -267,8 +267,6 @@ def resolve_shadows(
     (the `resolve_shadowmaps` pass, `Shadowmaps.cpp:543-610`)."""
     s = shadow_maps.shape[-1]
     n_lvls = light_vps.shape[0]
-    ph = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], axis=-1)
-
     # pick the finest containing clipmap per pixel with cheap fused math, then do
     # the 2×2 PCF with FOUR gathers total from the flattened (L*S*S,) map stack —
     # a per-level PCF loop costs 16 full-res gathers (~15 ms each, PERF_NOTES.md)
@@ -278,7 +276,7 @@ def resolve_shadows(
     best_z = jnp.zeros(world_pos.shape[:2])
     any_inside = jnp.zeros(world_pos.shape[:2], jnp.bool_)
     for lvl in range(n_lvls - 1, -1, -1):
-        clip = jnp.einsum("ij,hwj->hwi", light_vps[lvl], ph)
+        clip = math3d.mat4_point_image(light_vps[lvl], world_pos)
         ndc = clip[..., :3] / jnp.maximum(jnp.abs(clip[..., 3:4]), 1e-9)
         u = ndc[..., 0] * 0.5 + 0.5
         v = ndc[..., 1] * 0.5 + 0.5
@@ -322,14 +320,12 @@ def contact_shadows(
     h, w = depth.shape
     to_light = -light_dir
     shadow = jnp.ones_like(depth)
-    ph = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], axis=-1)
 
     occluded = jnp.zeros_like(depth, jnp.bool_)
     for i in range(1, steps + 1):
         t = length * i / steps
         sample_ws = world_pos + to_light[None, None, :] * t
-        sph = jnp.concatenate([sample_ws, jnp.ones_like(sample_ws[..., :1])], axis=-1)
-        clip = jnp.einsum("ij,hwj->hwi", view_proj, sph)
+        clip = math3d.mat4_point_image(view_proj, sample_ws)
         wc = jnp.maximum(jnp.abs(clip[..., 3]), 1e-9)
         ndc = clip[..., :3] / wc[..., None]
         sx = jnp.clip(((ndc[..., 0] * 0.5 + 0.5) * w).astype(jnp.int32), 0, w - 1)

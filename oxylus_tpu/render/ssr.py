@@ -19,6 +19,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..utils.math3d import mat4_point_image as _mat4_point
+
 Array = jax.Array
 
 
@@ -49,8 +51,7 @@ def ssr_trace(
     for i in range(1, steps + 1):
         t = max_distance * (i / steps) ** 2  # finer steps near the surface
         sample = world_pos + rdir * t
-        sph = jnp.concatenate([sample, jnp.ones_like(sample[..., :1])], axis=-1)
-        clip = jnp.einsum("ij,hwj->hwi", view_proj, sph)
+        clip = _mat4_point(view_proj, sample)
         wc = jnp.maximum(clip[..., 3], 1e-6)
         ndc = clip[..., :3] / wc[..., None]
         sx = ((ndc[..., 0] * 0.5 + 0.5) * w).astype(jnp.int32)

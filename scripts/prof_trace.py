@@ -1,0 +1,45 @@
+"""Real per-op frame attribution: jax.profiler trace → parse trace.json.gz."""
+
+import glob
+import gzip
+import json
+import sys, os, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+W, H = int(os.environ.get("OX_W", "1920")), int(os.environ.get("OX_H", "1080"))
+
+from scripts_prof_scene import build_runner  # noqa
+
+runner = build_runner(W, H, n_obj=200)
+img = runner.step(); jax.block_until_ready(img)
+img = runner.step(); jax.block_until_ready(img)
+
+trace_dir = "/tmp/jax_trace"
+os.system(f"rm -rf {trace_dir}")
+with jax.profiler.trace(trace_dir):
+    for _ in range(3):
+        img = runner.step()
+    jax.block_until_ready(img)
+
+# parse the perfetto trace
+files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+print("trace files:", files)
+agg = {}
+for f in files:
+    with gzip.open(f, "rt") as fh:
+        data = json.load(fh)
+    for ev in data.get("traceEvents", []):
+        if ev.get("ph") != "X":
+            continue
+        pid_name = ev.get("pid")
+        name = ev.get("name", "")
+        dur = ev.get("dur", 0)
+        agg.setdefault(name, [0, 0])
+        agg[name][0] += dur
+        agg[name][1] += 1
+
+top = sorted(agg.items(), key=lambda kv: -kv[1][0])[:60]
+for name, (dur, cnt) in top:
+    print(f"{dur/1e3/3:9.2f} ms/frame  x{cnt//3:4d}  {name[:110]}")
