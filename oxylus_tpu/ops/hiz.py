@@ -195,22 +195,31 @@ def occlusion_test(
         jnp.ceil(jnp.log2(jnp.maximum(size, 1.0))).astype(jnp.int32), 0, len(mips) - 1
     )
 
-    # gather the 2×2 neighborhood at each object's level; evaluate all levels and
-    # select (static level count keeps this a handful of fused gathers)
-    def sample_level(mip: Array, lvl: int) -> Array:
-        scale = 1.0 / (1 << lvl)
-        x0 = jnp.floor(xmin_c * scale).astype(jnp.int32)
-        y0 = jnp.floor(ymin_c * scale).astype(jnp.int32)
-        x1 = jnp.minimum(x0 + 1, mip.shape[1] - 1)
-        y1 = jnp.minimum(y0 + 1, mip.shape[0] - 1)
-        x0 = jnp.clip(x0, 0, mip.shape[1] - 1)
-        y0 = jnp.clip(y0, 0, mip.shape[0] - 1)
-        return jnp.minimum(
-            jnp.minimum(mip[y0, x0], mip[y0, x1]), jnp.minimum(mip[y1, x0], mip[y1, x1])
-        )
+    # ONE flattened pyramid + 4 taps total: sampling each level separately costs
+    # 4 gathers × 13 levels ≈ 17 ms/frame at these capacities (PERF_NOTES.md);
+    # the per-object level parameters (offset/width/height) select with fused
+    # elementwise compares instead
+    flat = jnp.concatenate([m.reshape(-1) for m in mips])
+    off = 0
+    base_off = jnp.zeros_like(level)
+    mip_w = jnp.zeros_like(level)
+    mip_h = jnp.zeros_like(level)
+    for lvl, m in enumerate(mips):
+        sel = level == lvl
+        base_off = jnp.where(sel, off, base_off)
+        mip_w = jnp.where(sel, m.shape[1], mip_w)
+        mip_h = jnp.where(sel, m.shape[0], mip_h)
+        off += m.size
 
-    farthest = sample_level(mips[0], 0)
-    for lvl in range(1, len(mips)):
-        farthest = jnp.where(level == lvl, sample_level(mips[lvl], lvl), farthest)
+    scale = jnp.exp2(-level.astype(jnp.float32))
+    x0 = jnp.clip(jnp.floor(xmin_c * scale).astype(jnp.int32), 0, mip_w - 1)
+    y0 = jnp.clip(jnp.floor(ymin_c * scale).astype(jnp.int32), 0, mip_h - 1)
+    x1 = jnp.minimum(x0 + 1, mip_w - 1)
+    y1 = jnp.minimum(y0 + 1, mip_h - 1)
+    t00 = flat[base_off + y0 * mip_w + x0]
+    t01 = flat[base_off + y0 * mip_w + x1]
+    t10 = flat[base_off + y1 * mip_w + x0]
+    t11 = flat[base_off + y1 * mip_w + x1]
+    farthest = jnp.minimum(jnp.minimum(t00, t01), jnp.minimum(t10, t11))
 
     return nearest_depth >= farthest

@@ -451,11 +451,11 @@ class RendererInstance:
             from .sky import aerial_perspective
 
             t_lut2, ms_lut2 = ctx["_sky_luts"]
-            # quarter-res march: the 8-step march does 2 LUT gathers per step
+            # 1/8-res march: the 8-step march does 2 LUT gathers per step
             # (~240 ms at full res — PERF_NOTES.md); aerial perspective is smooth
             ap_l4, ap_t4 = aerial_perspective(
                 atmosphere, t_lut2, ms_lut2,
-                gbuffer["world_pos"][::4, ::4], gbuffer["hit"][::4, ::4],
+                gbuffer["world_pos"][::8, ::8], gbuffer["hit"][::8, ::8],
                 camera.position, -sun_dir, sun_intensity=jnp.asarray(sun_intensity),
                 meters_per_km=50.0,  # game-scale worlds: 50 units ≈ 1 km of air
             )
