@@ -133,18 +133,23 @@ def rasterize_sprites(
         ps = packed[order]  # the one gather
         records = ps[:, :16]
 
-        # --- binning (T, S) → (T, K), scatter-free --------------------------
+        # --- binning (T, S') → (T, K), scatter-free -------------------------
+        # only the sorted visible prefix can be drawn (the blend kernel's
+        # texture tiles stop at MAX_VISIBLE), so the overlap/cumsum matrix —
+        # the biggest fusion of the 2D frame (~17 ms at a 2048-entity
+        # capacity, trace) — only needs S' = min(S, MAX_VISIBLE) columns
+        ps_bin = ps[: min(s, MAX_VISIBLE)]
         tile_x0 = jax.lax.broadcasted_iota(jnp.int32, (ty, tx), 1) * TILE
         tile_y0 = jax.lax.broadcasted_iota(jnp.int32, (ty, tx), 0) * TILE
         tile_x0 = tile_x0.reshape(n_tiles, 1).astype(jnp.float32)
         tile_y0 = tile_y0.reshape(n_tiles, 1).astype(jnp.float32)
         overlap = (
-            (ps[None, :, 17] >= tile_x0)
-            & (ps[None, :, 16] < tile_x0 + TILE)
-            & (ps[None, :, 19] >= tile_y0)
-            & (ps[None, :, 18] < tile_y0 + TILE)
-            & (ps[None, :, 20] > 0.5)
-        )  # (T, S)
+            (ps_bin[None, :, 17] >= tile_x0)
+            & (ps_bin[None, :, 16] < tile_x0 + TILE)
+            & (ps_bin[None, :, 19] >= tile_y0)
+            & (ps_bin[None, :, 18] < tile_y0 + TILE)
+            & (ps_bin[None, :, 20] > 0.5)
+        )  # (T, S')
         # cum[t, s] = #overlaps among sorted sprites 0..s: the k-th list entry is
         # where cum first reaches k+1 — a batched binary search (scatters serialize)
         cum = jnp.cumsum(overlap.astype(jnp.int32), axis=1)

@@ -143,8 +143,14 @@ class SceneRunner:
                     time=state.time + dt, frame=state.frame + 1,
                 )
             else:
+                if not hasattr(self, "_has_bodies"):
+                    # static per scene: compiles the physics stage out of the
+                    # frame step for body-less scenes (~8 ms/frame of substep
+                    # while-loop machinery otherwise — PERF_NOTES.md)
+                    self._has_bodies = bool(np.asarray(self.ps.active).any())
                 self.state, self.ps = frame_step(
-                    self.state, self.ps, self.physics_params, jnp.float32(dt), self.scene.spec
+                    self.state, self.ps, self.physics_params, jnp.float32(dt),
+                    self.scene.spec, has_bodies=self._has_bodies,
                 )
         if self.contact_tracker is not None:
             self.contact_tracker.dispatch(self.scene, self.ps, self.physics_params)

@@ -168,26 +168,32 @@ def step_physics_accumulated(
     return ps, alpha
 
 
-@partial(jax.jit, static_argnames=("spec",), donate_argnums=(0, 1))
+@partial(jax.jit, static_argnames=("spec", "has_bodies"), donate_argnums=(0, 1))
 def frame_step(
     state: SceneState,
     ps: PhysicsState,
     params: PhysicsParams,
     dt: jax.Array,
     spec: SceneSpec,
+    has_bodies: bool = True,
 ) -> tuple[SceneState, PhysicsState]:
     """Advance the whole scene by one frame. Buffers are donated: the previous frame's
-    state is consumed in place (the reference's double-buffered frame model)."""
+    state is consumed in place (the reference's double-buffered frame model).
+
+    `has_bodies=False` (static, decided once per scene on the host) compiles the
+    physics stage out entirely — a sprites-only scene otherwise pays ~8 ms/frame
+    for the substep while-loop machinery over empty body arrays (trace)."""
     from .particles import particle_update  # local import to avoid cycle
 
     dt = jnp.asarray(dt, jnp.float32)
 
     # --- OnUpdate: physics
-    ps = character_controller_update(state, ps, dt)
-    ps, alpha = step_physics_accumulated(ps, params, spec, dt)
-    state = sync_bodies_to_components(state, ps)
-    state = sync_characters_to_components(state, ps)
-    state = physics_interpolate(state, ps, alpha)
+    if has_bodies:
+        ps = character_controller_update(state, ps, dt)
+        ps, alpha = step_physics_accumulated(ps, params, spec, dt)
+        state = sync_bodies_to_components(state, ps)
+        state = sync_characters_to_components(state, ps)
+        state = physics_interpolate(state, ps, alpha)
 
     # --- PostUpdate: simulation systems
     state = particle_update(state, spec, dt)
