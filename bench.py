@@ -27,6 +27,13 @@ def bench_physics(n_boxes=1022, worlds=64, steps_per_call=60, calls=8, warmup=2,
 
     scene = _build_flagship(n_boxes=n_boxes)
     ps = scene.physics_state
+    if os.environ.get("OX_BENCH_CHECK_BAND") == "1":
+        import sys
+
+        from oxylus_tpu.physics.megakernel_banded import band_coverage_report
+
+        rep = band_coverage_report(ps)
+        print(f"band coverage on bench scene: {rep}", file=sys.stderr)
     comm = "scatter" if worlds > 4 else "matmul"
     params = PhysicsParams(comm=comm)
     n_bodies = int(jax.device_get(jnp.sum(ps.active.astype(jnp.int32))))
@@ -258,43 +265,76 @@ def bench_frame_5(width=1920, height=1080, frames=12, calls=2, n_objects=150, n_
     return frames * calls / elapsed
 
 
-def main():
-    which = os.environ.get("OX_BENCH", "physics")
-    if which == "frame2d":
-        fps = bench_frame_2d()
-        print(json.dumps({
-            "metric": "frame-steps/sec (2D tilemap + animated sprites, 1080p)",
-            "value": round(fps, 2), "unit": "frames/s", "vs_baseline": round(fps / 60.0, 4),
-        }))
-        return
-    if which == "frame3d":
-        fps = bench_frame_3d()
-        print(json.dumps({
-            "metric": "frame-steps/sec (meshlet scene + sky/shadows/post, 1080p)",
-            "value": round(fps, 2), "unit": "frames/s", "vs_baseline": round(fps / 60.0, 4),
-        }))
-        return
-    if which == "frame5":
-        fps = bench_frame_5()
-        print(json.dumps({
-            "metric": "frame-steps/sec (full frame: visbuffer+GTAO+SSR+shadows+physics, 1080p)",
-            "value": round(fps, 2), "unit": "frames/s", "vs_baseline": round(fps / 60.0, 4),
-        }))
-        return
+def _run_physics():
     worlds = int(os.environ.get("OX_BENCH_WORLDS", "1"))
     mega = os.environ.get("OX_BENCH_MEGA", "1") == "1"
     rate, n_bodies, worlds, elapsed = bench_physics(worlds=worlds, mega=mega)
     target = 10e6  # BASELINE.json: ≥10M rigid-body-steps/s
-    print(
-        json.dumps(
-            {
-                "metric": f"rigid-body-steps/sec (falling boxes, {worlds}x{n_bodies} bodies, 60Hz substeps)",
-                "value": round(rate),
-                "unit": "body-steps/s",
-                "vs_baseline": round(rate / target, 4),
-            }
-        )
-    )
+    return {
+        "metric": f"rigid-body-steps/sec (falling boxes, {worlds}x{n_bodies} bodies, 60Hz substeps)",
+        "value": round(rate),
+        "unit": "body-steps/s",
+        "vs_baseline": round(rate / target, 4),
+    }
+
+
+def _run_frame2d():
+    fps = bench_frame_2d()
+    return {
+        "metric": "frame-steps/sec (2D tilemap + animated sprites, 1080p)",
+        "value": round(fps, 2), "unit": "frames/s", "vs_baseline": round(fps / 60.0, 4),
+    }
+
+
+def _run_frame3d():
+    fps = bench_frame_3d()
+    return {
+        "metric": "frame-steps/sec (meshlet scene + sky/shadows/post, 1080p)",
+        "value": round(fps, 2), "unit": "frames/s", "vs_baseline": round(fps / 60.0, 4),
+    }
+
+
+def _run_frame5():
+    fps = bench_frame_5()
+    return {
+        "metric": "frame-steps/sec (full frame: visbuffer+GTAO+SSR+shadows+physics, 1080p)",
+        "value": round(fps, 2), "unit": "frames/s", "vs_baseline": round(fps / 60.0, 4),
+    }
+
+
+def main():
+    import sys
+
+    which = os.environ.get("OX_BENCH", "all")
+    single = {
+        "physics": _run_physics,
+        "frame2d": _run_frame2d,
+        "frame3d": _run_frame3d,
+        "frame5": _run_frame5,
+    }
+    if which in single:
+        print(json.dumps(single[which]()))
+        return
+
+    # default: run the full official suite (BASELINE configs 1/2/3-4), emit each
+    # result to stderr as it lands, and print the WEAKEST metric as the one
+    # official stdout line (the driver parses the last stdout line) — so the
+    # record reflects the worst axis, not just physics.
+    results = {}
+    for name in ("physics", "frame2d", "frame3d"):
+        try:
+            r = single[name]()
+        except Exception as e:  # one failed bench shouldn't hide the others
+            r = {"metric": f"{name} (FAILED: {type(e).__name__}: {e})",
+                 "value": 0.0, "unit": "-", "vs_baseline": 0.0}
+        print(json.dumps(r), file=sys.stderr, flush=True)
+        results[name] = r
+    weakest = dict(min(results.values(), key=lambda r: r["vs_baseline"]))
+    weakest["suite"] = {
+        name: {"value": r["value"], "vs_baseline": r["vs_baseline"]}
+        for name, r in results.items()
+    }
+    print(json.dumps(weakest))
 
 
 if __name__ == "__main__":

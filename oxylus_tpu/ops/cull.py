@@ -58,10 +58,13 @@ def cull_instances(
 
 
 def expand_meshlet_instances(
-    gscene, visible: Array, lod: Array, capacity: int
-) -> tuple[Array, Array, Array]:
+    gscene, visible: Array, lod: Array, capacity: int, with_overflow: bool = False
+):
     """Visible instances × selected-LOD meshlet ranges → flat meshlet-instance records
-    (`GPU::MeshletInstance`, `SceneGPU.hpp:105-108`). Returns (instance, meshlet, valid)."""
+    (`GPU::MeshletInstance`, `SceneGPU.hpp:105-108`). Returns (instance, meshlet, valid)
+    — plus the count of meshlet instances dropped by the capacity budget when
+    `with_overflow` (surfaced like tile-binning overflow, instead of truncating
+    silently)."""
     mesh = gscene.inst_mesh
     take = jnp.take_along_axis
     lod_i = lod[:, None]
@@ -70,6 +73,9 @@ def expand_meshlet_instances(
     inst, rank, valid = prefix_expand(counts, capacity)
     meshlet = offsets[inst] + rank
     meshlet = jnp.where(valid, meshlet, 0)
+    if with_overflow:
+        overflow = jnp.maximum(jnp.sum(counts) - capacity, 0).astype(jnp.int32)
+        return inst, meshlet, valid, overflow
     return inst, meshlet, valid
 
 

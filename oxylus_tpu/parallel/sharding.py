@@ -69,8 +69,6 @@ def rasterize_tiles_sharded(
     Pads the tile count to a multiple of the axis size, runs the per-tile scan on each
     device's shard of the list, and returns full-resolution depth/id buffers (sharded
     by construction; `device_get` assembles them)."""
-    from jax.experimental.shard_map import shard_map
-
     from ..ops.raster3d import PIX, TILE, rasterize_reference
 
     n_dev = mesh.shape[axis]
@@ -120,13 +118,13 @@ def rasterize_tiles_sharded(
             return (jnp.where(better, best, depth), jnp.where(better, pid, vid)), ()
 
         # carry must be marked device-varying over the mesh axis (shard_map vma rules)
-        depth0 = jax.lax.pvary(jnp.zeros((n_tiles_local, PIX), jnp.float32), axis)
-        vid0 = jax.lax.pvary(jnp.full((n_tiles_local, PIX), -1, jnp.int32), axis)
+        depth0 = jax.lax.pcast(jnp.zeros((n_tiles_local, PIX), jnp.float32), axis, to="varying")
+        vid0 = jax.lax.pcast(jnp.full((n_tiles_local, PIX), -1, jnp.int32), axis, to="varying")
         (depth, vid), _ = jax.lax.scan(step, (depth0, vid0), jnp.arange(k_cap))
         return depth, vid
 
     shard_ids = jnp.arange(n_dev, dtype=jnp.int32)
-    fn = shard_map(
+    fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(axis, None), P(axis)),

@@ -1065,6 +1065,33 @@ def slab_rank_key(ps: PhysicsState, exclude: Array | None = None) -> Array:
     return jnp.where(act, key, big)
 
 
+def band_coverage_report(ps: PhysicsState, margin: float = 0.1) -> dict:
+    """Debug diagnostic: how well does the ±BAND rank window cover the actual
+    AABB-overlap pair set for this scene shape? Dense O(B²) — offline use only
+    (bench/tuning scripts, tests), not for the hot path.
+
+    Returns {"pairs": in-overlap pair count, "outside_band": pairs the band mask
+    would reject this launch, "max_rank_dist": worst pair rank distance}.
+    """
+    _, is_hub = extract_hub_planes(ps)
+    key = slab_rank_key(ps, exclude=is_hub)
+    rank = jnp.argsort(jnp.argsort(key))
+    eff = jnp.maximum(jnp.max(ps.half_extent, axis=1), ps.radius) + margin
+    lo = ps.pos - eff[:, None]
+    hi = ps.pos + eff[:, None]
+    overlap = jnp.all(
+        (lo[:, None, :] <= hi[None, :, :]) & (hi[:, None, :] >= lo[None, :, :]), axis=-1
+    )
+    act = ps.active & ~is_hub
+    valid = act[:, None] & act[None, :] & (rank[:, None] < rank[None, :])
+    pair = overlap & valid
+    dist = jnp.abs(rank[:, None] - rank[None, :])
+    n_pairs = int(jnp.sum(pair))
+    outside = int(jnp.sum(pair & (dist > BAND)))
+    max_dist = int(jnp.max(jnp.where(pair, dist, 0)))
+    return {"pairs": n_pairs, "outside_band": outside, "max_rank_dist": max_dist}
+
+
 HUB_MIN_FACE_AREA = 25.0  # m²: static boxes with a larger face become analytic planes
 
 

@@ -204,25 +204,44 @@ _BOX_CORNERS = jnp.array(
 
 
 def _contact_box_box(ca, rot_a, half_a, cb, rot_b, half_b, k_points):
-    """Box-box: face-axis SAT for the contact normal; manifold from the deepest
-    corners of each box inside the other (up to k_points).
+    """Box-box: full 15-axis SAT (6 face axes + 9 edge-cross axes, the same axis set
+    Jolt's convex SAT fallback and any exact OBB test use).
 
-    (Edge-edge SAT axes are deferred to the full GJK/EPA path; corner manifolds cover
-    resting stacks and face contacts, the dominant regime in the falling-boxes baseline.)
+    Face-axis winner → corner manifold from the deepest corners of each box inside
+    the other (up to k_points). Edge-axis winner → single contact at the closest
+    point between the two supporting edges (tumbling / edge-balanced boxes resolve
+    with the true edge normal instead of a face normal).
     """
     d = cb - ca  # (P,3)
 
     # 6 candidate face axes in world space: a's columns then b's columns
     axes = jnp.concatenate([jnp.moveaxis(rot_a, -1, -2), jnp.moveaxis(rot_b, -1, -2)], axis=-2)  # (P,6,3)
+    # 9 edge-cross axes: a_i × b_j (normalized; degenerate parallel pairs masked out)
+    a_cols = jnp.moveaxis(rot_a, -1, -2)  # (P,3,3) rows = a's axes
+    b_cols = jnp.moveaxis(rot_b, -1, -2)
+    cross = jnp.cross(a_cols[..., :, None, :], b_cols[..., None, :, :])  # (P,3,3,3)
+    cross = cross.reshape(cross.shape[:-3] + (9, 3))
+    cross_len = jnp.linalg.norm(cross, axis=-1)
+    cross_ok = cross_len > 1e-6
+    cross_n = cross / jnp.maximum(cross_len, 1e-6)[..., None]
+    axes = jnp.concatenate([axes, cross_n], axis=-2)  # (P,15,3)
+
     # projection radius of a box onto axis L: Σ_j |(R^T L)_j| h_j
-    axes_in_a = jnp.einsum("...ni,...ij->...nj", axes, rot_a)  # (P,6,3)
+    axes_in_a = jnp.einsum("...ni,...ij->...nj", axes, rot_a)  # (P,15,3)
     axes_in_b = jnp.einsum("...ni,...ij->...nj", axes, rot_b)
     proj_a = jnp.einsum("...nj,...j->...n", jnp.abs(axes_in_a), half_a)
     proj_b = jnp.einsum("...nj,...j->...n", jnp.abs(axes_in_b), half_b)
     dist_on_axis = jnp.abs(jnp.einsum("...ki,...i->...k", axes, d))
-    overlap = proj_a + proj_b - dist_on_axis  # (P,6)
-    separated = jnp.any(overlap < 0.0, axis=-1)
-    best = jnp.argmin(overlap, axis=-1)
+    overlap = proj_a + proj_b - dist_on_axis  # (P,15)
+    # degenerate cross axes can't separate or win; bias edge axes slightly so a
+    # face axis wins ties (stable manifolds beat single edge points when flush)
+    edge_slot = jax.lax.broadcasted_iota(jnp.int32, overlap.shape, overlap.ndim - 1) >= 6
+    ok = jnp.concatenate([jnp.ones_like(cross_ok[..., :6]), cross_ok], axis=-1)
+    overlap_sep = jnp.where(ok, overlap, jnp.inf)
+    separated = jnp.any(overlap_sep < 0.0, axis=-1)
+    overlap_pick = jnp.where(ok, overlap + jnp.where(edge_slot, 1e-4, 0.0), jnp.inf)
+    best = jnp.argmin(overlap_pick, axis=-1)
+    best_is_edge = best >= 6
     n = jnp.take_along_axis(axes, best[..., None, None].astype(jnp.int32), axis=-2)[..., 0, :]
     # orient a→b
     n = n * jnp.sign(jnp.sum(n * d, axis=-1, keepdims=True) + 1e-12)
@@ -264,6 +283,36 @@ def _contact_box_box(ca, rot_a, half_a, cb, rot_b, half_b, k_points):
     # top-k deepest
     top_dp, top_idx = jax.lax.top_k(cand_dp, k_points)
     top_pts = jnp.take_along_axis(cand_pts, top_idx[..., None].astype(jnp.int32), axis=-2)
+
+    # --- edge-edge contact (winner axis ≥ 6): closest point between the two
+    # supporting edges, single manifold point with the cross-axis normal
+    ei = jnp.maximum(best - 6, 0) // 3  # a's edge direction axis
+    ej = jnp.maximum(best - 6, 0) % 3   # b's edge direction axis
+    axis_a = jnp.take_along_axis(a_cols, ei[..., None, None].astype(jnp.int32), axis=-2)[..., 0, :]
+    axis_b = jnp.take_along_axis(b_cols, ej[..., None, None].astype(jnp.int32), axis=-2)[..., 0, :]
+
+    def support_edge(c, cols, half, ax_idx, toward):
+        """Edge of the box most along `toward`, directed along axis ax_idx."""
+        sgn = jnp.sign(jnp.einsum("...ki,...i->...k", cols, toward))
+        sgn = jnp.where(sgn == 0.0, 1.0, sgn)
+        onehot = jax.nn.one_hot(ax_idx, 3, dtype=c.dtype)  # (...,3) over axes
+        mid = c + jnp.einsum("...k,...ki->...i", sgn * half * (1.0 - onehot), cols)
+        h_i = jnp.sum(half * onehot, axis=-1)
+        dirv = jnp.einsum("...k,...ki->...i", onehot, cols)
+        return mid - dirv * h_i[..., None], mid + dirv * h_i[..., None]
+
+    pa0, pa1 = support_edge(ca, a_cols, half_a, ei, n)
+    pb0, pb1 = support_edge(cb, b_cols, half_b, ej, -n)
+    ea_c, eb_c = _closest_segment_segment(pa0, pa1, pb0, pb1)
+    edge_pt = (ea_c + eb_c) * 0.5
+    edge_dp = jnp.take_along_axis(overlap, best[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    edge_dp = jnp.where(separated, -1e9, edge_dp)
+
+    use_edge = (best_is_edge & ~separated)[..., None]
+    slot0 = jax.lax.broadcasted_iota(jnp.int32, top_dp.shape, top_dp.ndim - 1) == 0
+    top_dp = jnp.where(use_edge, jnp.where(slot0, edge_dp[..., None], -1e9), top_dp)
+    top_pts = jnp.where(use_edge[..., None], edge_pt[..., None, :], top_pts)
+
     # all manifold points share the SAT normal; depth measured per corner
     n_k = jnp.broadcast_to(n[..., None, :], top_pts.shape)
     return n_k, top_pts, top_dp

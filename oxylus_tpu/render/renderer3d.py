@@ -131,8 +131,8 @@ class RendererInstance:
             gscene, world, camera.frustum_planes, camera.position, proj_scale,
             frustum_enabled=config.culling_frustum,
         )
-        mi_inst, mi_ml, mi_valid = expand_meshlet_instances(
-            gscene, vis, lod, spec.max_meshlet_instances
+        mi_inst, mi_ml, mi_valid, expand_overflow = expand_meshlet_instances(
+            gscene, vis, lod, spec.max_meshlet_instances, with_overflow=True
         )
         vm_inst, vm_ml, vm_valid, vm_count = cull_meshlets(
             gscene, world, mi_inst, mi_ml, mi_valid,
@@ -251,7 +251,10 @@ class RendererInstance:
             depth, vid, gb_img = raster_full(tile_list)
             if config.culling_occlusion:
                 carry["hiz"] = build_hiz(depth)
-        ctx.update(depth=depth, visbuffer=vid, setup=setup, bin_overflow=overflow)
+        ctx.update(
+            depth=depth, visbuffer=vid, setup=setup, bin_overflow=overflow,
+            expand_overflow=expand_overflow,
+        )
         ctx = self._run_cbs(RenderStage.VISBUFFER_ENCODE, "after", ctx)
 
         # ---- Decode → GBuffer --------------------------------------------

@@ -98,8 +98,12 @@ def apply_ssr(
         q(depth), q(gbuffer["world_pos"]), q(gbuffer["normal"]), q(gbuffer["hit"]),
         hdr[::4, ::4], camera_pos, view_proj, steps=steps,
     )
-    color = jax.image.resize(color4, (h, w, 3), method="linear")
+    # premultiplied-confidence upsampling: texels where the march missed hold
+    # hdr[0,0] (hit_x=hit_y=0) — weight them out of the bilinear average instead
+    # of letting that unrelated corner color bleed across reflection boundaries
+    color = jax.image.resize(color4 * conf4[..., None], (h, w, 3), method="linear")
     conf = jax.image.resize(conf4, (h, w), method="linear")
+    color = color / jnp.maximum(conf[..., None], 1e-4)
 
     rough = gbuffer["roughness"]
     metal = gbuffer["metallic"]

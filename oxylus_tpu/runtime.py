@@ -111,6 +111,14 @@ class SceneRunner:
     def invalidate_camera(self) -> None:
         self._camera_idx = None
 
+    def replace_physics_state(self, ps) -> None:
+        """Swap in externally-built physics state (e.g. a loaded checkpoint or a
+        spawn path that activates bodies). Re-derives the cached has-bodies flag
+        so a scene that starts body-less does not keep its physics stage
+        compiled out after bodies appear."""
+        self.ps = ps
+        self._has_bodies = None
+
     # ------------------------------------------------------------------ stepping
     def step(self, dt: float = 1.0 / 60.0, render: bool = True):
         """One frame: simulate (+render when enabled). Returns the final image or None."""
@@ -143,10 +151,12 @@ class SceneRunner:
                     time=state.time + dt, frame=state.frame + 1,
                 )
             else:
-                if not hasattr(self, "_has_bodies"):
+                if getattr(self, "_has_bodies", None) is None:
                     # static per scene: compiles the physics stage out of the
                     # frame step for body-less scenes (~8 ms/frame of substep
-                    # while-loop machinery otherwise — PERF_NOTES.md)
+                    # while-loop machinery otherwise — PERF_NOTES.md). Body
+                    # population is fixed at scene load; replace_physics_state()
+                    # invalidates this if state is swapped in from outside.
                     self._has_bodies = bool(np.asarray(self.ps.active).any())
                 self.state, self.ps = frame_step(
                     self.state, self.ps, self.physics_params, jnp.float32(dt),
