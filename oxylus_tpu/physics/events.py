@@ -68,3 +68,40 @@ class ContactTracker:
                 system.on_contact_persisted(scene, a, b)
             for a, b in removed:
                 system.on_contact_removed(scene, a, b)
+
+
+class ActivationTracker:
+    """Host-side sleep-state diffing → `on_body_activated`/`on_body_deactivated`
+    script callbacks (the reference wires Jolt's BodyActivationListener to Lua at
+    `Scene.cpp:1657-1715`; here activation == leaving the solver's sleep mask)."""
+
+    def __init__(self) -> None:
+        self._prev_asleep = None
+
+    def update(self, ps: PhysicsState):
+        """Returns (activated_entities, deactivated_entities) as int lists."""
+        import numpy as np
+
+        asleep = np.asarray(jax.device_get(ps.asleep))
+        entity = np.asarray(jax.device_get(ps.entity))
+        if self._prev_asleep is None:
+            self._prev_asleep = asleep
+            return [], []
+        woke = (~asleep) & self._prev_asleep
+        slept = asleep & (~self._prev_asleep)
+        self._prev_asleep = asleep
+        ok = entity >= 0
+        return (
+            [int(e) for e in entity[woke & ok]],
+            [int(e) for e in entity[slept & ok]],
+        )
+
+    def dispatch(self, scene, ps: PhysicsState) -> None:
+        activated, deactivated = self.update(ps)
+        if not activated and not deactivated:
+            return
+        for system in scene.lua_systems.values():
+            for e in activated:
+                system.on_body_activated(scene, e)
+            for e in deactivated:
+                system.on_body_deactivated(scene, e)

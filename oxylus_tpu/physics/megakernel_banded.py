@@ -1146,10 +1146,10 @@ def extract_hub_planes(ps: PhysicsState) -> tuple[Array, Array]:
 
 _PERMUTED_FIELDS = (
     "pos", "prev_pos", "linvel", "angvel", "quat", "prev_quat",
-    "inv_mass", "inv_inertia", "half_extent", "radius", "half_length",
+    "inv_mass", "inv_inertia", "half_extent", "radius", "radius2", "half_length",
     "friction", "restitution", "gravity_factor", "dof_mask_lin",
     "body_type", "shape_type", "active", "entity", "is_character",
-    "ground_normal_y",
+    "ground_normal_y", "asleep", "sleep_timer",
 )
 
 

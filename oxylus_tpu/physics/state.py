@@ -30,18 +30,24 @@ BODY_DYNAMIC = 2
 
 # shape codes
 SHAPE_BOX = 0
-SHAPE_CAPSULE = 1  # sphere == capsule with half_length 0
+SHAPE_CAPSULE = 1   # sphere == capsule with half_length 0; tapered capsule uses
+                    # radius (bottom) + radius2 (top) — the convex hull of the
+                    # two end spheres (Jolt TaperedCapsuleShape semantics)
+SHAPE_CYLINDER = 2  # flat-capped cylinder, axis local Y (Jolt CylinderShape)
 
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["gravity", "baumgarte", "penetration_slop", "speculative_margin", "restitution_threshold"],
-    meta_fields=["velocity_iterations", "max_pairs", "points_per_pair", "comm"],
+    data_fields=["gravity", "baumgarte", "penetration_slop", "speculative_margin", "restitution_threshold", "sleep_velocity", "sleep_time"],
+    meta_fields=["velocity_iterations", "max_pairs", "points_per_pair", "comm", "allow_sleeping"],
 )
 @dataclasses.dataclass(frozen=True)
 class PhysicsParams:
     """Solver configuration. Defaults follow Jolt's PhysicsSettings (the reference runs
-    Jolt with defaults): Baumgarte 0.2, penetration slop 0.02, 10 velocity iterations.
+    Jolt with defaults): Baumgarte 0.2, penetration slop 0.02, 10 velocity iterations;
+    sleeping thresholds mirror Jolt's mPointVelocitySleepThreshold (0.03 m/s) /
+    mTimeBeforeSleep (0.5 s) — the engine-side rule Jolt applies per island, applied
+    here per body with contact-graph wake propagation.
 
     `comm` picks the contact↔body exchange strategy: "matmul" (one-hot incidence
     matmuls on the MXU — fastest single-world, memory ∝ P·B) or "scatter" (1-D
@@ -54,10 +60,16 @@ class PhysicsParams:
     penetration_slop: Array = dataclasses.field(default_factory=lambda: jnp.float32(0.02))
     speculative_margin: Array = dataclasses.field(default_factory=lambda: jnp.float32(0.02))
     restitution_threshold: Array = dataclasses.field(default_factory=lambda: jnp.float32(1.0))
+    # Jolt's default point-velocity threshold is 0.03 m/s; the mass-splitting
+    # Jacobi solver's residual stack jitter peaks right at that level, so the
+    # default here is 0.05 to keep settled stacks from flapping at the boundary
+    sleep_velocity: Array = dataclasses.field(default_factory=lambda: jnp.float32(0.05))
+    sleep_time: Array = dataclasses.field(default_factory=lambda: jnp.float32(0.5))
     velocity_iterations: int = 10
     max_pairs: int = 4096
     points_per_pair: int = 4
     comm: str = "matmul"
+    allow_sleeping: bool = True
 
 
 @partial(
@@ -67,10 +79,11 @@ class PhysicsParams:
         "pos", "quat", "linvel", "angvel",
         "prev_pos", "prev_quat",
         "inv_mass", "inv_inertia",
-        "half_extent", "radius", "half_length", "offset",
+        "half_extent", "radius", "radius2", "half_length", "offset",
         "friction", "restitution", "gravity_factor",
         "linear_drag", "angular_drag", "dof_mask_lin", "dof_mask_ang", "is_sensor",
         "is_character", "ground_normal_y", "parent",
+        "asleep", "sleep_timer",
         "accumulator",
     ],
     meta_fields=["has_proxies"],
@@ -94,7 +107,8 @@ class PhysicsState:
     inv_inertia: Array     # (B, 3) diagonal inverse inertia in body frame
     # shape
     half_extent: Array     # (B, 3) box half extents
-    radius: Array          # (B,)   capsule radius
+    radius: Array          # (B,)   capsule/cylinder radius (tapered: bottom radius)
+    radius2: Array         # (B,)   tapered-capsule top radius (== radius otherwise)
     half_length: Array     # (B,)   capsule half segment length (local Y)
     offset: Array          # (B, 3) collider local offset
     # material / flags
@@ -113,6 +127,9 @@ class PhysicsState:
     # parent (the TPU-shaped replacement for Jolt compound shapes,
     # reference Scene.cpp:1717-1850 builds StaticCompoundShape)
     parent: Array          # (B,) i32 — root body slot, -1 for independent bodies
+    # sleeping (Jolt island deactivation, per-body + contact-graph wake propagation)
+    asleep: Array          # (B,) bool — body is deactivated; frozen, infinite-mass in contacts
+    sleep_timer: Array     # (B,) f32 — seconds below the sleep velocity threshold
     # fixed-step accumulator (scalar)
     accumulator: Array
     has_proxies: bool = False  # static: any parent >= 0 (enables proxy sync paths)
@@ -140,6 +157,7 @@ def empty_physics_state(max_bodies: int) -> PhysicsState:
         inv_inertia=z3,
         half_extent=z3,
         radius=jnp.zeros((b,), jnp.float32),
+        radius2=jnp.zeros((b,), jnp.float32),
         half_length=jnp.zeros((b,), jnp.float32),
         offset=z3,
         friction=jnp.zeros((b,), jnp.float32),
@@ -153,6 +171,8 @@ def empty_physics_state(max_bodies: int) -> PhysicsState:
         is_character=jnp.zeros((b,), jnp.bool_),
         ground_normal_y=jnp.zeros((b,), jnp.float32),
         parent=jnp.full((b,), -1, jnp.int32),
+        asleep=jnp.zeros((b,), jnp.bool_),
+        sleep_timer=jnp.zeros((b,), jnp.float32),
         accumulator=jnp.zeros((), jnp.float32),
     )
 
@@ -161,6 +181,14 @@ def box_inertia(mass: Array, half: Array) -> Array:
     """Solid-box diagonal inertia: (1/3) m (h_j² + h_k²)."""
     hx2, hy2, hz2 = half[..., 0] ** 2, half[..., 1] ** 2, half[..., 2] ** 2
     return (mass[..., None] / 3.0) * jnp.stack([hy2 + hz2, hx2 + hz2, hx2 + hy2], axis=-1)
+
+
+def cylinder_inertia(mass: Array, radius: Array, half_length: Array) -> Array:
+    """Solid cylinder, axis local Y: Iy = ½mr², Ix = Iz = m(3r² + h²)/12."""
+    r, h = radius, half_length * 2.0
+    iy = 0.5 * mass * r**2
+    ix = mass * (3.0 * r**2 + h**2) / 12.0
+    return jnp.stack([ix, iy, ix], axis=-1)
 
 
 def capsule_inertia(mass: Array, radius: Array, half_length: Array) -> Array:

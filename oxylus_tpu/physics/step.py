@@ -636,7 +636,11 @@ def physics_substep(ps: PhysicsState, params: PhysicsParams, dt: float) -> Physi
         )
 
     dyn = (ps.body_type == BODY_DYNAMIC) & ps.active
-    dynf = dyn.astype(jnp.float32)[:, None]
+    # sleeping bodies are frozen this substep: no gravity, infinite mass in
+    # contacts, no integration (Jolt island deactivation, per-body form)
+    awake = ~ps.asleep
+    dyn_awake = dyn & awake
+    dynf = dyn_awake.astype(jnp.float32)[:, None]
 
     # roll previous pose (reference keeps previous_translation/rotation for interpolation)
     prev_pos, prev_quat = ps.pos, ps.quat
@@ -675,18 +679,53 @@ def physics_substep(ps: PhysicsState, params: PhysicsParams, dt: float) -> Physi
     gy = gy.at[ia_safe].max(jnp.where(touching, -ny, -1.0), mode="drop")
     ps = dataclasses.replace(ps, ground_normal_y=gy)
 
-    # solve
-    lv, av = solve_velocity(ps, params, dt, normal, point, depth, valid, c_ia, c_ib)
-    movable = dyn
+    # solve (sleeping bodies participate as infinite-mass obstacles)
+    ps_solve = ps
+    if params.allow_sleeping:
+        ps_solve = dataclasses.replace(
+            ps,
+            inv_mass=jnp.where(awake, ps.inv_mass, 0.0),
+            inv_inertia=jnp.where(awake[:, None], ps.inv_inertia, 0.0),
+        )
+    lv, av = solve_velocity(ps_solve, params, dt, normal, point, depth, valid, c_ia, c_ib)
+    movable = dyn_awake
     lv = jnp.where(movable[:, None], lv, ps.linvel)
     av = jnp.where(movable[:, None], av, ps.angvel)
 
     # integrate positions (kinematic bodies also move by their velocity, like Jolt)
-    kin_or_dyn = ps.active & (ps.body_type != BODY_STATIC)
+    kin_or_dyn = ps.active & (ps.body_type != BODY_STATIC) & awake
     new_pos = jnp.where(kin_or_dyn[:, None], ps.pos + lv * dt, ps.pos)
     new_quat = jnp.where(
         kin_or_dyn[:, None], math3d.quat_integrate(ps.quat, av, dt), ps.quat
     )
+
+    # ---- sleeping bookkeeping (Jolt PhysicsSettings thresholds) --------------
+    asleep, sleep_timer = ps.asleep, ps.sleep_timer
+    if params.allow_sleeping:
+        # wake propagation through the contact graph: a touching pair whose other
+        # side is an awake dynamic body wakes this one (islands wake as a unit)
+        # characteristic-point speed: |v| + r·|ω| below threshold for sleep_time
+        r_eff = jnp.maximum(jnp.max(ps.half_extent, axis=1), ps.radius + ps.half_length)
+        speed2 = jnp.sum(lv * lv, axis=-1) + r_eff * r_eff * jnp.sum(av * av, axis=-1)
+        moving = speed2 >= params.sleep_velocity**2
+
+        # wake propagation through the contact graph: only an awake MOVING dynamic
+        # partner wakes a body (an awake-at-rest partner must not — otherwise two
+        # resting bodies keep each other awake forever and nothing ever sleeps)
+        pusher = dyn_awake & moving
+        other_a = jnp.where(touching, pusher[c_ia_g], False)
+        other_b = jnp.where(touching, pusher[c_ib_g], False)
+        wake = jnp.zeros((b_slots,), jnp.bool_)
+        wake = wake.at[ib_safe].max(other_a, mode="drop")
+        wake = wake.at[ia_safe].max(other_b, mode="drop")
+
+        eligible = ~moving & dyn & ~ps.is_character
+        sleep_timer = jnp.where(eligible & ~wake, ps.sleep_timer + dt, 0.0)
+        fall_asleep = eligible & ~wake & (sleep_timer >= params.sleep_time)
+        asleep = (ps.asleep & ~wake) | fall_asleep
+        # deactivated bodies carry exactly zero velocity (Jolt zeroes on sleep)
+        lv = jnp.where(asleep[:, None], 0.0, lv)
+        av = jnp.where(asleep[:, None], 0.0, av)
 
     return dataclasses.replace(
         ps,
@@ -696,4 +735,6 @@ def physics_substep(ps: PhysicsState, params: PhysicsParams, dt: float) -> Physi
         angvel=av,
         prev_pos=prev_pos,
         prev_quat=prev_quat,
+        asleep=asleep,
+        sleep_timer=sleep_timer,
     )

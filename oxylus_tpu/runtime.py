@@ -52,10 +52,12 @@ class SceneRunner:
         self.render_mode = render_mode
         self.use_megakernel = use_megakernel
         self.contact_tracker = None
+        self.activation_tracker = None
         if track_contacts:
-            from .physics.events import ContactTracker
+            from .physics.events import ActivationTracker, ContactTracker
 
             self.contact_tracker = ContactTracker()
+            self.activation_tracker = ActivationTracker()
         self.config: RendererConfig = scene.renderer_config
         self.atmosphere = atmosphere
         self.enable_shadows = enable_shadows
@@ -164,6 +166,8 @@ class SceneRunner:
                 )
         if self.contact_tracker is not None:
             self.contact_tracker.dispatch(self.scene, self.ps, self.physics_params)
+        if self.activation_tracker is not None:
+            self.activation_tracker.dispatch(self.scene, self.ps)
         self.frame_index += 1
 
         image = None

@@ -112,6 +112,12 @@ class ScriptSystem:
     def on_contact_removed(self, scene, body_a: int, body_b: int) -> None:
         self._call("on_contact_removed", scene, body_a, body_b)
 
+    def on_body_activated(self, scene, entity: int) -> None:
+        self._call("on_body_activated", scene, entity)
+
+    def on_body_deactivated(self, scene, entity: int) -> None:
+        self._call("on_body_deactivated", scene, entity)
+
 
 class ScriptManager:
     """Module owning compiled scripts (reference `LuaManager` + bindings)."""
