@@ -53,7 +53,11 @@ def bench_physics(n_boxes=1022, worlds=64, steps_per_call=60, calls=8, warmup=2,
             # kinetic energy at rest), and the SAT manifold cache holds for 2
             # substeps (scripts/tune_warm.py, PERF_NOTES.md)
             mega_fn = partial(
-                megakernel_substeps_banded, iterations=3, warm=0.7, geom_every=2
+                megakernel_substeps_banded, iterations=3, warm=0.7,
+                geom_every=int(os.environ.get("OX_BENCH_GE", "2")),
+                # body sleeping (Jolt island deactivation): settled bodies stop
+                # costing solver work; a fully settled launch skips the substep
+                sleep=os.environ.get("OX_BENCH_SLEEP", "1") == "1",
             )
         else:
             from oxylus_tpu.physics.megakernel import megakernel_substeps as mega_fn

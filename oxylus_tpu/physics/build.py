@@ -24,9 +24,11 @@ from .state import (
     BODY_STATIC,
     SHAPE_BOX,
     SHAPE_CAPSULE,
+    SHAPE_CYLINDER,
     PhysicsState,
     box_inertia,
     capsule_inertia,
+    cylinder_inertia,
     empty_physics_state,
 )
 
@@ -77,6 +79,7 @@ def build_physics_state(scene) -> PhysicsState:
             host["quat"][slot] = [0.0, 0.0, 0.0, 1.0]
             host["prev_pos"][slot] = tc["position"][i]
             host["radius"][slot] = r
+            host["radius2"][slot] = r
             host["half_length"][slot] = max(h / 2.0 - r, 0.01)
             host["inv_mass"][slot] = 1.0 / mass
             host["inv_inertia"][slot] = 0.0  # rotation locked
@@ -97,20 +100,34 @@ def build_physics_state(scene) -> PhysicsState:
         mass = float(rb["mass"][i]) if has_rb else 0.0
 
         def shape_of(cname, col):
-            """(shape_type, half_extent|None, radius, half_length, inertia_unit_mass)"""
+            """(shape_type, half_extent|None, radius, radius2, half_length,
+            inertia_unit_mass) — mirrors the Jolt shapes the reference builds at
+            `Scene.cpp:1717-1850` (Box/Sphere/Capsule/TaperedCapsule/Cylinder)."""
             if cname == "BoxColliderComponent":
                 size = np.asarray(col["size"], np.float32)
                 inert = np.asarray(box_inertia(jnp.float32(1.0), jnp.asarray(size, jnp.float32)))
-                return SHAPE_BOX, size, 0.0, 0.0, inert
+                return SHAPE_BOX, size, 0.0, 0.0, 0.0, inert
             if cname == "SphereColliderComponent":
-                r, hl = float(col["radius"]), 0.0
+                r, r2, hl = float(col["radius"]), float(col["radius"]), 0.0
+                st = SHAPE_CAPSULE
             elif cname == "TaperedCapsuleColliderComponent":
-                r = max(float(col["top_radius"]), float(col["bottom_radius"]))
+                # convex hull of bottom/top end spheres: segment bottom→top
+                r = float(col["bottom_radius"])
+                r2 = float(col["top_radius"])
                 hl = float(col["height"]) / 2.0
-            else:  # capsule / cylinder
-                r, hl = float(col["radius"]), float(col["height"]) / 2.0
-            inert = np.asarray(capsule_inertia(jnp.float32(1.0), jnp.float32(r), jnp.float32(hl)))
-            return SHAPE_CAPSULE, None, r, hl, inert
+                st = SHAPE_CAPSULE
+            elif cname == "CylinderColliderComponent":
+                r, r2, hl = float(col["radius"]), float(col["radius"]), float(col["height"]) / 2.0
+                st = SHAPE_CYLINDER
+            else:  # capsule
+                r, r2, hl = float(col["radius"]), float(col["radius"]), float(col["height"]) / 2.0
+                st = SHAPE_CAPSULE
+            if st == SHAPE_CYLINDER:
+                inert = np.asarray(cylinder_inertia(jnp.float32(1.0), jnp.float32(r), jnp.float32(hl)))
+            else:
+                r_mean = 0.5 * (r + r2)
+                inert = np.asarray(capsule_inertia(jnp.float32(1.0), jnp.float32(r_mean), jnp.float32(hl)))
+            return st, None, r, r2, hl, inert
 
         # mass distribution over sub-colliders ∝ rough shape volume (the reference's
         # Jolt StaticCompoundShape computes exact composite mass properties;
@@ -118,16 +135,19 @@ def build_physics_state(scene) -> PhysicsState:
         cols = [{k: v[i] for k, v in scene._comp_data[c].items()} for c in colliders]
         shapes = [shape_of(c, col) for c, col in zip(colliders, cols)]
         vols = []
-        for st, he, r, hl, _ in shapes:
+        for st, he, r, r2, hl, _ in shapes:
             if st == SHAPE_BOX:
                 vols.append(max(8.0 * he[0] * he[1] * he[2], 1e-9))
+            elif st == SHAPE_CYLINDER:
+                vols.append(max(3.14 * r * r * 2 * hl, 1e-9))
             else:
-                vols.append(max(4.19 * r**3 + 3.14 * r * r * 2 * hl, 1e-9))
+                rm = 0.5 * (r + r2)
+                vols.append(max(4.19 * rm**3 + 3.14 * rm * rm * 2 * hl, 1e-9))
         vtot = sum(vols)
 
         root = slot
         inertia = np.zeros(3, np.float64)
-        for j, (cname, col, (st, he, r, hl, unit_inertia)) in enumerate(
+        for j, (cname, col, (st, he, r, r2, hl, unit_inertia)) in enumerate(
             zip(colliders, cols, shapes)
         ):
             host["active"][slot] = True
@@ -145,6 +165,7 @@ def build_physics_state(scene) -> PhysicsState:
                 host["half_extent"][slot] = he
             else:
                 host["radius"][slot] = r
+                host["radius2"][slot] = r2
                 host["half_length"][slot] = hl
             host["body_type"][slot] = btype
             # per-collider material wins, like the reference's body construction

@@ -31,6 +31,7 @@ from .state import (
     BODY_STATIC,
     SHAPE_BOX,
     SHAPE_CAPSULE,
+    SHAPE_CYLINDER,
     PhysicsParams,
     PhysicsState,
 )
@@ -45,8 +46,11 @@ Array = jax.Array
 def shape_local_halfbox(ps: PhysicsState) -> Array:
     """Conservative local-frame half extents of each collider."""
     box = ps.half_extent
-    cap = jnp.stack([ps.radius, ps.half_length + ps.radius, ps.radius], axis=-1)
-    return jnp.where((ps.shape_type == SHAPE_BOX)[:, None], box, cap)
+    rmax = jnp.maximum(ps.radius, ps.radius2)  # radius2==0 → uniform radius
+    cap = jnp.stack([rmax, ps.half_length + rmax, rmax], axis=-1)
+    cyl = jnp.stack([ps.radius, ps.half_length, ps.radius], axis=-1)
+    out = jnp.where((ps.shape_type == SHAPE_BOX)[:, None], box, cap)
+    return jnp.where((ps.shape_type == SHAPE_CYLINDER)[:, None], cyl, out)
 
 
 def world_aabbs(ps: PhysicsState, dt, margin) -> tuple[Array, Array]:
@@ -102,7 +106,7 @@ def broadphase_pairs(ps: PhysicsState, params: PhysicsParams, dt) -> tuple[Array
 # Narrowphase
 # ---------------------------------------------------------------------------
 
-def _closest_segment_segment(p1, q1, p2, q2):
+def _closest_segment_segment(p1, q1, p2, q2, with_params: bool = False):
     """Closest points between segments [p1,q1], [p2,q2]; batched, branch-free."""
     d1 = q1 - p1
     d2 = q2 - p2
@@ -113,13 +117,19 @@ def _closest_segment_segment(p1, q1, p2, q2):
     c = jnp.sum(d1 * r, axis=-1)
     bb = jnp.sum(d1 * d2, axis=-1)
     denom = a * e - bb * bb
-    s = jnp.where(denom > 1e-12, jnp.clip((bb * f - c * e) / jnp.maximum(denom, 1e-12), 0.0, 1.0), 0.0)
+    # degenerate segment 2 (a sphere): closest point on segment 1 to the point
+    # p2 is s = -c/a — NOT 0 (the old fallback silently snapped capsule-vs-
+    # sphere contacts to the capsule's bottom end)
+    s_point = jnp.clip(-c / jnp.maximum(a, 1e-12), 0.0, 1.0)
+    s = jnp.where(denom > 1e-12, jnp.clip((bb * f - c * e) / jnp.maximum(denom, 1e-12), 0.0, 1.0), s_point)
     t = jnp.where(e > 1e-12, (bb * s + f) / jnp.maximum(e, 1e-12), 0.0)
     t_cl = jnp.clip(t, 0.0, 1.0)
     s = jnp.where(e > 1e-12, jnp.clip((bb * t_cl - c) / jnp.maximum(a, 1e-12), 0.0, 1.0), s)
     s = jnp.where(a > 1e-12, s, 0.0)
     c1 = p1 + d1 * s[..., None]
     c2 = p2 + d2 * t_cl[..., None]
+    if with_params:
+        return c1, c2, s, t_cl
     return c1, c2
 
 
@@ -129,17 +139,22 @@ def _capsule_segment(center, rot, half_length):
     return center - e, center + e
 
 
-def _contact_capsule_capsule(ca, ra_rot, hla, rad_a, cb, rb_rot, hlb, rad_b):
+def _contact_capsule_capsule(ca, ra_rot, hla, rad_a, rad2_a, cb, rb_rot, hlb, rad_b, rad2_b):
+    """Swept-sphere vs swept-sphere. Tapered capsules (Jolt TaperedCapsuleShape =
+    convex hull of the two end spheres) use the radius interpolated at the
+    closest-point parameter — exact at the caps, conservative on the cone side."""
     p1, q1 = _capsule_segment(ca, ra_rot, hla)
     p2, q2 = _capsule_segment(cb, rb_rot, hlb)
-    c1, c2 = _closest_segment_segment(p1, q1, p2, q2)
+    c1, c2, s, t = _closest_segment_segment(p1, q1, p2, q2, with_params=True)
+    r_a = rad_a + (rad2_a - rad_a) * s  # segment runs bottom (-Y) → top (+Y)
+    r_b = rad_b + (rad2_b - rad_b) * t
     d = c2 - c1
     dist = jnp.linalg.norm(d, axis=-1)
     # degenerate (concentric) fallback: push up
     safe = dist > 1e-9
     n = jnp.where(safe[..., None], d / jnp.maximum(dist, 1e-9)[..., None], jnp.array([0.0, 1.0, 0.0]))
-    depth = rad_a + rad_b - dist
-    point = (c1 + n * rad_a[..., None] + c2 - n * rad_b[..., None]) * 0.5
+    depth = r_a + r_b - dist
+    point = (c1 + n * r_a[..., None] + c2 - n * r_b[..., None]) * 0.5
     return n, point, depth
 
 
@@ -166,20 +181,22 @@ def _point_box_signed(p_local, half):
     return closest, normal, depth
 
 
-def _contact_box_capsule(cb_box, rot_box, half, cc, rot_cap, hl, rad, k_points):
-    """Box (a) vs capsule/sphere (b): sample points along the capsule segment,
-    closest-feature test in box frame. Exact for spheres. Normal points a→b."""
+def _contact_box_capsule(cb_box, rot_box, half, cc, rot_cap, hl, rad, rad2, k_points):
+    """Box (a) vs capsule/sphere/tapered-capsule (b): sample points along the
+    segment (radius interpolated bottom→top for tapered shapes), closest-feature
+    test in box frame. Exact for spheres. Normal points a→b."""
     p2, q2 = _capsule_segment(cc, rot_cap, hl)
     ts = jnp.linspace(0.0, 1.0, 3)
     normals, points, depths = [], [], []
     for t in ts:
         sp = p2 + (q2 - p2) * t  # sample point on segment, world
+        r_t = rad + (rad2 - rad) * t
         local = jnp.einsum("...ji,...j->...i", rot_box, sp - cb_box)  # R^T (p - c)
         closest_l, n_l, sd = _point_box_signed(local, half)
         n_w = jnp.einsum("...ij,...j->...i", rot_box, n_l)
         surf = cb_box + jnp.einsum("...ij,...j->...i", rot_box, closest_l)
-        depth = sd + rad  # sd negative outside: depth = rad - dist
-        point = (surf + (sp - n_w * rad[..., None])) * 0.5
+        depth = sd + r_t  # sd negative outside: depth = rad - dist
+        point = (surf + (sp - n_w * r_t[..., None])) * 0.5
         normals.append(n_w)
         points.append(point)
         depths.append(depth)
@@ -195,6 +212,55 @@ def _contact_box_capsule(cb_box, rot_box, half, cc, rot_cap, hl, rad, k_points):
     dup = (hl[..., None] <= 1e-6) & (jax.lax.broadcasted_iota(jnp.int32, dp.shape, dp.ndim - 1) > 0)
     dp = jnp.where(dup, -1e9, dp)
     return n, pt, dp
+
+
+def _contact_box_cylinder(cb_box, rot_box, half, cc, rot_cyl, hl, rad, k_points):
+    """Box (a) vs flat-capped cylinder (b), axis = cylinder local Y.
+
+    Branch-free candidate sampling (the TPU-shaped stand-in for GJK): the near
+    cap's rim is sampled at 4 quadrature directions (±d̂, ±axis×d̂ where d̂ points
+    at the box) as zero-radius point-box tests — these give cap-resting and
+    rim-edge contacts with ≥2-point manifolds; two interior segment samples with
+    sphere radius r cover side (lying-down) contact. Deepest k kept."""
+    axis = rot_cyl[..., :, 1]
+    to_box = cb_box - cc
+    cap_sign = jnp.sign(jnp.sum(to_box * axis, axis=-1))
+    cap_sign = jnp.where(cap_sign == 0.0, 1.0, cap_sign)
+    near_cap = cc + axis * (cap_sign * hl)[..., None]
+
+    # rim direction toward the box, orthogonal to the axis
+    d_perp = to_box - jnp.sum(to_box * axis, axis=-1, keepdims=True) * axis
+    d_len = jnp.linalg.norm(d_perp, axis=-1, keepdims=True)
+    fallback = rot_cyl[..., :, 0]  # arbitrary radial direction when coaxial
+    d_hat = jnp.where(d_len > 1e-6, d_perp / jnp.maximum(d_len, 1e-6), fallback)
+    t_hat = jnp.cross(axis, d_hat)
+
+    candidates = []  # (point, radius) — radius 0 for rim points (true hull edge)
+    for dirn, sgn in ((d_hat, 1.0), (d_hat, -1.0), (t_hat, 1.0), (t_hat, -1.0)):
+        candidates.append((near_cap + dirn * (sgn * rad)[..., None], jnp.zeros_like(rad)))
+    p_bot = cc - axis * hl[..., None]
+    p_top = cc + axis * hl[..., None]
+    for t in (0.3, 0.7):  # interior side samples (sphere of radius r on the axis)
+        candidates.append((p_bot + (p_top - p_bot) * t, rad))
+
+    normals, points, depths = [], [], []
+    for sp, r_s in candidates:
+        local = jnp.einsum("...ji,...j->...i", rot_box, sp - cb_box)
+        closest_l, n_l, sd = _point_box_signed(local, half)
+        n_w = jnp.einsum("...ij,...j->...i", rot_box, n_l)
+        surf = cb_box + jnp.einsum("...ij,...j->...i", rot_box, closest_l)
+        depth = sd + r_s
+        point = (surf + (sp - n_w * r_s[..., None])) * 0.5
+        normals.append(n_w)
+        points.append(point)
+        depths.append(depth)
+    n = jnp.stack(normals, axis=-2)   # (P, 6, 3)
+    pt = jnp.stack(points, axis=-2)
+    dp = jnp.stack(depths, axis=-1)   # (P, 6)
+    top_dp, top_idx = jax.lax.top_k(dp, k_points)
+    top_pt = jnp.take_along_axis(pt, top_idx[..., None].astype(jnp.int32), axis=-2)
+    top_n = jnp.take_along_axis(n, top_idx[..., None].astype(jnp.int32), axis=-2)
+    return top_n, top_pt, top_dp
 
 
 _BOX_CORNERS = jnp.array(
@@ -334,36 +400,52 @@ def narrowphase(ps: PhysicsState, params: PhysicsParams, ia: Array, ib: Array, p
     ta, tb = g(ps.shape_type, ia), g(ps.shape_type, ib)
 
     p = ia.shape[0]
+    # radius2 == 0 means "uniform" (state built outside build.py, e.g. tests
+    # filling host arrays directly) — fall back to the primary radius
+    rad2 = jnp.where(ps.radius2 > 0.0, ps.radius2, ps.radius)
+    rad2_a, rad2_b = g(rad2, ia), g(rad2, ib)
 
-    # capsule-capsule
-    n_cc, pt_cc, dp_cc = _contact_capsule_capsule(ca, ra, hla, rad_a, cb, rb, hlb, rad_b)
+    # round-round (capsule/sphere/tapered; cylinders degrade to capsules here —
+    # exact cylinder support is the box-cylinder path below)
+    n_cc, pt_cc, dp_cc = _contact_capsule_capsule(
+        ca, ra, hla, rad_a, rad2_a, cb, rb, hlb, rad_b, rad2_b
+    )
     n_cc = jnp.broadcast_to(n_cc[:, None, :], (p, k, 3))
     pt_cc = jnp.broadcast_to(pt_cc[:, None, :], (p, k, 3))
     dp_cc = jnp.concatenate([dp_cc[:, None], jnp.full((p, k - 1), -1e9)], axis=-1)
 
     # box(a)-capsule(b) and capsule(a)-box(b)
-    n_bc, pt_bc, dp_bc = _contact_box_capsule(ca, ra, ha, cb, rb, hlb, rad_b, k)
-    n_cb, pt_cb, dp_cb = _contact_box_capsule(cb, rb, hb, ca, ra, hla, rad_a, k)
+    n_bc, pt_bc, dp_bc = _contact_box_capsule(ca, ra, ha, cb, rb, hlb, rad_b, rad2_b, k)
+    n_cb, pt_cb, dp_cb = _contact_box_capsule(cb, rb, hb, ca, ra, hla, rad_a, rad2_a, k)
     n_cb = -n_cb  # flip so normal is a→b
+
+    # box(a)-cylinder(b) and cylinder(a)-box(b)
+    n_bcy, pt_bcy, dp_bcy = _contact_box_cylinder(ca, ra, ha, cb, rb, hlb, rad_b, k)
+    n_cyb, pt_cyb, dp_cyb = _contact_box_cylinder(cb, rb, hb, ca, ra, hla, rad_a, k)
+    n_cyb = -n_cyb
 
     # box-box
     n_bb, pt_bb, dp_bb = _contact_box_box(ca, ra, ha, cb, rb, hb, k)
 
     a_box = (ta == SHAPE_BOX)[:, None]
     b_box = (tb == SHAPE_BOX)[:, None]
+    a_cyl = (ta == SHAPE_CYLINDER)[:, None]
+    b_cyl = (tb == SHAPE_CYLINDER)[:, None]
 
-    def sel(cc, bc, cb_, bb):
-        both_cap = (~a_box) & (~b_box)
-        only_a_box = a_box & (~b_box)
-        only_b_box = (~a_box) & b_box
-        out = jnp.where(both_cap[..., None] if cc.ndim == 3 else both_cap, cc, bb)
-        out = jnp.where(only_a_box[..., None] if cc.ndim == 3 else only_a_box, bc, out)
-        out = jnp.where(only_b_box[..., None] if cc.ndim == 3 else only_b_box, cb_, out)
+    def sel(cc, bc, cb_, bb, bcy, cyb):
+        def w(mask, val, out):
+            return jnp.where(mask[..., None] if cc.ndim == 3 else mask, val, out)
+
+        out = w((~a_box) & (~b_box), cc, bb)       # round/cyl vs round/cyl
+        out = w(a_box & (~b_box), bc, out)          # box vs round
+        out = w((~a_box) & b_box, cb_, out)         # round vs box
+        out = w(a_box & b_cyl, bcy, out)            # box vs cylinder (exact caps)
+        out = w(a_cyl & b_box, cyb, out)            # cylinder vs box
         return out
 
-    normal = sel(n_cc, n_bc, n_cb, n_bb)  # (P,K,3)
-    point = sel(pt_cc, pt_bc, pt_cb, pt_bb)
-    depth = sel(dp_cc, dp_bc, dp_cb, dp_bb)  # (P,K)
+    normal = sel(n_cc, n_bc, n_cb, n_bb, n_bcy, n_cyb)  # (P,K,3)
+    point = sel(pt_cc, pt_bc, pt_cb, pt_bb, pt_bcy, pt_cyb)
+    depth = sel(dp_cc, dp_bc, dp_cb, dp_bb, dp_bcy, dp_cyb)  # (P,K)
 
     sensor = g(ps.is_sensor, ia) | g(ps.is_sensor, ib)
     valid = (
