@@ -17,6 +17,15 @@ import os
 import time
 
 import jax
+
+# persistent XLA compilation cache: the 1080p frame graphs compile in minutes
+# over the remote-compile tunnel; cached reruns start in seconds
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 

@@ -171,10 +171,11 @@ def _raster_kernel(tile_list_ref, cnt_ref, tx_ref, coeff_ref, depth_out, vid_out
     depth0 = jnp.zeros((1, PIX), jnp.float32)
     vid0 = jnp.full((1, PIX), -1, jnp.int32)
     depth, vid = jax.lax.fori_loop(0, n, loop, (depth0, vid0))
-    # outputs transposed to (PIX, 1) sublane-major — a (1024,1)->(8,128) reshape
-    # would be a cross-tile relayout Mosaic rejects
-    depth_out[:, :] = jnp.swapaxes(depth, 0, 1)
-    vid_out[:, :] = jnp.swapaxes(vid, 0, 1)
+    # row write into the 8-tile output block: keeps the kernel's natural (1, PIX)
+    # lanes-major layout — the old (PIX, 1) transposed stores cost a full Mosaic
+    # relayout per tile and used 1 of 128 store lanes
+    depth_out[pl.ds(row, 1), :] = depth
+    vid_out[pl.ds(row, 1), :] = vid
 
 
 @partial(jax.jit, static_argnames=("width", "height", "interpret"))
@@ -195,6 +196,7 @@ def rasterize_pallas(coeff_mat: Array, tile_list: Array, width: int, height: int
             a = jnp.pad(a, ((0, p), (0, 0)), constant_values=fill)
         return a
 
+    n_tiles_pad = ((n_tiles + ROWG - 1) // ROWG) * ROWG
     depth, vid = pl.pallas_call(
         _raster_kernel,
         grid=(n_tiles,),
@@ -205,12 +207,12 @@ def rasterize_pallas(coeff_mat: Array, tile_list: Array, width: int, height: int
             pl.BlockSpec(memory_space=pltpu.VMEM),  # coefficients resident in VMEM
         ],
         out_specs=[
-            pl.BlockSpec((PIX, 1), lambda t: (t, 0)),
-            pl.BlockSpec((PIX, 1), lambda t: (t, 0)),
+            pl.BlockSpec((ROWG, PIX), lambda t: (t // ROWG, 0)),
+            pl.BlockSpec((ROWG, PIX), lambda t: (t // ROWG, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles * PIX, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles * PIX, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles_pad, PIX), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles_pad, PIX), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
@@ -219,10 +221,10 @@ def rasterize_pallas(coeff_mat: Array, tile_list: Array, width: int, height: int
     )(pad_rows(tl_c, 0), pad_rows(cnt, 0), jnp.array([tx], jnp.int32), coeff_pad)
 
     def untile(a):
-        a = a.reshape(ty, tx, TILE, TILE)
+        a = a[:n_tiles].reshape(ty, tx, TILE, TILE)
         return a.transpose(0, 2, 1, 3).reshape(ty * TILE, tx * TILE)[:height, :width]
 
-    return untile(depth.reshape(n_tiles, PIX)), untile(vid.reshape(n_tiles, PIX))
+    return untile(depth), untile(vid)
 
 
 def rasterize(coeff_mat: Array, tile_list: Array, width: int, height: int):
@@ -372,11 +374,15 @@ def _gbuffer_kernel(
     consts = out[11:19]  # material constants
 
     rw = 1.0 / jnp.where(jnp.abs(ssum) > 1e-12, ssum, 1.0)
-    tp = lambda a: jnp.swapaxes(a, 0, 1)
-    depth_out[:, :] = tp(depth)
-    vid_out[:, :] = tp(vid)
-    gb_cols = [tp(p * rw) for p in persp] + [tp(c) for c in consts]
-    gb_out[:, :] = jnp.concatenate(gb_cols, axis=1)  # (PIX, 16)
+    # row writes into the 8-tile output blocks, keeping the kernel's (1, PIX)
+    # lanes-major layout — the old per-tile transposes to (PIX, 1/16) columns
+    # were the dominant fixed cost of empty tiles
+    depth_out[pl.ds(row, 1), :] = depth
+    vid_out[pl.ds(row, 1), :] = vid
+    for i, p in enumerate(persp):
+        gb_out[pl.ds(row * N_GB_ATTR + i, 1), :] = p * rw
+    for i, c in enumerate(consts):
+        gb_out[pl.ds(row * N_GB_ATTR + 8 + i, 1), :] = c
 
 
 @partial(jax.jit, static_argnames=("width", "height", "interpret"))
@@ -401,6 +407,7 @@ def rasterize_gbuffer_pallas(
             a = jnp.pad(a, ((0, p), (0, 0)), constant_values=fill)
         return a
 
+    n_tiles_pad = ((n_tiles + ROWG - 1) // ROWG) * ROWG
     depth, vid, gb = pl.pallas_call(
         _gbuffer_kernel,
         grid=(n_tiles,),
@@ -411,14 +418,14 @@ def rasterize_gbuffer_pallas(
             pl.BlockSpec(memory_space=pl.ANY),  # 21-plane matrix stays in HBM
         ],
         out_specs=[
-            pl.BlockSpec((PIX, 1), lambda t: (t, 0)),
-            pl.BlockSpec((PIX, 1), lambda t: (t, 0)),
-            pl.BlockSpec((PIX, N_GB_ATTR), lambda t: (t, 0)),
+            pl.BlockSpec((ROWG, PIX), lambda t: (t // ROWG, 0)),
+            pl.BlockSpec((ROWG, PIX), lambda t: (t // ROWG, 0)),
+            pl.BlockSpec((ROWG * N_GB_ATTR, PIX), lambda t: (t // ROWG, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles * PIX, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles * PIX, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles * PIX, N_GB_ATTR), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles_pad, PIX), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles_pad, PIX), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles_pad * N_GB_ATTR, PIX), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((16, N_GB_PLANES * k_coeff), jnp.float32),  # double buffer
@@ -430,15 +437,14 @@ def rasterize_gbuffer_pallas(
         interpret=interpret,
     )(pad_rows(tl_c, 0), pad_rows(cnt, 0), jnp.array([tx], jnp.int32), coeff_pad)
 
-    def untile(a, ch):
-        a = a.reshape(n_tiles, PIX, ch).reshape(ty, tx, TILE, TILE, ch)
-        return a.transpose(0, 2, 1, 3, 4).reshape(ty * TILE, tx * TILE, ch)[:height, :width]
+    def untile(a):
+        a = a[:n_tiles].reshape(ty, tx, TILE, TILE)
+        return a.transpose(0, 2, 1, 3).reshape(ty * TILE, tx * TILE)[:height, :width]
 
-    return (
-        untile(depth, 1)[..., 0],
-        untile(vid, 1)[..., 0],
-        untile(gb, N_GB_ATTR),
-    )
+    # gb rows are (tile-major × 16 attrs): (T*16, PIX) → (H, W, 16)
+    gbt = gb[: n_tiles * N_GB_ATTR].reshape(ty, tx, N_GB_ATTR, TILE, TILE)
+    gbt = gbt.transpose(0, 3, 1, 4, 2).reshape(ty * TILE, tx * TILE, N_GB_ATTR)
+    return untile(depth), untile(vid), gbt[:height, :width]
 
 
 def gbuffer_from_raster(gb: Array, vid: Array) -> dict[str, Array]:

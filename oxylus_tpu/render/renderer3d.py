@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.cull import cull_instances, cull_meshlets, expand_meshlet_instances
+from ..utils.imgops import point_downsample as _pds
 from ..ops.decode3d import decode_visbuffer
 from ..ops.raster3d import pack_coeff_matrix, rasterize_pallas, rasterize_reference
 from ..ops.setup3d import bin_meshlets_to_tiles, setup_triangles
@@ -332,7 +333,7 @@ class RendererInstance:
             )
 
             def compute_background():
-                bg_half = sample_sky_view(sky_lut, dirs[::2, ::2])
+                bg_half = sample_sky_view(sky_lut, _pds(dirs, 2))
                 return jax.image.resize(bg_half, (h, w, 3), method="linear")
 
             if "sky_background" in prev and "sky_cam_key" in prev:
@@ -385,7 +386,7 @@ class RendererInstance:
             # (~10 ns/row — PERF_NOTES.md) and the PCF lookup is 4 image gathers;
             # shadows upsample well
             shadow_h = resolve_shadows(
-                gbuffer["world_pos"][::4, ::4], gbuffer["hit"][::4, ::4],
+                _pds(gbuffer["world_pos"], 4), _pds(gbuffer["hit"], 4),
                 light_vps, shadow_maps,
             )
             shadow = jax.image.resize(shadow_h, (h, w), method="linear")
@@ -394,8 +395,8 @@ class RendererInstance:
                 # quarter-res march (each step is a full-image gather, ~15 ms at
                 # full res — PERF_NOTES.md); contact shadows are soft, upsample
                 cs4 = contact_fn(
-                    depth[::8, ::8], gbuffer["world_pos"][::8, ::8],
-                    gbuffer["hit"][::8, ::8], sun_dir,
+                    _pds(depth, 8), _pds(gbuffer["world_pos"], 8),
+                    _pds(gbuffer["hit"], 8), sun_dir,
                     camera.view_projection,
                     steps=config.contact_shadows_steps,
                     thickness=config.contact_shadows_thickness,
@@ -414,17 +415,17 @@ class RendererInstance:
 
             # half-res AO: the slice march is gather-bound (~53 ms at 1080p full
             # res on this target — PERF_NOTES.md); ambient occlusion upsamples well
-            wp_h = gbuffer["world_pos"][::2, ::2]
-            nr_h = gbuffer["normal"][::2, ::2]
+            wp_h = _pds(gbuffer["world_pos"], 2)
+            nr_h = _pds(gbuffer["normal"], 2)
             from ..utils import math3d as _m3
             view_pos = _m3.mat3_dir_image(camera.view[:3, :3], wp_h) + camera.view[:3, 3]
             view_nrm = _m3.mat3_dir_image(camera.view[:3, :3], nr_h)
             ao = gtao_fn(
-                view_pos, view_nrm, gbuffer["hit"][::2, ::2], frame=state.frame,
+                view_pos, view_nrm, _pds(gbuffer["hit"], 2), frame=state.frame,
                 radius=config.vbgtao_radius, thickness=config.vbgtao_thickness,
                 final_power=config.vbgtao_final_power, quality_level=config.vbgtao_quality_level,
             )
-            ao = denoise_ao(ao, depth[::2, ::2])
+            ao = denoise_ao(ao, _pds(depth, 2))
             ao = jax.image.resize(ao, (h, w), method="linear")
             ctx["ao"] = ao
 
@@ -449,18 +450,39 @@ class RendererInstance:
                 hdr, gbuffer, depth, camera.position, camera.view_projection,
                 steps=config.ssr_steps, max_roughness=config.ssr_max_roughness,
             )
-        # aerial perspective: distance scattering over shaded surfaces
+        # aerial perspective: distance scattering over shaded surfaces, via the
+        # reference's froxel-LUT design (`sky_aerial_perspective`, 32³ —
+        # RendererInstance.cpp:136-199) instead of a per-pixel march: the LUT is
+        # a pure function of (camera height, sun, atmosphere) in world-direction
+        # space, so camera ROTATION never invalidates it and translation only
+        # rebuilds past a quantization step. Steady state: one froxel fetch.
         if atmosphere is not None and "_sky_luts" in ctx:
-            from .sky import aerial_perspective
+            from .sky import aerial_lut, apply_aerial_lut
 
             t_lut2, ms_lut2 = ctx["_sky_luts"]
-            # 1/8-res march: the 8-step march does 2 LUT gathers per step
-            # (~240 ms at full res — PERF_NOTES.md); aerial perspective is smooth
-            ap_l4, ap_t4 = aerial_perspective(
-                atmosphere, t_lut2, ms_lut2,
-                gbuffer["world_pos"][::8, ::8], gbuffer["hit"][::8, ::8],
-                camera.position, -sun_dir, sun_intensity=jnp.asarray(sun_intensity),
-                meters_per_km=50.0,  # game-scale worlds: 50 units ≈ 1 km of air
+            meters_per_km = 50.0  # game-scale worlds: 50 units ≈ 1 km of air
+            cam_h_km = camera.position[1] / meters_per_km
+            aerial_key_now = jnp.concatenate(
+                [sky_key_now, jnp.atleast_1d(jnp.round(cam_h_km * 16.0))]
+            )
+
+            def compute_aerial():
+                return aerial_lut(
+                    atmosphere, t_lut2, ms_lut2, cam_h_km, -sun_dir,
+                    sun_intensity=jnp.asarray(sun_intensity),
+                )
+
+            if "aerial_lut" in prev and "aerial_key" in prev:
+                ap_moved = jnp.any(jnp.abs(aerial_key_now - prev["aerial_key"]) > 1e-7)
+                ap_vol = jax.lax.cond(ap_moved, compute_aerial, lambda: prev["aerial_lut"])
+            else:
+                ap_vol = compute_aerial()
+            carry["aerial_lut"] = ap_vol
+            carry["aerial_key"] = aerial_key_now
+
+            ap_l4, ap_t4 = apply_aerial_lut(
+                ap_vol, _pds(gbuffer["world_pos"], 8), _pds(gbuffer["hit"], 8),
+                camera.position, meters_per_km=meters_per_km,
             )
             ap_l = jax.image.resize(ap_l4, (h, w, 3), method="linear")
             ap_t = jax.image.resize(ap_t4, (h, w, 3), method="linear")

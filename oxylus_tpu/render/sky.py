@@ -347,6 +347,114 @@ def aerial_perspective(
     return jnp.where(hitf, lum, 0.0), jnp.where(hitf, trans_acc, 1.0)
 
 
+AERIAL_SIZE = (16, 32, 16)  # lat × lon × distance slices (reference: 32³ froxels,
+#                             `RendererInstance.hpp:390`; here world-direction-
+#                             indexed so camera rotation never invalidates it)
+
+
+@partial(jax.jit, static_argnames=("params", "max_km"))
+def aerial_lut(
+    params: AtmosphereParams,
+    trans_lut: Array,
+    ms_lut: Array,
+    camera_height_km: Array,
+    sun_dir: Array,          # direction TOWARD the sun
+    sun_intensity: Array = 10.0,
+    max_km: float = 4.0,
+) -> Array:
+    """Aerial-perspective froxel LUT, world-direction lat-long × distance slice.
+
+    Replaces the per-pixel 8-step march (`aerial_perspective`) with a cached
+    volume: (LAT, LON, S, 6) where channels are [in-scatter rgb | transmittance
+    rgb] cumulative from the camera to slice distance (s+1)/S·max_km. A pure
+    function of (camera height, sun, params) — the renderer caches it behind a
+    quantized camera key and rebuilds only on real movement."""
+    lat_n, lon_n, s_n = AERIAL_SIZE
+    v = (jnp.arange(lat_n, dtype=jnp.float32) + 0.5) / lat_n
+    u = (jnp.arange(lon_n, dtype=jnp.float32) + 0.5) / lon_n
+    lat = v * 2.0 - 1.0
+    lat = jnp.sign(lat) * lat * lat * (jnp.pi / 2)   # sky-view's horizon-dense map
+    lon = u * 2.0 * jnp.pi - jnp.pi
+    cos_lat = jnp.cos(lat)[:, None]
+    dirs = jnp.stack(
+        [
+            jnp.broadcast_to(cos_lat * jnp.sin(lon)[None, :], (lat_n, lon_n)),
+            jnp.broadcast_to(jnp.sin(lat)[:, None], (lat_n, lon_n)),
+            jnp.broadcast_to(-cos_lat * jnp.cos(lon)[None, :], (lat_n, lon_n)),
+        ],
+        axis=-1,
+    )
+
+    r0 = GROUND_RADIUS_KM + jnp.maximum(camera_height_km, 0.01)
+    mu = dirs[..., 1]
+    cos_theta = jnp.sum(dirs * sun_dir[None, None, :], axis=-1)
+    ph_r = _phase_rayleigh(cos_theta)
+    ph_m = _phase_mie(cos_theta, params.mie_asymmetry)
+    dt = max_km / s_n
+
+    def slice_step(carry, s_):
+        lum, trans_acc = carry
+        t = (s_.astype(jnp.float32) + 0.5) * dt
+        sr = jnp.sqrt(r0**2 + t**2 + 2.0 * r0 * t * mu)
+        h_km = jnp.clip(sr - GROUND_RADIUS_KM, 0.0, 100.0)
+        dr_, dm_, _ = _densities(params, h_km)
+        scat_r = dr_[..., None] * jnp.asarray(params.rayleigh_scattering) * 1e-3
+        scat_m = dm_[..., None] * jnp.asarray(params.mie_scattering) * 1e-3
+        ext = _extinction(params, h_km) * 1e-3
+        cos_sun = jnp.clip((r0 * sun_dir[1] + t * cos_theta) / jnp.maximum(sr, 1e-3), -1.0, 1.0)
+        t_sun = _sample_transmittance(trans_lut, sr, cos_sun)
+        ms_u = jnp.clip((sr - GROUND_RADIUS_KM) / (ATMOSPHERE_RADIUS_KM - GROUND_RADIUS_KM), 0.0, 1.0)
+        ms_v = cos_sun * 0.5 + 0.5
+        iy = jnp.clip((ms_u * MULTISCATTER_SIZE[0]).astype(jnp.int32), 0, MULTISCATTER_SIZE[0] - 1)
+        ix = jnp.clip((ms_v * MULTISCATTER_SIZE[1]).astype(jnp.int32), 0, MULTISCATTER_SIZE[1] - 1)
+        psi = ms_lut[iy, ix]
+        in_scatter = (
+            scat_r * (ph_r[..., None] * t_sun + psi)
+            + scat_m * (ph_m[..., None] * t_sun + psi)
+        )
+        step_trans = jnp.exp(-ext * dt)
+        safe_ext = jnp.maximum(ext, 1e-7)
+        lum = lum + trans_acc * in_scatter * (1.0 - step_trans) / safe_ext
+        trans_acc = trans_acc * step_trans
+        return (lum, trans_acc), jnp.concatenate([lum, trans_acc], axis=-1)
+
+    init = (jnp.zeros((lat_n, lon_n, 3)), jnp.ones((lat_n, lon_n, 3)))
+    _, slices = jax.lax.scan(slice_step, init, jnp.arange(s_n))
+    lut = jnp.moveaxis(slices, 0, 2)  # (LAT, LON, S, 6)
+    return lut.at[..., :3].mul(sun_intensity)
+
+
+def apply_aerial_lut(
+    lut: Array,          # (LAT, LON, S, 6) from aerial_lut
+    world_pos: Array,    # (H, W, 3) meters
+    hit: Array,          # (H, W)
+    camera_pos: Array,   # (3,) meters
+    max_km: float = 4.0,
+    meters_per_km: float = 1000.0,
+) -> tuple[Array, Array]:
+    """Per-pixel froxel fetch: nearest direction cell (aerial is smooth),
+    linear in distance — ONE gather pair instead of the 8-step march."""
+    lat_n, lon_n, s_n = lut.shape[:3]
+    rel = (world_pos - camera_pos[None, None, :]) / meters_per_km
+    dist = jnp.linalg.norm(rel, axis=-1)
+    d = rel / jnp.maximum(dist, 1e-6)[..., None]
+    lat = jnp.arcsin(jnp.clip(d[..., 1], -1.0, 1.0))
+    lon = jnp.arctan2(d[..., 0], -d[..., 2])
+    vv = jnp.sqrt(jnp.abs(lat) / (jnp.pi / 2)) * jnp.sign(lat) * 0.5 + 0.5
+    uu = (lon + jnp.pi) / (2 * jnp.pi)
+    iy = jnp.clip((vv * lat_n).astype(jnp.int32), 0, lat_n - 1)
+    ix = jnp.clip((uu * lon_n).astype(jnp.int32), 0, lon_n - 1)
+    sf = jnp.clip(dist / max_km * s_n - 0.5, 0.0, s_n - 1.0)
+    s0 = jnp.floor(sf).astype(jnp.int32)
+    s1 = jnp.minimum(s0 + 1, s_n - 1)
+    w1 = (sf - s0.astype(jnp.float32))[..., None]
+    a = lut[iy, ix, s0]
+    b = lut[iy, ix, s1]
+    res = a * (1.0 - w1) + b * w1
+    hitf = hit[..., None]
+    return jnp.where(hitf, res[..., :3], 0.0), jnp.where(hitf, res[..., 3:], 1.0)
+
+
 def sky_sh_ambient(lut: Array) -> Array:
     """Project the sky-view LUT onto 2nd-order spherical harmonics → (9, 3) coeffs.
 

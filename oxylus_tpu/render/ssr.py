@@ -19,6 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..utils.imgops import point_downsample as _pds
 from ..utils.math3d import mat4_point_image as _mat4_point
 
 Array = jax.Array
@@ -93,10 +94,10 @@ def apply_ssr(
     """Quarter-res SSR composited over the lit image. Smooth surfaces only;
     Schlick Fresnel drives the mix (reference BRDF conventions, pbr.slang)."""
     h, w = depth.shape
-    q = lambda a: a[::4, ::4]
+    q = lambda a: _pds(a, 4)
     color4, conf4 = ssr_trace(
         q(depth), q(gbuffer["world_pos"]), q(gbuffer["normal"]), q(gbuffer["hit"]),
-        hdr[::4, ::4], camera_pos, view_proj, steps=steps,
+        _pds(hdr, 4), camera_pos, view_proj, steps=steps,
     )
     # premultiplied-confidence upsampling: texels where the march missed hold
     # hdr[0,0] (hit_x=hit_y=0) — weight them out of the bilinear average instead
@@ -107,7 +108,7 @@ def apply_ssr(
 
     rough = gbuffer["roughness"]
     metal = gbuffer["metallic"]
-    albedo = gbuffer["albedo"]
+    albedo = gbuffer["albedo"][..., :3]  # decode path carries RGBA
     nrm = gbuffer["normal"]
     view = camera_pos[None, None, :] - gbuffer["world_pos"]
     vdir = view / jnp.maximum(jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-6)
