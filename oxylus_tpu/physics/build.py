@@ -49,6 +49,7 @@ def build_physics_state(scene) -> PhysicsState:
         f.name: np.array(getattr(ps, f.name))  # np.array: writable host copy
         for f in dataclasses.fields(ps)
         if f.name not in ("accumulator", "has_proxies")
+        and not f.name.startswith("mesh_")
     }
 
     slot = 0
@@ -195,8 +196,83 @@ def build_physics_state(scene) -> PhysicsState:
             host["dof_mask_lin"][root] = [(dofs >> k) & 1 for k in range(3)]
             host["dof_mask_ang"][root] = [(dofs >> k) & 1 for k in range(3, 6)]
 
+    # ---- static mesh colliders (Jolt MeshShape, `Scene.cpp:1717-1850`) -------
+    # All MeshColliderComponent entities bake into ONE world-space triangle soup
+    # + a uniform XZ grid of fixed-capacity triangle buckets. One extra static
+    # body slot carries the (first) mesh collider's material.
+    mesh_fields = {}
+    mc_mask = scene._comp_mask.get("MeshColliderComponent")
+    if mc_mask is not None and mc_mask.any() and getattr(scene, "_collision_meshes", None):
+        from ..utils import math3d as _m3
+
+        mesh_comp = scene._comp_data["MeshComponent"]
+        mc = scene._comp_data["MeshColliderComponent"]
+        tris = []
+        mat = None
+        for i in range(n):
+            if not (scene._alive[i] and mc_mask[i]):
+                continue
+            mi = int(mesh_comp["mesh_index"][i]) if scene._comp_mask["MeshComponent"][i] else 0
+            src = scene._collision_meshes.get(mi)
+            if src is None:
+                continue
+            pos_l, idx = np.asarray(src[0], np.float32), np.asarray(src[1], np.int64)
+            rot = np.asarray(_m3.quat_to_mat3(jnp.asarray(tc["rotation"][i][None])))[0]
+            scale = np.asarray(tc["scale"][i], np.float32)
+            off = np.asarray(mc["offset"][i], np.float32)
+            world_v = (pos_l * scale) @ rot.T + tc["position"][i] + off
+            tris.append(world_v[idx.reshape(-1, 3)])
+            if mat is None:
+                mat = (float(mc["friction"][i]), float(mc["restitution"][i]))
+        if tris and slot < spec.max_bodies:
+            tri = np.concatenate(tris, axis=0)  # (T, 3, 3)
+            # material body slot (static; excluded from broadphase by shape code)
+            host["active"][slot] = True
+            host["entity"][slot] = -1
+            host["body_type"][slot] = BODY_STATIC
+            host["shape_type"][slot] = 3  # SHAPE_MESH
+            host["friction"][slot] = mat[0]
+            host["restitution"][slot] = mat[1]
+            mesh_slot = slot
+            slot += 1
+
+            # uniform XZ grid: 32×32 cells over the soup's AABB, each bucket
+            # lists triangles whose XZ AABB (±margin) overlaps the cell
+            gx = gz = 32
+            k_tri = 32
+            margin = 1.0  # covers body radius + one substep of travel
+            lo = tri.min(axis=(0, 1))
+            hi = tri.max(axis=(0, 1))
+            cell = float(max((hi[0] - lo[0]) / gx, (hi[2] - lo[2]) / gz, 1e-3))
+            grid = np.full((gx * gz, k_tri), -1, np.int32)
+            counts = np.zeros(gx * gz, np.int32)
+            txmin = tri[:, :, 0].min(axis=1) - margin
+            txmax = tri[:, :, 0].max(axis=1) + margin
+            tzmin = tri[:, :, 2].min(axis=1) - margin
+            tzmax = tri[:, :, 2].max(axis=1) + margin
+            for t in range(tri.shape[0]):
+                cx0 = max(int((txmin[t] - lo[0]) // cell), 0)
+                cx1 = min(int((txmax[t] - lo[0]) // cell), gx - 1)
+                cz0 = max(int((tzmin[t] - lo[2]) // cell), 0)
+                cz1 = min(int((tzmax[t] - lo[2]) // cell), gz - 1)
+                for cz_ in range(cz0, cz1 + 1):
+                    for cx_ in range(cx0, cx1 + 1):
+                        c = cz_ * gx + cx_
+                        if counts[c] < k_tri:
+                            grid[c, counts[c]] = t
+                            counts[c] += 1
+            mesh_fields = dict(
+                mesh_tri=jnp.asarray(tri),
+                mesh_grid=jnp.asarray(grid),
+                mesh_grid_meta=jnp.asarray(
+                    [lo[0], lo[2], cell, float(gx), float(gz)], jnp.float32
+                ),
+                mesh_body=jnp.asarray(mesh_slot, jnp.int32),
+            )
+
     return PhysicsState(
         accumulator=jnp.zeros((), jnp.float32),
         has_proxies=bool((host["parent"] >= 0).any()),
         **{k: jnp.asarray(v) for k, v in host.items()},
+        **mesh_fields,
     )

@@ -34,6 +34,9 @@ SHAPE_CAPSULE = 1   # sphere == capsule with half_length 0; tapered capsule uses
                     # radius (bottom) + radius2 (top) — the convex hull of the
                     # two end spheres (Jolt TaperedCapsuleShape semantics)
 SHAPE_CYLINDER = 2  # flat-capped cylinder, axis local Y (Jolt CylinderShape)
+SHAPE_MESH = 3      # static triangle mesh (Jolt MeshShape); geometry lives in the
+                    # world-space triangle soup + uniform grid fields below, the
+                    # body slot only carries material + identity
 
 
 @partial(
@@ -85,6 +88,7 @@ class PhysicsParams:
         "is_character", "ground_normal_y", "parent",
         "asleep", "sleep_timer",
         "accumulator",
+        "mesh_tri", "mesh_grid", "mesh_grid_meta", "mesh_body",
     ],
     meta_fields=["has_proxies"],
 )
@@ -132,6 +136,14 @@ class PhysicsState:
     sleep_timer: Array     # (B,) f32 — seconds below the sleep velocity threshold
     # fixed-step accumulator (scalar)
     accumulator: Array
+    # static mesh collider world (None when no MeshColliderComponent exists):
+    # world-space triangle soup + a fixed XZ grid of per-cell triangle buckets
+    # (the TPU-shaped replacement for Jolt MeshShape's BVH — fixed-capacity
+    # lists, one gather per body instead of tree walks)
+    mesh_tri: Array | None = None       # (T, 3, 3) f32 triangle vertices, CCW → outward normal
+    mesh_grid: Array | None = None      # (GX*GZ, K_tri) i32 triangle index or -1
+    mesh_grid_meta: Array | None = None # (5,) f32 [origin_x, origin_z, cell, gx, gz]
+    mesh_body: Array | None = None      # () i32 — body slot carrying the mesh material
     has_proxies: bool = False  # static: any parent >= 0 (enables proxy sync paths)
 
     @property

@@ -32,6 +32,7 @@ from .state import (
     SHAPE_BOX,
     SHAPE_CAPSULE,
     SHAPE_CYLINDER,
+    SHAPE_MESH,
     PhysicsParams,
     PhysicsState,
 )
@@ -82,6 +83,10 @@ def broadphase_pairs(ps: PhysicsState, params: PhysicsParams, dt) -> tuple[Array
     dyn = ps.body_type == BODY_DYNAMIC
     some_dynamic = dyn[:, None] | dyn[None, :]
     mask = overlap & upper & act[:, None] & act[None, :] & some_dynamic
+    # mesh-collider slots only carry material; their geometry is the triangle
+    # grid handled by mesh_contacts(), not the pair pipeline
+    not_mesh = ps.shape_type != SHAPE_MESH
+    mask = mask & not_mesh[:, None] & not_mesh[None, :]
     if ps.has_proxies:
         # sub-colliders of one compound never collide with each other or their root
         root = jnp.where(ps.parent >= 0, ps.parent, jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0])
@@ -382,6 +387,108 @@ def _contact_box_box(ca, rot_a, half_a, cb, rot_b, half_b, k_points):
     # all manifold points share the SAT normal; depth measured per corner
     n_k = jnp.broadcast_to(n[..., None, :], top_pts.shape)
     return n_k, top_pts, top_dp
+
+
+def mesh_contacts(ps: PhysicsState, params: PhysicsParams):
+    """Per-body contacts against the static triangle-mesh world (Jolt MeshShape
+    analog, `Scene.cpp:1717-1850`): one XZ-grid bucket gather per body, then
+    sample-vs-triangle-plane tests — boxes by their 8 corners, swept-sphere
+    shapes by 3 segment samples with the local radius. One-sided (CCW outward
+    normal). Returns a contact stream shaped like narrowphase()'s:
+    (normal, point, depth, valid, c_ia, c_ib) flattened to (B·k,)."""
+    k = params.points_per_pair
+    b = ps.num_slots
+    tri = ps.mesh_tri                      # (T, 3, 3)
+    grid = ps.mesh_grid                    # (C, K_tri)
+    meta = ps.mesh_grid_meta
+    k_tri = grid.shape[1]
+
+    rot = math3d.quat_to_mat3(ps.quat)
+    center = ps.pos + jnp.einsum("bij,bj->bi", rot, ps.offset)
+
+    # body surface samples (B, S, 3) + per-sample swept radius (B, S)
+    corners = jnp.einsum(
+        "bij,bsj->bsi", rot, _BOX_CORNERS[None, :, :] * ps.half_extent[:, None, :]
+    ) + center[:, None, :]                                   # (B, 8, 3)
+    p1, q1 = _capsule_segment(center, rot, ps.half_length)
+    ts = jnp.linspace(0.0, 1.0, 3)
+    seg = p1[:, None, :] + (q1 - p1)[:, None, :] * ts[None, :, None]  # (B, 3, 3)
+    rad2 = jnp.where(ps.radius2 > 0.0, ps.radius2, ps.radius)
+    seg_r = ps.radius[:, None] + (rad2 - ps.radius)[:, None] * ts[None, :]
+    is_box = (ps.shape_type == SHAPE_BOX)[:, None]
+    samples = jnp.where(
+        is_box[..., None], corners,
+        jnp.concatenate([seg, jnp.broadcast_to(seg[:, :1], (b, 5, 3))], axis=1),
+    )                                                        # (B, 8, 3)
+    radii = jnp.where(
+        is_box, jnp.zeros((b, 8)),
+        jnp.concatenate([seg_r, jnp.full((b, 5), -1e9)], axis=1),
+    )                                                        # (B, 8); -1e9 kills dups
+    s_n = samples.shape[1]
+
+    # candidate triangles from the body's XZ grid cell
+    ox, oz, cell, gxf, gzf = meta[0], meta[1], meta[2], meta[3], meta[4]
+    cx = jnp.clip(jnp.floor((center[:, 0] - ox) / cell), 0, gxf - 1.0).astype(jnp.int32)
+    cz = jnp.clip(jnp.floor((center[:, 2] - oz) / cell), 0, gzf - 1.0).astype(jnp.int32)
+    tids = grid[cz * gxf.astype(jnp.int32) + cx]             # (B, K_tri)
+    t_ok = tids >= 0
+    tv = tri[jnp.maximum(tids, 0)]                           # (B, K_tri, 3, 3)
+    va, vb, vc = tv[:, :, 0], tv[:, :, 1], tv[:, :, 2]
+    e1 = vb - va
+    e2 = vc - va
+    nrm = jnp.cross(e1, e2)
+    nl = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    n_t = nrm / jnp.maximum(nl, 1e-9)                        # (B, K_tri, 3)
+
+    rel = samples[:, None, :, :] - va[:, :, None, :]          # (B, K_tri, S, 3)
+    d = jnp.sum(rel * n_t[:, :, None, :], axis=-1)            # (B, K_tri, S)
+    proj = samples[:, None, :, :] - d[..., None] * n_t[:, :, None, :]
+
+    # lateral tolerance: projecting along the face normal shifts a sample that
+    # sits above an EDGE seam outside both neighboring faces by |d|·n_lateral —
+    # admit contacts within (sample radius + shift)-proportional distance of the
+    # edge or the seam between two faces becomes a crack bodies fall through
+    tol = radii[:, None, :] * 0.5 + 0.03 + jnp.abs(d) * 0.35  # (B, K_tri, S)
+
+    def edge_ok(v0, v1):
+        ev = v1 - v0
+        inv_len = 1.0 / jnp.maximum(jnp.linalg.norm(ev, axis=-1, keepdims=True), 1e-9)
+        pv = proj - v0[:, :, None, :]
+        lat = jnp.sum(jnp.cross(ev[:, :, None, :], pv) * n_t[:, :, None, :], axis=-1)
+        return lat * inv_len >= -tol
+
+    inside = edge_ok(va, vb) & edge_ok(vb, vc) & edge_ok(vc, va)
+    depth = radii[:, None, :] - d                            # (B, K_tri, S)
+    max_pen = 0.35  # don't grab geometry far below the surface (tunneled bodies)
+    valid = (
+        inside & t_ok[..., None]
+        & (depth > -params.speculative_margin) & (depth < max_pen)
+    )
+    depth_m = jnp.where(valid, depth, -1e9)
+
+    # deepest k contacts per body
+    flat_dp = depth_m.reshape(b, k_tri * s_n)
+    top_dp, top_i = jax.lax.top_k(flat_dp, k)
+    gi = top_i[..., None]
+    top_pt = jnp.take_along_axis(proj.reshape(b, k_tri * s_n, 3), gi, axis=1)
+    top_n = jnp.take_along_axis(
+        jnp.broadcast_to(n_t[:, :, None, :], (b, k_tri, s_n, 3)).reshape(b, k_tri * s_n, 3),
+        gi, axis=1,
+    )
+
+    dyn = (ps.body_type == BODY_DYNAMIC) & ps.active
+    c_valid = (top_dp > -1e8) & dyn[:, None]
+    c_ia = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k)
+    c_ib = jnp.full((b * k,), ps.mesh_body, jnp.int32)
+    # normal convention is a→b (body→mesh) = -triangle normal
+    return (
+        (-top_n).reshape(b * k, 3),
+        top_pt.reshape(b * k, 3),
+        top_dp.reshape(b * k),
+        c_valid.reshape(b * k),
+        c_ia,
+        c_ib,
+    )
 
 
 def narrowphase(ps: PhysicsState, params: PhysicsParams, ia: Array, ib: Array, pair_valid: Array):
@@ -744,6 +851,16 @@ def physics_substep(ps: PhysicsState, params: PhysicsParams, dt: float) -> Physi
     # collide
     ia, ib, pair_valid = broadphase_pairs(ps, params, dt)
     normal, point, depth, valid, c_ia, c_ib, _ = narrowphase(ps, params, ia, ib, pair_valid)
+    if ps.mesh_tri is not None:
+        # static mesh-collider contacts join the same stream (the mesh body slot
+        # is static, so the solver treats them like any body-vs-static contact)
+        mn, mp, md, mv, mia, mib = mesh_contacts(ps, params)
+        normal = jnp.concatenate([normal, mn])
+        point = jnp.concatenate([point, mp])
+        depth = jnp.concatenate([depth, md])
+        valid = jnp.concatenate([valid, mv])
+        c_ia = jnp.concatenate([c_ia, mia])
+        c_ib = jnp.concatenate([c_ib, mib])
 
     # grounding info (character controllers): per-body max support-normal y.
     # normal points a→b, so body b's support normal is +n, body a's is -n.

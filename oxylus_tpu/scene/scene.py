@@ -365,6 +365,14 @@ class Scene:
         for fn in fns:
             fn(self)
 
+    def set_collision_meshes(self, meshes: dict) -> None:
+        """Register raw triangle geometry for MeshColliderComponent entities:
+        {mesh_index: (positions (V,3), indices (I,))}. The reference resolves the
+        entity's MeshComponent model into a Jolt MeshShape at body construction
+        (`Scene.cpp:1717-1850`); here the caller provides the triangle source
+        (typically BakedMesh.positions/indices) before runtime_start()."""
+        self._collision_meshes = dict(meshes)
+
     def runtime_start(self) -> None:
         """Create the physics world from collider components
         (mirrors `Scene::physics_init`, `Scene.cpp:1040-1072`)."""

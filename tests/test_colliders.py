@@ -117,3 +117,74 @@ def test_tapered_capsule_vs_sphere_uses_local_radius():
     # gap = 0.3 - (0.1 + 0.25) = -0.05 → depth = +0.05
     assert abs(float(dp[0]) - 0.05) < 1e-5, float(dp[0])
     # with the old max-radius approximation depth would be 0.45
+
+
+def _terrain_mesh():
+    """A 4-quad pyramid-ish terrain patch: flat ring at y=0, apex at (0,1,0)."""
+    v = np.array(
+        [
+            [-4.0, 0.0, -4.0], [4.0, 0.0, -4.0], [4.0, 0.0, 4.0], [-4.0, 0.0, 4.0],
+            [0.0, 1.0, 0.0],
+        ],
+        np.float32,
+    )
+    # CCW seen from above (+Y normals)
+    idx = np.array([0, 4, 1, 1, 4, 2, 2, 4, 3, 3, 4, 0], np.int64)
+    return v, idx
+
+
+def test_mesh_collider_supports_bodies():
+    """Bodies dropped on a MeshColliderComponent terrain must come to rest ON
+    the surface — round 1 silently ignored the component and they fell forever."""
+    s = Scene("terrain", spec=SceneSpec(max_entities=32, max_bodies=32))
+    ter = s.create_entity("terrain")
+    ter.add("TransformComponent", position=(0.0, 0.0, 0.0))
+    ter.add("MeshComponent", mesh_index=0)
+    ter.add("MeshColliderComponent", friction=0.6)
+    ball = s.create_entity("ball")
+    ball.add("TransformComponent", position=(2.0, 3.0, 2.0))
+    ball.add("SphereColliderComponent", radius=0.4, friction=0.6)
+    # strong roll damping: without rolling resistance a sphere rolls off any
+    # slope forever (Jolt behaves the same); the test wants it to settle
+    ball.add("RigidBodyComponent", type="Dynamic", mass=1.0, angular_drag=8.0)
+    box = s.create_entity("box")
+    box.add("TransformComponent", position=(-2.0, 3.0, -2.0))
+    box.add("BoxColliderComponent", size=(0.4, 0.4, 0.4), friction=0.6)
+    box.add("RigidBodyComponent", type="Dynamic", mass=1.0)
+    s.set_collision_meshes({0: _terrain_mesh()})
+    ps = _settle(s, steps=300)
+    assert ps.mesh_tri is not None and int(ps.mesh_tri.shape[0]) == 4
+    ent = np.asarray(ps.entity)
+    slots = [int(np.nonzero(ent == e.index)[0][0]) for e in (ball, box)]
+    ys = np.asarray(ps.pos)[slots, 1]
+    # both bodies rest on the sloped surface (y in (0, 1.2)), not fallen through
+    assert (ys > 0.05).all() and (ys < 1.4).all(), ys
+    vs = np.asarray(ps.linvel)[slots]
+    # the box is static; the ball may still creep slowly down-slope (spheres
+    # have no rolling resistance) but must not be in free fall
+    assert np.abs(vs).max() < 0.6, vs
+
+
+def test_mesh_collider_slope_normal():
+    """A ball dropped off-center on the pyramid rolls DOWN the slope (the
+    contact normal is the true face normal, not a flat-up approximation)."""
+    s = Scene("terrain2", spec=SceneSpec(max_entities=16, max_bodies=16))
+    ter = s.create_entity("terrain")
+    ter.add("TransformComponent", position=(0.0, 0.0, 0.0))
+    ter.add("MeshComponent", mesh_index=0)
+    ter.add("MeshColliderComponent", friction=0.0)
+    ball = s.create_entity("ball")
+    ball.add("TransformComponent", position=(0.0, 2.5, -1.0))  # on the -z face
+    ball.add("SphereColliderComponent", radius=0.3, friction=0.0)
+    ball.add("RigidBodyComponent", type="Dynamic", mass=1.0, linear_drag=0.0)
+    s.set_collision_meshes({0: _terrain_mesh()})
+    s.runtime_start()
+    ps = s.physics_state
+    params = PhysicsParams(max_pairs=64)
+    step = jax.jit(lambda p: physics_substep(p, params, DT))
+    for _ in range(90):
+        ps = step(ps)
+    slot = int(np.nonzero(np.asarray(ps.entity) == ball.index)[0][0])
+    # slid toward -z (downhill) and still above the surface
+    assert float(ps.pos[slot, 2]) < -1.5, float(ps.pos[slot, 2])
+    assert float(ps.pos[slot, 1]) > 0.0

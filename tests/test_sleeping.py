@@ -73,7 +73,8 @@ def test_impact_wakes_sleeping_body():
 
     # drop a second box onto the sleeping one: activate a spare slot directly
     host = {f.name: np.array(getattr(ps, f.name)) for f in dataclasses.fields(ps)
-            if f.name not in ("accumulator", "has_proxies")}
+            if f.name not in ("accumulator", "has_proxies")
+            and not f.name.startswith("mesh_")}
     slot = 2
     host["active"][slot] = True
     host["entity"][slot] = -1
