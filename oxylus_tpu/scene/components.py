@@ -222,6 +222,9 @@ COMPONENTS: tuple[ComponentDef, ...] = (
             _f("rate_over_time", FieldKind.U32, 10),
             _f("rate_over_distance", FieldKind.U32, 0),
             _f("burst_count", FieldKind.U32, 0),
+            # runtime state for rate-over-distance emission (the reference keeps
+            # last_spawned_position in the component too, Components.hpp:197)
+            _f("last_spawned_position", FieldKind.VEC3, (0.0, 0.0, 0.0)),
             _f("position_start", FieldKind.VEC3, (-0.2, 0.0, 0.0)),
             _f("position_end", FieldKind.VEC3, (0.2, 0.0, 0.0)),
             _f("velocity_over_lifetime_enabled", FieldKind.BOOL, False),

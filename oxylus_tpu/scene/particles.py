@@ -77,9 +77,35 @@ def particle_update(state: SceneState, spec: SceneSpec, dt) -> SceneState:
 
     # rate-over-time emission via integer crossings of the emission clock
     rate = psys["rate_over_time"].astype(jnp.float32)
-    n_prev = jnp.floor((t_prev - psys["start_delay"]) * rate)
-    n_new = jnp.floor((t_new - psys["start_delay"]) * rate)
+    delay = psys["start_delay"]
+    n_prev = jnp.floor((t_prev - delay) * rate)
+    n_new = jnp.floor((t_new - delay) * rate)
     spawn_count = jnp.where(emitting, jnp.maximum(n_new - n_prev, 0.0), 0.0).astype(jnp.int32)
+
+    # rate-over-distance (`Scene.cpp:845-849`): when the emitter has moved more
+    # than 1 unit since the last distance spawn, emit rate_over_distance at once
+    epos = state.world[:, :3, 3]
+    lsp = psys["last_spawned_position"]
+    moved = jnp.sum((epos - lsp) ** 2, axis=-1) > 1.0
+    dist_emit = emitting & moved & (psys["rate_over_distance"] > 0)
+    spawn_count = spawn_count + jnp.where(
+        dist_emit, psys["rate_over_distance"].astype(jnp.int32), 0
+    )
+    psys["last_spawned_position"] = jnp.where(dist_emit[:, None], epos, lsp)
+
+    # bursts: burst_count particles at the start of each emission loop. (The
+    # reference's trigger `burst_time >= burst_time` at Scene.cpp:852 compares a
+    # value to itself — i.e. every frame; bounded loop-start semantics chosen.)
+    loops_prev = jnp.floor((t_prev - delay) / duration)
+    loops_new = jnp.floor((t_new - delay) / duration)
+    first_cross = (t_prev <= delay) & (t_new > delay)  # initial activation
+    burst_events = jnp.where(
+        active_window,
+        jnp.maximum(loops_new - loops_prev, 0.0) + first_cross.astype(jnp.float32),
+        0.0,
+    ).astype(jnp.int32)
+    spawn_count = spawn_count + psys["burst_count"].astype(jnp.int32) * burst_events
+
     spawn_count = jnp.minimum(spawn_count, MAX_SPAWNS_PER_FRAME)
 
     psys["system_time"] = t_new

@@ -75,3 +75,56 @@ def test_color_over_lifetime_applied():
     old = colors[ages > 0.6]
     assert young[:, 0].mean() > young[:, 2].mean()  # young = red
     assert old[:, 2].mean() > old[:, 0].mean()      # old = blue
+
+
+def test_particle_bursts_and_rate_over_distance():
+    """Burst emission at loop start + rate-over-distance when the emitter moves
+    (`Scene.cpp:793-857`; bursts use loop-start semantics — the reference's own
+    burst trigger compares burst_time to itself)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from oxylus_tpu.scene.particles import particle_update
+    from oxylus_tpu.scene.scene import Scene
+    from oxylus_tpu.scene.state import SceneSpec
+
+    spec = SceneSpec(max_entities=16, max_particles=512)
+    s = Scene("burst", spec=spec)
+    e = s.create_entity("em")
+    e.add("TransformComponent", position=(0.0, 0.0, 0.0))
+    e.add(
+        "ParticleSystemComponent",
+        rate_over_time=0, burst_count=25, rate_over_distance=7,
+        looping=True, duration=0.5, start_lifetime=10.0,
+    )
+    state = s.to_device_state()
+    dt = jnp.float32(1 / 60)
+
+    # first frame crosses the loop start → one burst of 25
+    state = particle_update(state, spec, dt)
+    assert int(jnp.sum(state.particles.alive)) == 25
+
+    # run just under one loop more: no new burst (rate_over_time is 0)
+    for _ in range(28):
+        state = particle_update(state, spec, dt)
+    assert int(jnp.sum(state.particles.alive)) == 25
+
+    # crossing the next loop boundary bursts again
+    for _ in range(3):
+        state = particle_update(state, spec, dt)
+    assert int(jnp.sum(state.particles.alive)) == 50
+
+    # move the emitter > 1 unit → rate_over_distance particles
+    world = np.array(state.world)
+    world[e.index, 0, 3] = 2.0
+    state = dataclasses.replace(state, world=jnp.asarray(world))
+    state = particle_update(state, spec, dt)
+    assert int(jnp.sum(state.particles.alive)) == 57
+    # moving again within 1 unit emits nothing
+    world = np.array(world)
+    world[e.index, 0, 3] = 2.3
+    state = dataclasses.replace(state, world=jnp.asarray(world))
+    state = particle_update(state, spec, dt)
+    assert int(jnp.sum(state.particles.alive)) == 57
