@@ -167,3 +167,143 @@ class ViewportPanel:
         for field, value in upd.items():
             self.ctx.set_field(e, "TransformComponent", field, value)
         return upd
+
+
+# ---------------------------------------------------------------------------
+# Content browser + thumbnails (`OxylusEditor/src/Panels/ContentPanel.cpp`)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ContentEntry:
+    """One row/tile of the content browser."""
+
+    name: str
+    path: str
+    is_dir: bool
+    asset_type: str          # AssetType name, "NONE" for unknown files
+    uuid: str | None = None  # registered asset UUID (from .oxasset sidecar)
+
+
+class ContentPanel:
+    """Directory-browsing panel over the project's asset tree (reference
+    `ContentPanel.cpp`): typed entries via the AssetManager's extension map and
+    `.oxasset` sidecars, breadcrumb navigation, and cached thumbnails
+    (the reference renders thumbnails into a texture cache; here they are small
+    RGBA arrays a frontend can blit)."""
+
+    THUMB = 64
+
+    def __init__(self, ctx: EditorContext, root: str, asset_manager=None):
+        import os
+
+        self.ctx = ctx
+        self.root = os.path.abspath(root)
+        self.current = self.root
+        self.assets = asset_manager
+        self._thumbs: dict[str, Any] = {}
+
+    # -- navigation ---------------------------------------------------------
+    def navigate(self, path: str) -> None:
+        import os
+
+        p = os.path.abspath(path)
+        if os.path.commonpath([p, self.root]) != self.root:
+            raise ValueError("content browser cannot leave the project root")
+        if os.path.isdir(p):
+            self.current = p
+
+    def go_up(self) -> None:
+        import os
+
+        if self.current != self.root:
+            self.navigate(os.path.dirname(self.current))
+
+    def breadcrumbs(self) -> list[str]:
+        import os
+
+        rel = os.path.relpath(self.current, self.root)
+        return [os.path.basename(self.root)] + ([] if rel == "." else rel.split(os.sep))
+
+    # -- listing ------------------------------------------------------------
+    def build(self) -> list[ContentEntry]:
+        import json
+        import os
+
+        from ..assets.manager import _EXT_TYPES, AssetType
+
+        entries: list[ContentEntry] = []
+        try:
+            names = sorted(os.listdir(self.current))
+        except OSError:
+            return entries
+        for name in names:
+            if name.endswith(".oxasset"):
+                continue  # sidecars render as badges on their asset, not rows
+            full = os.path.join(self.current, name)
+            if os.path.isdir(full):
+                entries.append(ContentEntry(name, full, True, "DIRECTORY"))
+                continue
+            ext = os.path.splitext(name)[1].lower()
+            at = _EXT_TYPES.get(ext, AssetType.NONE)
+            uuid = None
+            side = full + ".oxasset"
+            if os.path.exists(side):
+                try:
+                    uuid = json.load(open(side)).get("uuid")
+                except Exception:
+                    uuid = None
+            entries.append(ContentEntry(name, full, False, at.name, uuid))
+        # directories first, like the reference
+        entries.sort(key=lambda e: (not e.is_dir, e.name.lower()))
+        return entries
+
+    # -- thumbnails ---------------------------------------------------------
+    def thumbnail(self, path: str):
+        """(THUMB, THUMB, 4) u8 RGBA preview, cached. Textures downsample the
+        real image; other types get a flat type-color tile (the reference uses
+        baked icons)."""
+        if path in self._thumbs:
+            return self._thumbs[path]
+        import os
+
+        import numpy as np_
+
+        from ..assets.manager import _EXT_TYPES, AssetType
+
+        size = self.THUMB
+        ext = os.path.splitext(path)[1].lower()
+        at = _EXT_TYPES.get(ext, AssetType.NONE)
+        thumb = None
+        if at == AssetType.TEXTURE:
+            try:
+                from ..assets.texture import Texture
+
+                tex = Texture.load(path)
+                img = np_.asarray(tex.pixels)
+                ys = (np_.arange(size) * img.shape[0] // size).clip(0, img.shape[0] - 1)
+                xs = (np_.arange(size) * img.shape[1] // size).clip(0, img.shape[1] - 1)
+                thumb = img[ys][:, xs]
+                if thumb.shape[-1] == 3:
+                    thumb = np_.concatenate(
+                        [thumb, np_.full(thumb.shape[:2] + (1,), 255, np_.uint8)], -1
+                    )
+            except Exception:
+                thumb = None
+        if thumb is None:
+            colors = {
+                AssetType.MODEL: (90, 140, 220, 255),
+                AssetType.SCENE: (120, 200, 120, 255),
+                AssetType.MATERIAL: (220, 140, 90, 255),
+                AssetType.AUDIO: (200, 120, 200, 255),
+                AssetType.SCRIPT: (230, 210, 100, 255),
+            }
+            c = colors.get(at, (128, 128, 128, 255))
+            thumb = np_.tile(np_.array(c, np_.uint8), (size, size, 1))
+        self._thumbs[path] = thumb
+        return thumb
+
+    def import_asset(self, path: str) -> str | None:
+        """Create/refresh the `.oxasset` sidecar via the AssetManager."""
+        if self.assets is None:
+            return None
+        return self.assets.import_asset(path)

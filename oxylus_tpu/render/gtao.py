@@ -1,13 +1,15 @@
-"""Ground-truth ambient occlusion (VBGTAO-style horizon search).
+"""Ground-truth ambient occlusion — visibility-bitmask variant (GT-VBAO).
 
 Re-creation of the reference's visibility-bitmask GTAO pass chain
 (`/root/reference/Oxylus/src/Render/Shaders/gtao.slang`, driver `Passes/PBR.cpp:143-311`,
-XeGTAO-derived): depth prefilter mips → per-pixel hemisphere slices with horizon
-scanning (quality presets = slice/sample counts, RendererCVar defaults: 3 slices ×
-3 samples, radius 0.5, thickness 0.25, final power 1.2) → edge-aware spatial denoise.
-The bitmask accumulation is approximated by cosine-weighted horizon integration (the
-GTAO formulation the bitmask variant refines); noise comes from a per-pixel hash, the
-Hilbert-curve LUT analog.
+XeGTAO-derived): depth prefilter mips → per-pixel hemisphere slices, each carrying
+a 32-bit sector occupancy mask over the projected-normal hemisphere arc
+(`gtao.slang:105-131`) — every sample marks the angular interval subtended by its
+thickness-extruded surface, so visibility behind THIN occluders is recovered (the
+failure mode of plain max-horizon GTAO) → edge-aware spatial denoise. Quality
+presets = slice/sample counts, RendererCVar defaults: 3 slices × 3 samples,
+radius 0.5, thickness 0.25, final power 1.2; noise comes from a per-pixel hash,
+the Hilbert-curve LUT analog.
 """
 
 from __future__ import annotations
@@ -90,12 +92,37 @@ def gtao(
     def tap(dy, dx):  # static shift of view_pos
         return pad[max_px + dy : max_px + dy + h, max_px + dx : max_px + dx + w]
 
+    # ---- visibility-bitmask accumulation (gtao.slang's sector bitmasks,
+    # :105-131): each slice carries an N_SECTORS-bit occupancy mask over the
+    # hemisphere arc centred on the projected normal. Every sample inserts the
+    # angular interval its thickness-extruded surface subtends — unlike
+    # max-horizon scanning, visibility BEHIND a thin occluder is recovered,
+    # which is the whole point of the bitmask variant.
+    n_bits = 32
     ao_acc = jnp.zeros((h, w))
+    nrm = view_normal
+
+    def bits_below(k):  # k (H, W) int32 in [0, 32] → low-k ones
+        kk = jnp.clip(k, 0, 32)
+        base = (jnp.uint32(1) << jnp.minimum(kk, 31).astype(jnp.uint32)) - jnp.uint32(1)
+        return jnp.where(kk >= 32, jnp.uint32(0xFFFFFFFF), base)
+
     for s in range(n_slices):
         angle = (s + 0.5) * _math.pi / n_slices
         ux, uy = _math.cos(angle), _math.sin(angle)
+        # slice tangent in view space (screen x right, y down → view -y up)
+        t_scr = jnp.array([ux, -uy, 0.0], jnp.float32)
+        t2 = t_scr[None, None, :] - jnp.sum(t_scr * view_dir, axis=-1, keepdims=True) * view_dir
+        t2 = t2 / jnp.maximum(jnp.linalg.norm(t2, axis=-1, keepdims=True), 1e-6)
 
-        cos_h = [jnp.full((h, w), -1.0), jnp.full((h, w), -1.0)]
+        # projected-normal angle γ in the (view_dir, t2) slice frame
+        n_v = jnp.sum(nrm * view_dir, axis=-1)
+        n_t = jnp.sum(nrm * t2, axis=-1)
+        n_len = jnp.sqrt(jnp.maximum(n_v * n_v + n_t * n_t, 1e-12))
+        gamma = jnp.sign(n_t) * _acos_fast(jnp.clip(n_v / n_len, -1.0, 1.0))
+        arc_lo = gamma - _math.pi / 2  # hemisphere arc of the surface normal
+
+        mask = jnp.zeros((h, w), jnp.uint32)
         for side, sign in enumerate((1.0, -1.0)):
             for i in range(1, n_samples + 1):
                 step = max_px * (i / n_samples) ** 1.5
@@ -105,26 +132,31 @@ def gtao(
                     dx = int(sign)
                 sample_pos = tap(dy, dx)
                 delta = sample_pos - view_pos
-                # one rsqrt per tap: cos = (delta·v)·rsqrt(d²), dist = d²·rsqrt(d²)
                 d2 = jnp.sum(delta * delta, axis=-1)
                 rs = jax.lax.rsqrt(jnp.maximum(d2, 1e-12))
-                cos_angle = jnp.sum(delta * view_dir, axis=-1) * rs
                 dist = d2 * rs
-                # range falloff + thin-occluder thickness heuristic
+                # front/back angles: surface sample and its thickness extrusion
+                # away from the camera (view_dir points TOWARD the camera)
+                cos_f = jnp.sum(delta * view_dir, axis=-1) * rs
+                delta_b = delta - view_dir * thickness
+                rs_b = jax.lax.rsqrt(jnp.maximum(jnp.sum(delta_b * delta_b, axis=-1), 1e-12))
+                cos_b = jnp.sum(delta_b * view_dir, axis=-1) * rs_b
+                a_f = sign * _acos_fast(jnp.clip(cos_f, -1.0, 1.0))
+                a_b = sign * _acos_fast(jnp.clip(cos_b, -1.0, 1.0))
+                a_min = jnp.minimum(a_f, a_b)
+                a_max = jnp.maximum(a_f, a_b)
+                # map the occluded interval into sector space over [γ-π/2, γ+π/2]
+                u_lo = (a_min - arc_lo) / _math.pi * n_bits
+                u_hi = (a_max - arc_lo) / _math.pi * n_bits
+                lo = jnp.floor(u_lo).astype(jnp.int32)
+                hi = jnp.ceil(u_hi).astype(jnp.int32)
+                seg = bits_below(hi) & ~bits_below(lo)
                 in_range = dist < radius
-                falloff = jnp.clip(1.0 - (dist / radius - 1.0) / thickness, 0.0, 1.0)
-                cos_angle = jnp.where(in_range, cos_angle, cos_angle * falloff - (1 - falloff))
-                cos_h[side] = jnp.maximum(cos_h[side], cos_angle)
+                seg = jnp.where(in_range, seg, jnp.uint32(0))
+                mask = mask | seg
 
-        # horizon angles from the view direction (cos_h = -1 → fully open → π/2 arc)
-        h1 = _acos_fast(jnp.clip(cos_h[0], -1.0, 1.0))
-        h2 = _acos_fast(jnp.clip(cos_h[1], -1.0, 1.0))
-        # visible fraction of the slice arc on each side: angles below π/2 mean the
-        # horizon rose above the tangent plane and occludes part of the hemisphere
-        a1 = jnp.clip(h1, 0.0, jnp.pi / 2)
-        a2 = jnp.clip(h2, 0.0, jnp.pi / 2)
-        vis = (a1 + a2) / jnp.pi
-        ao_acc = ao_acc + vis
+        occ = jax.lax.population_count(mask).astype(jnp.float32) / n_bits
+        ao_acc = ao_acc + (1.0 - occ)
 
     ao = ao_acc / n_slices
     ao = jnp.clip(ao, 0.0, 1.0) ** final_power

@@ -137,3 +137,63 @@ def test_viewport_pick_selects():
     assert ctx.selection == [2]
     assert vp.pick(vis, 0, 0) == -1
     assert ctx.selection == []
+
+
+def test_content_panel_browses_and_thumbnails(tmp_path):
+    """ContentPanel (reference ContentPanel.cpp): typed listing from the asset
+    extension map + .oxasset sidecar UUIDs, sandboxed navigation, thumbnails."""
+    import numpy as np
+
+    from oxylus_tpu.assets.manager import AssetManager
+    from oxylus_tpu.editor.context import EditorContext
+    from oxylus_tpu.editor.panels import ContentPanel
+    from oxylus_tpu.scene.scene import Scene
+    from oxylus_tpu.scene.state import SceneSpec
+
+    root = tmp_path / "proj"
+    (root / "textures").mkdir(parents=True)
+    (root / "scenes").mkdir()
+    # a tiny real texture
+    try:
+        from PIL import Image
+
+        Image.fromarray(
+            np.tile(np.array([255, 0, 0], np.uint8), (8, 8, 1))
+        ).save(root / "textures" / "red.png")
+    except ImportError:
+        np.save(root / "textures" / "red.npy",
+                np.tile(np.array([255, 0, 0, 255], np.uint8), (8, 8, 1)))
+    (root / "scenes" / "level.oxscene").write_text("{}")
+    (root / "player.py").write_text("def on_scene_update(*a): pass\n")
+
+    mgr = AssetManager()
+    mgr.init()
+    ctx = EditorContext(Scene("ed", spec=SceneSpec(max_entities=8)))
+    panel = ContentPanel(ctx, str(root), asset_manager=mgr)
+
+    entries = panel.build()
+    names = [e.name for e in entries]
+    assert names[:2] == ["scenes", "textures"]  # dirs first
+    assert any(e.asset_type == "SCRIPT" for e in entries)
+
+    panel.navigate(str(root / "textures"))
+    tex_entries = panel.build()
+    assert tex_entries and tex_entries[0].asset_type == "TEXTURE"
+    th = panel.thumbnail(tex_entries[0].path)
+    assert th.shape == (64, 64, 4)
+    assert int(th[..., 0].mean()) > 200  # red texture thumb
+
+    # sidecar import → uuid shows up in the listing
+    uuid = panel.import_asset(tex_entries[0].path)
+    assert uuid
+    again = [e for e in panel.build() if not e.is_dir][0]
+    assert again.uuid == uuid
+
+    # breadcrumbs + sandboxing
+    assert panel.breadcrumbs() == ["proj", "textures"]
+    panel.go_up()
+    assert panel.current == str(root)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        panel.navigate(str(tmp_path))

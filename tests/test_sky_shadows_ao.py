@@ -146,3 +146,35 @@ class TestGTAO:
         noisy = jnp.ones((16, 16)).at[8, 8].set(0.0)
         smooth = denoise_ao(noisy, jnp.ones((16, 16)))
         assert 0.0 < float(smooth[8, 8]) < 1.0
+
+
+def test_gtao_bitmask_recovers_visibility_behind_thin_occluders():
+    """The visibility-bitmask accumulation (gtao.slang:105-131) occludes only the
+    angular interval a sample's thickness-extruded surface subtends: a THIN
+    ridge must darken less than a thick one with the same horizon profile —
+    max-horizon scanning cannot tell them apart."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from oxylus_tpu.render.gtao import gtao
+
+    h = w = 48
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    # flat wall facing the camera at z=-5, with a raised thin ridge column
+    z = np.full((h, w), -5.0, np.float32)
+    ridge = (np.abs(xs - 30) < 4)
+    z[ridge] = -4.2  # ridge pops 0.8 toward the camera
+    view_pos = np.stack([(xs - w / 2) * 0.02, (ys - h / 2) * 0.02, z], -1).astype(np.float32)
+    nrm = np.zeros((h, w, 3), np.float32)
+    nrm[..., 2] = 1.0
+    hit = np.ones((h, w), bool)
+
+    ao_thin = gtao(jnp.asarray(view_pos), jnp.asarray(nrm), jnp.asarray(hit),
+                   thickness=0.05, radius=1.5, final_power=1.0)
+    ao_thick = gtao(jnp.asarray(view_pos), jnp.asarray(nrm), jnp.asarray(hit),
+                    thickness=3.0, radius=1.5, final_power=1.0)
+    # probe next to the ridge
+    probe = (24, 24)
+    assert float(ao_thin[probe]) > float(ao_thick[probe]) + 0.02, (
+        float(ao_thin[probe]), float(ao_thick[probe]),
+    )
