@@ -371,6 +371,7 @@ class RendererInstance:
             from .shadows import (
                 clipmap_matrices,
                 contact_shadows as contact_fn,
+                mark_visible_pages,
                 render_shadow_clipmaps_cached,
                 resolve_shadows,
             )
@@ -378,8 +379,14 @@ class RendererInstance:
             light_vps = clipmap_matrices(
                 sun_dir, camera.position, first_width=first_clipmap_width
             )
+            # RMVSM residency: only shadow pages sampled by this frame's shaded
+            # pixels are rendered (mark_visible_pages ≙ rmvsm_mark_visible_pages)
+            vis_pages = mark_visible_pages(
+                _pds(gbuffer["world_pos"], 8), _pds(gbuffer["hit"], 8), light_vps
+            )
             shadow_maps, shadow_carry = render_shadow_clipmaps_cached(
-                gscene, world, light_vps, prev.get("shadow_cache")
+                gscene, world, light_vps, prev.get("shadow_cache"),
+                visible_pages=vis_pages,
             )
             carry["shadow_cache"] = shadow_carry
             # resolve at quarter res: gather cost scales with gathered rows

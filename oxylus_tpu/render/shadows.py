@@ -99,6 +99,35 @@ PAGE = 32                      # shadow-map page side in texels (= raster tile)
 PAGES = SHADOW_MAP_SIZE // PAGE  # pages per map side
 
 
+def mark_visible_pages(
+    world_pos: Array,  # (h, w, 3) shaded surface positions (any resolution)
+    hit: Array,        # (h, w)
+    light_vps: Array,  # (L, 4, 4)
+) -> Array:
+    """(L, PAGES²) bool — shadow pages actually sampled by screen pixels (the
+    reference's `rmvsm_mark_visible_pages`, Shadowmaps.cpp: projects the depth
+    buffer into light space and marks the page table). Dilated by one page so
+    PCF taps at page borders stay inside the resident set."""
+    n_lvls = light_vps.shape[0]
+    out = []
+    wp = world_pos.reshape(-1, 3)
+    ok = hit.reshape(-1)
+    for lvl in range(n_lvls):
+        clip = math3d.mat4_point_image(light_vps[lvl], wp[None])[0]
+        ndc = clip[..., :3] / jnp.maximum(jnp.abs(clip[..., 3:4]), 1e-9)
+        u = ndc[..., 0] * 0.5 + 0.5
+        v = ndc[..., 1] * 0.5 + 0.5
+        inside = ok & (u > 0.0) & (u < 1.0) & (v > 0.0) & (v < 1.0)
+        px = jnp.clip((u * PAGES).astype(jnp.int32), 0, PAGES - 1)
+        py = jnp.clip((v * PAGES).astype(jnp.int32), 0, PAGES - 1)
+        pid = jnp.where(inside, py * PAGES + px, PAGES * PAGES)
+        marks = jnp.zeros(PAGES * PAGES, jnp.bool_).at[pid].max(inside, mode="drop")
+        m2 = marks.reshape(PAGES, PAGES).astype(jnp.float32)
+        m2 = jax.lax.reduce_window(m2, 0.0, jax.lax.max, (3, 3), (1, 1), "SAME")
+        out.append(m2.reshape(-1) > 0.5)
+    return jnp.stack(out)
+
+
 def render_shadow_clipmaps_cached(
     gscene,
     entity_world: Array,
@@ -106,20 +135,25 @@ def render_shadow_clipmaps_cached(
     prev: dict | None,
     capacity: int = 2048,
     k_per_tile: int = 32,
+    visible_pages: Array | None = None,  # (L, PAGES²) from mark_visible_pages
 ) -> tuple[Array, dict]:
-    """Page-cached clipmap rendering (the reference's RMVSM page tables,
-    `Shadowmaps.cpp` mark-visible-pages → clear-pages → draw-pages, re-shaped for
-    fixed-grid raster): each 32×32-texel page keeps its cached depth unless
+    """Page-cached clipmap rendering with visible-page residency (the reference's
+    RMVSM pipeline, `Shadowmaps.cpp` mark-visible-pages → invalidate → allocate →
+    draw-pages, re-shaped for fixed-grid raster): each 32×32-texel page keeps its
+    cached depth unless
 
     - the level's light VP changed (camera snap crossed a texel boundary), or
     - an instance whose world transform changed this frame overlaps the page
       (both its current and previous footprint, so stale shadows are erased).
 
-    Invalid pages get re-rasterized with page-masked tile lists; valid pages copy
-    forward. When NOTHING is dirty (static scene, texel-stable light) the whole
-    geometry chain (cull → setup → bin → raster, the dominant per-level cost on
-    this target) is skipped via `lax.cond` — the analog of the reference's
-    zero-dirty-pages frame where `_draw_physical_pages` has an empty work list.
+    With `visible_pages`, only pages actually sampled by screen pixels are ever
+    rendered (RMVSM residency): a page is re-rasterized when it is visible AND
+    (invalidated OR not yet resident); a rotating light invalidates everything
+    but re-renders only the visible working set. Valid resident pages copy
+    forward. When NOTHING needs rendering the whole geometry chain (cull →
+    setup → bin → raster, the dominant per-level cost on this target) is
+    skipped via `lax.cond` — the analog of the reference's zero-dirty-pages
+    frame where `_draw_physical_pages` has an empty work list.
 
     Returns (maps (L, S, S), carry) — feed `carry` back as `prev`."""
     n_lvls = light_vps.shape[0]
@@ -203,11 +237,31 @@ def render_shadow_clipmaps_cached(
         )
         page_invalid_lvls.append(dyn_pages | prev_dyn | vpc)  # (P,)
 
+    # residency: pages to actually (re)render = visible ∧ (invalid ∨ ¬resident)
+    render_lvls = []
+    resident_out = []
+    for lvl in range(n_lvls):
+        invalid = page_invalid_lvls[lvl]
+        if visible_pages is not None:
+            vis_p = visible_pages[lvl]
+            prev_res = (
+                prev["resident"][lvl]
+                if prev is not None and "resident" in prev
+                else jnp.zeros_like(vis_p)
+            )
+            resident = prev_res & ~invalid
+            need = vis_p & ~resident
+            resident_out.append(resident | need)
+        else:
+            need = invalid
+            resident_out.append(jnp.ones_like(invalid))
+        render_lvls.append(need)
+
     def render_levels():
         maps = []
         for lvl in range(n_lvls):
             vp = light_vps[lvl]
-            page_invalid = page_invalid_lvls[lvl]
+            page_invalid = render_lvls[lvl]
             planes = math3d.frustum_planes_from_mat(vp)
             vis = gscene.inst_valid
             lod = jnp.zeros_like(gscene.inst_mesh)
@@ -239,7 +293,7 @@ def render_shadow_clipmaps_cached(
         return jnp.stack(maps)
 
     if prev is not None and "maps" in prev:
-        any_dirty = jnp.any(jnp.stack([jnp.any(pi) for pi in page_invalid_lvls]))
+        any_dirty = jnp.any(jnp.stack([jnp.any(pi) for pi in render_lvls]))
         maps = jax.lax.cond(any_dirty, render_levels, lambda: prev["maps"])
     else:
         maps = render_levels()
@@ -248,6 +302,7 @@ def render_shadow_clipmaps_cached(
         "vps": light_vps,
         "dyn_pages": jnp.stack(dyn_pages_out),
         "world": entity_world,
+        "resident": jnp.stack(resident_out),
     }
     return maps, carry
 

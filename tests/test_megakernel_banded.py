@@ -121,3 +121,71 @@ def test_warm_start_stable():
     assert np.all(pos[:, 1] > -0.5), "bodies fell through the floor"
     assert np.all(np.abs(pos) < 50.0), "explosion"
     assert np.all(np.abs(vel) < 30.0), "velocity blow-up"
+
+
+def test_banded_adversarial_lateral_scatter():
+    """Adversarial case for the ±BAND rank window (ADVICE/VERDICT round 1): bodies
+    scattered widely in XZ with fast LATERAL velocities — the worst case for a
+    spatial-rank band, since pairs can form between bodies whose launch-time
+    ranks are far apart. The contract: per-LAUNCH error vs the dense kernel stays
+    bounded (missed pairs are re-detected at the next launch's re-sort), and the
+    band diagnostic quantifies the coverage gap.
+
+    Fallback policy (documented here as the test's premise): scenes with
+    dominantly lateral fast motion should either shorten n_substeps per launch
+    (re-sorting more often) or use the dense megakernel / XLA path — the bench
+    keeps banding because its workload is gravity-dominated."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from oxylus_tpu.physics.megakernel_banded import band_coverage_report
+
+    rng = np.random.default_rng(7)
+    spec = SceneSpec(max_entities=512, max_bodies=256)
+    s = Scene("lateral", spec=spec)
+    floor = s.create_entity("floor")
+    floor.add("TransformComponent", position=(0.0, -1.0, 0.0))
+    floor.add("BoxColliderComponent", size=(40.0, 1.0, 40.0), friction=0.3)
+    n = 120
+    for i in range(n):
+        e = s.create_entity(f"b{i}")
+        e.add(
+            "TransformComponent",
+            position=(
+                float(rng.uniform(-15, 15)), float(rng.uniform(0.4, 0.6)),
+                float(rng.uniform(-15, 15)),
+            ),
+        )
+        e.add("BoxColliderComponent", size=(0.4, 0.4, 0.4), friction=0.3)
+        e.add("RigidBodyComponent", linear_drag=0.0)
+    s.runtime_start()
+    ps = s.physics_state
+    # fast lateral velocities toward the middle → crossing trajectories
+    vel = np.zeros((256, 3), np.float32)
+    act = np.asarray(ps.active)
+    pos = np.asarray(ps.pos)
+    for i in range(256):
+        if act[i] and i > 0:
+            d = -pos[i]
+            d[1] = 0.0
+            nl = np.linalg.norm(d) or 1.0
+            vel[i] = d / nl * rng.uniform(3.0, 8.0)
+    ps = dataclasses.replace(ps, linvel=jnp.asarray(vel))
+
+    rep = band_coverage_report(ps)
+    # the diagnostic reports the initial coverage; for the scattered scene most
+    # pairs are within band at launch (it's DRIFT during the launch that escapes)
+    assert rep["pairs"] >= 0
+
+    params = PhysicsParams()
+    dense = megakernel_substeps(ps, params, DT, n_substeps=10, interpret=True)
+    banded = megakernel_substeps_banded(ps, params, DT, n_substeps=10, interpret=True)
+    # bounded divergence over one 10-substep launch: positions must not differ
+    # grossly (a missed pair shows up as an unresolved overlap, not an explosion)
+    dyn = act & (np.asarray(ps.body_type) == 2)
+    dp = np.abs(np.asarray(dense.pos) - np.asarray(banded.pos))[dyn]
+    assert np.isfinite(np.asarray(banded.pos)).all()
+    assert dp.max() < 0.6, dp.max()
+    # no tunneling through the floor on either path
+    assert np.asarray(banded.pos)[dyn, 1].min() > -0.65
