@@ -38,6 +38,11 @@ class Texture:
             arr = np.load(path)
             if arr.dtype != np.uint8:
                 arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+        elif path.suffix == ".ktx2":
+            arr, srgb_fmt = _load_ktx2(path)
+            srgb = srgb and srgb_fmt
+        elif path.suffix == ".dds":
+            arr = _load_dds(path)
         else:
             from PIL import Image
 
@@ -117,3 +122,100 @@ class TextureAtlas:
     @property
     def regions(self) -> dict[str, AtlasRegion]:
         return dict(self._regions)
+
+
+# ---------------------------------------------------------------------------
+# KTX2 / DDS containers (reference `Asset/Texture.hpp:77-140` loads both via
+# libktx / dds parsing; here: direct container parsing for the uncompressed
+# RGBA formats the engine uses, plus KTX2 zstd supercompression)
+# ---------------------------------------------------------------------------
+
+_KTX2_MAGIC = b"\xabKTX 20\xbb\r\n\x1a\n"
+# VkFormat codes for the 8-bit RGBA family
+_VK_R8G8B8A8_UNORM = 37
+_VK_R8G8B8A8_SRGB = 43
+_VK_R8G8B8_UNORM = 23
+_VK_R8G8B8_SRGB = 29
+
+
+def _load_ktx2(path):
+    """Minimal KTX2 reader: level-0 image of an uncompressed (or zstd-
+    supercompressed) R8G8B8(A8) texture → (H, W, 4) u8, srgb flag."""
+    import struct
+
+    data = Path(path).read_bytes()
+    if data[:12] != _KTX2_MAGIC:
+        raise ValueError(f"{path}: not a KTX2 file")
+    (vk_format, type_size, w, h, depth, layers, faces, levels, scheme) = struct.unpack_from(
+        "<9I", data, 12
+    )
+    if vk_format not in (_VK_R8G8B8A8_UNORM, _VK_R8G8B8A8_SRGB, _VK_R8G8B8_UNORM, _VK_R8G8B8_SRGB):
+        raise ValueError(f"{path}: unsupported vkFormat {vk_format} (need RGBA8/RGB8)")
+    if scheme not in (0, 2):  # none | zstd
+        raise ValueError(f"{path}: unsupported supercompression scheme {scheme}")
+    # level index starts at byte 80 (after the two dfd/kvd/sgd offset blocks)
+    lvl_off = 80
+    byte_off, byte_len, uncomp_len = struct.unpack_from("<3Q", data, lvl_off)
+    blob = data[byte_off : byte_off + byte_len]
+    if scheme == 2:
+        import zstandard
+
+        blob = zstandard.ZstdDecompressor().decompress(blob, max_output_size=uncomp_len)
+    ch = 4 if vk_format in (_VK_R8G8B8A8_UNORM, _VK_R8G8B8A8_SRGB) else 3
+    arr = np.frombuffer(blob, np.uint8, count=h * w * ch).reshape(h, w, ch).copy()
+    if ch == 3:
+        arr = np.concatenate([arr, np.full((h, w, 1), 255, np.uint8)], axis=-1)
+    return arr, vk_format in (_VK_R8G8B8A8_SRGB, _VK_R8G8B8_SRGB)
+
+
+def write_ktx2(path, pixels: np.ndarray, srgb: bool = True, zstd: bool = False) -> None:
+    """Write a single-level RGBA8 KTX2 (the pack-side counterpart of _load_ktx2)."""
+    import struct
+
+    h, w = pixels.shape[:2]
+    if pixels.shape[-1] == 3:
+        pixels = np.concatenate([pixels, np.full((h, w, 1), 255, np.uint8)], axis=-1)
+    blob = pixels.astype(np.uint8).tobytes()
+    uncomp = len(blob)
+    scheme = 0
+    if zstd:
+        import zstandard
+
+        blob = zstandard.ZstdCompressor().compress(blob)
+        scheme = 2
+    vk = _VK_R8G8B8A8_SRGB if srgb else _VK_R8G8B8A8_UNORM
+    header = _KTX2_MAGIC + struct.pack("<9I", vk, 1, w, h, 0, 0, 1, 1, scheme)
+    # dfd off/len + kvd off/len (4×u32) and sgd off/len (2×u64) all empty →
+    # header is 80 bytes, the 1-entry level index 24, image data at 104
+    header += struct.pack("<4I2Q", 0, 0, 0, 0, 0, 0)
+    level_index = struct.pack("<3Q", 104, len(blob), uncomp)
+    Path(path).write_bytes(header + level_index + blob)
+
+
+def _load_dds(path):
+    """Minimal DDS reader: uncompressed 32-bit RGBA/BGRA top mip → (H, W, 4) u8."""
+    import struct
+
+    data = Path(path).read_bytes()
+    if data[:4] != b"DDS ":
+        raise ValueError(f"{path}: not a DDS file")
+    (size, flags, h, w) = struct.unpack_from("<4I", data, 4)
+    # DDS_PIXELFORMAT sits at absolute offset 76: size, flags, fourCC, bits, masks
+    _pf_size, pf_flags, fourcc, rgb_bits, r_mask, g_mask, b_mask, a_mask = struct.unpack_from(
+        "<8I", data, 76
+    )
+    if fourcc != 0:
+        raise ValueError(f"{path}: compressed DDS (fourcc) not supported; use ktx2/png")
+    if rgb_bits != 32:
+        raise ValueError(f"{path}: only 32-bit uncompressed DDS supported")
+    raw = np.frombuffer(data, np.uint8, count=h * w * 4, offset=4 + 124).reshape(h, w, 4).copy()
+    order = []
+    for mask in (r_mask, g_mask, b_mask):
+        order.append({0xFF: 0, 0xFF00: 1, 0xFF0000: 2, 0xFF000000: 3}[mask])
+    a_idx = {0: None, 0xFF: 0, 0xFF00: 1, 0xFF0000: 2, 0xFF000000: 3}[a_mask]
+    out = np.empty((h, w, 4), np.uint8)
+    out[..., 0] = raw[..., order[0]]
+    out[..., 1] = raw[..., order[1]]
+    out[..., 2] = raw[..., order[2]]
+    out[..., 3] = raw[..., a_idx] if a_idx is not None else 255
+    return out

@@ -201,7 +201,8 @@ class RendererInstance:
             masked = dict(setup)
             masked["ml_xmax"] = jnp.where(visible_mask, setup["ml_xmax"], -1e9)
             masked["ml_xmin"] = jnp.where(visible_mask, setup["ml_xmin"], 1e9)
-            return bin_meshlets_to_tiles(masked, w, h, 32, spec.meshlets_per_tile)
+            from ..ops.raster3d import TILE as _RT
+            return bin_meshlets_to_tiles(masked, w, h, _RT, spec.meshlets_per_tile)
 
         use_occlusion = config.culling_occlusion and "hiz" in prev
         if use_occlusion:

@@ -82,7 +82,8 @@ def render_shadow_clipmaps(
             gscene, entity_world, vm_inst, vm_ml, vm_valid, vp,
             SHADOW_MAP_SIZE, SHADOW_MAP_SIZE, backface_enabled=False,
         )
-        tile_list, _ = bin_meshlets_to_tiles(setup, SHADOW_MAP_SIZE, SHADOW_MAP_SIZE, 32, k_per_tile)
+        from ..ops.raster3d import TILE as _RT
+        tile_list, _ = bin_meshlets_to_tiles(setup, SHADOW_MAP_SIZE, SHADOW_MAP_SIZE, _RT, k_per_tile)
         cm = pack_coeff_matrix(setup["coeffs"], setup["tri_valid"])
         platform = jax.devices()[0].platform
         if platform in ("tpu", "axon"):
@@ -95,7 +96,7 @@ def render_shadow_clipmaps(
     return jnp.stack(maps)
 
 
-PAGE = 32                      # shadow-map page side in texels (= raster tile)
+from ..ops.raster3d import TILE as PAGE  # shadow page == raster tile size
 PAGES = SHADOW_MAP_SIZE // PAGE  # pages per map side
 
 

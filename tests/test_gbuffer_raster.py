@@ -48,7 +48,7 @@ def scene():
         gscene, world, inst, meshlet, valid, cam.frustum_planes, cam.position, capacity=16
     )
     setup = setup_triangles(gscene, world, vm_inst, vm_ml, vm_valid, cam.view_projection, W, H)
-    tile_list, _ = bin_meshlets_to_tiles(setup, W, H, 32, 8)
+    tile_list, _ = bin_meshlets_to_tiles(setup, W, H, __import__("oxylus_tpu.ops.raster3d", fromlist=["TILE"]).TILE, 8)
     return gscene, world, setup, vm_inst, tile_list
 
 

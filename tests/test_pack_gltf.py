@@ -130,3 +130,26 @@ def test_compile_resources_cli(tmp_path):
     assert info["entries"] == 1
     entries, _ = load_pack(out)
     assert "tri/mesh0_0" in entries
+
+
+def test_ktx2_dds_texture_loading(tmp_path):
+    """KTX2 (plain + zstd supercompressed) and uncompressed DDS decode — the
+    reference's Texture.hpp:77-140 container support."""
+    import struct
+
+    import numpy as np
+
+    from oxylus_tpu.assets.texture import Texture, write_ktx2
+
+    px = np.random.default_rng(0).integers(0, 255, (16, 24, 4), dtype=np.uint8)
+    write_ktx2(tmp_path / "a.ktx2", px)
+    assert (Texture.load(tmp_path / "a.ktx2").pixels == px).all()
+    write_ktx2(tmp_path / "z.ktx2", px, zstd=True)
+    t = Texture.load(tmp_path / "z.ktx2")
+    assert (t.pixels == px).all() and t.srgb
+
+    hdr = b"DDS " + struct.pack("<7I", 124, 0x100F, 16, 24, 24 * 4, 0, 0) + b"\0" * 44
+    pf = struct.pack("<8I", 32, 0x41, 0, 32, 0xFF0000, 0xFF00, 0xFF, 0xFF000000)  # BGRA
+    (tmp_path / "b.dds").write_bytes(hdr + pf + b"\0" * 20 + px.tobytes())
+    d = Texture.load(tmp_path / "b.dds")
+    assert (d.pixels[..., 0] == px[..., 2]).all()  # swizzled to RGBA

@@ -135,7 +135,7 @@ def render_cube(gscene, world, cam, frustum=True, cone=True):
         capacity=16, cone_enabled=cone, frustum_enabled=frustum,
     )
     setup = setup_triangles(gscene, world, vm_inst, vm_ml, vm_valid, cam.view_projection, W, H)
-    tile_list, overflow = bin_meshlets_to_tiles(setup, W, H, 32, 8)
+    tile_list, overflow = bin_meshlets_to_tiles(setup, W, H, __import__("oxylus_tpu.ops.raster3d", fromlist=["TILE"]).TILE, 8)
     cm = pack_coeff_matrix(setup["coeffs"], setup["tri_valid"])
     depth, vid = rasterize_reference(cm, tile_list, W, H)
     return depth, vid, setup, vm_inst, vm_ml, vm_valid
@@ -181,7 +181,7 @@ def test_pallas_matches_reference(cube_setup):
         gscene, world, inst, meshlet, valid, cam.frustum_planes, cam.position, capacity=16
     )
     setup = setup_triangles(gscene, world, vm_inst, vm_ml, vm_valid, cam.view_projection, W, H)
-    tile_list, _ = bin_meshlets_to_tiles(setup, W, H, 32, 8)
+    tile_list, _ = bin_meshlets_to_tiles(setup, W, H, __import__("oxylus_tpu.ops.raster3d", fromlist=["TILE"]).TILE, 8)
     cm = pack_coeff_matrix(setup["coeffs"], setup["tri_valid"])
     d_ref, v_ref = rasterize_reference(cm, tile_list, W, H)
     d_pal, v_pal = rasterize_pallas(cm, tile_list, W, H, interpret=True)

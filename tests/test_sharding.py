@@ -74,7 +74,7 @@ def test_tile_sharded_raster_matches_single_device(mesh):
         gscene, world, inst, meshlet, valid, cam.frustum_planes, cam.position, capacity=16
     )
     setup = setup_triangles(gscene, world, vm_inst, vm_ml, vm_valid, cam.view_projection, W, H)
-    tile_list, _ = bin_meshlets_to_tiles(setup, W, H, 32, 8)
+    tile_list, _ = bin_meshlets_to_tiles(setup, W, H, __import__("oxylus_tpu.ops.raster3d", fromlist=["TILE"]).TILE, 8)
     cm = pack_coeff_matrix(setup["coeffs"], setup["tri_valid"])
 
     d_single, v_single = rasterize_reference(cm, tile_list, W, H)
