@@ -20,7 +20,7 @@ from .sampling import sample_atlas_bilinear
 Array = jax.Array
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
+@partial(jax.jit, static_argnames=("width", "height", "full_height"))
 def decode_visbuffer(
     vid: Array,          # (H, W) i32 packed (vm_slot << 8 | tri), -1 = sky
     setup: dict,         # from setup_triangles: clip, gvert, per-tri data
@@ -32,6 +32,8 @@ def decode_visbuffer(
     *,
     width: int,
     height: int,
+    row_offset: Array | int = 0,   # band decode: global row of vid[0] (tile-sharded frame)
+    full_height: int | None = None,  # full framebuffer height when vid is a band
 ) -> dict[str, Array]:
     hit = vid >= 0
     pid = jnp.maximum(vid, 0)
@@ -43,8 +45,9 @@ def decode_visbuffer(
     packed = setup["packed_verts"][vm_slot, tri]  # (H, W, 3, 8): pos | nrm | uv
 
     # pixel NDC
+    fh = full_height if full_height is not None else height
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
-    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0 - 1.0
+    ys = (row_offset + jnp.arange(height, dtype=jnp.float32) + 0.5) / fh * 2.0 - 1.0
     ndc_x = jnp.broadcast_to(xs[None, :], (height, width))
     ndc_y = jnp.broadcast_to(ys[:, None], (height, width))
 

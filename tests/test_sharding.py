@@ -81,3 +81,79 @@ def test_tile_sharded_raster_matches_single_device(mesh):
     d_shard, v_shard = rasterize_tiles_sharded(cm, tile_list, W, H, mesh)
     np.testing.assert_allclose(np.asarray(d_single), np.asarray(d_shard), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(v_single), np.asarray(v_shard))
+
+
+def test_full_frame_band_sharded_matches_single_device(mesh):
+    """The widened sharded scope: raster → decode → PBR → exposure(psum) →
+    tonemap → FXAA(ppermute halos) over 8 tile-row bands, bit-comparable to the
+    single-device stage chain."""
+    from oxylus_tpu.assets.bake import bake_mesh
+    from oxylus_tpu.assets.material import empty_gpu_materials
+    from oxylus_tpu.ops.cull import cull_meshlets, expand_meshlet_instances
+    from oxylus_tpu.ops.decode3d import decode_visbuffer
+    from oxylus_tpu.ops.raster3d import TILE, pack_coeff_matrix, rasterize_reference
+    from oxylus_tpu.ops.setup3d import bin_meshlets_to_tiles, setup_triangles
+    from oxylus_tpu.parallel.sharding import render_frame_sharded
+    from oxylus_tpu.render.pbr import Lights, apply_pbr
+    from oxylus_tpu.render.postfx import (
+        adapt_exposure,
+        apply_fxaa,
+        apply_tonemap,
+        luminance_histogram,
+    )
+    from oxylus_tpu.render.scene3d import upload_meshes
+    from tests.test_render3d import cube_mesh, look_down_z_camera
+
+    W, H = 128, 8 * TILE  # one tile row per device
+    pos, nrm, uv, idx = cube_mesh()
+    gscene = upload_meshes([bake_mesh(pos, nrm, uv, idx)], [(0, 0, 0)])
+    world = jnp.broadcast_to(jnp.eye(4), (2, 4, 4)).astype(jnp.float32)
+    cam = look_down_z_camera(aspect=W / H)
+
+    inst, meshlet, valid = expand_meshlet_instances(
+        gscene, jnp.asarray([True]), jnp.asarray([0]), capacity=16
+    )
+    vm_inst, vm_ml, vm_valid, _ = cull_meshlets(
+        gscene, world, inst, meshlet, valid, cam.frustum_planes, cam.position, capacity=16
+    )
+    setup = setup_triangles(gscene, world, vm_inst, vm_ml, vm_valid, cam.view_projection, W, H)
+    tile_list, _ = bin_meshlets_to_tiles(setup, W, H, TILE, 8)
+    cm = pack_coeff_matrix(setup["coeffs"], setup["tri_valid"])
+
+    mats = empty_gpu_materials(16)
+    atlas = jnp.zeros((16, 16, 4), jnp.uint8)
+    n1 = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+    lights = Lights(
+        kind=jnp.zeros((4,), jnp.int32),
+        color=jnp.ones((4, 3), jnp.float32),
+        intensity=jnp.full((4,), 3.0, jnp.float32),
+        position=jnp.zeros((4, 3), jnp.float32),
+        direction=jnp.broadcast_to(-n1, (4, 3)),
+        radius=jnp.ones((4,), jnp.float32),
+        inner_cone=jnp.zeros((4,), jnp.float32),
+        outer_cone=jnp.ones((4,), jnp.float32),
+        valid=jnp.asarray([True, False, False, False]),
+        count=jnp.int32(1),
+    )
+    ambient = jnp.full((3,), 0.1, jnp.float32)
+
+    # single-device reference chain
+    _, vid = rasterize_reference(cm, tile_list, W, H)
+    gbuf = decode_visbuffer(
+        vid, setup, vm_inst, gscene, world, mats, atlas, width=W, height=H
+    )
+    hdr = apply_pbr(gbuf, lights, cam.position, ambient)
+    hist = luminance_histogram(hdr, jnp.float32(-11.5), jnp.float32(1.0 / 29.5))
+    exposure, ref_lum = adapt_exposure(hist, jnp.float32(1.0), jnp.float32(1 / 60))
+    ldr_ref = apply_fxaa(apply_tonemap(hdr, 1, exposure))
+
+    ldr_sh, new_lum = render_frame_sharded(
+        setup, cm, tile_list, vm_inst, gscene, world, mats, atlas,
+        lights, cam.position, ambient, W, H, mesh,
+        prev_luminance=1.0, dt=1 / 60, tonemapper=1,
+    )
+    assert ldr_sh.shape == (H, W, 3)
+    np.testing.assert_allclose(float(new_lum), float(ref_lum), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ldr_sh), np.asarray(ldr_ref), atol=2e-5)
+    # the frame actually contains the lit cube (non-trivial coverage)
+    assert float(jnp.mean((vid >= 0).astype(jnp.float32))) > 0.005
