@@ -44,9 +44,12 @@ class ContactTracker:
 
     def update(self, ps: PhysicsState, params: PhysicsParams):
         """Returns (added, persisted, removed) sets of (entity_a, entity_b) pairs."""
-        import numpy as np
-
         ent_a, ent_b, valid = jax.device_get(query_contacts(ps, params))
+        return self.update_from_arrays(ent_a, ent_b, valid)
+
+    def update_from_arrays(self, ent_a, ent_b, valid):
+        """Diff from already-fetched arrays (lets the runner batch the device→host
+        transfer for all event trackers into one sync — VERDICT weak #8)."""
         current = {
             (int(min(a, b)), int(max(a, b)))
             for a, b, v in zip(ent_a, ent_b, valid)
@@ -80,10 +83,14 @@ class ActivationTracker:
 
     def update(self, ps: PhysicsState):
         """Returns (activated_entities, deactivated_entities) as int lists."""
+        asleep, entity = jax.device_get((ps.asleep, ps.entity))
+        return self.update_from_arrays(asleep, entity)
+
+    def update_from_arrays(self, asleep, entity):
         import numpy as np
 
-        asleep = np.asarray(jax.device_get(ps.asleep))
-        entity = np.asarray(jax.device_get(ps.entity))
+        asleep = np.asarray(asleep)
+        entity = np.asarray(entity)
         if self._prev_asleep is None:
             self._prev_asleep = asleep
             return [], []

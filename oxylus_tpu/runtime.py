@@ -39,6 +39,7 @@ class SceneRunner:
         render_mode: str = "none",  # "none" | "2d" | "3d"
         use_megakernel: bool = False,
         track_contacts: bool = False,
+        contact_events_every: int = 1,
         meshes: list[BakedMesh] | None = None,
         render_spec: RenderSpec | None = None,
         bindings: SpriteBatchBindings | None = None,
@@ -53,6 +54,9 @@ class SceneRunner:
         self.use_megakernel = use_megakernel
         self.contact_tracker = None
         self.activation_tracker = None
+        # deferral knob: scripts that don't need per-frame contact events pay the
+        # extra narrowphase + host sync only every N frames (VERDICT weak #8)
+        self.contact_events_every = max(int(contact_events_every), 1)
         if track_contacts:
             from .physics.events import ActivationTracker, ContactTracker
 
@@ -164,10 +168,35 @@ class SceneRunner:
                     self.state, self.ps, self.physics_params, jnp.float32(dt),
                     self.scene.spec, has_bodies=self._has_bodies,
                 )
-        if self.contact_tracker is not None:
-            self.contact_tracker.dispatch(self.scene, self.ps, self.physics_params)
-        if self.activation_tracker is not None:
-            self.activation_tracker.dispatch(self.scene, self.ps)
+        if (
+            self.contact_tracker is not None
+            and self.frame_index % self.contact_events_every == 0
+        ):
+            # one batched device→host sync for both event trackers: enqueue the
+            # (async) contact query, then fetch all event arrays in a single
+            # transfer instead of per-tracker round trips over the tunnel
+            from .physics.events import query_contacts
+
+            ent_a, ent_b, valid, asleep, entity = jax.device_get(
+                (*query_contacts(self.ps, self.physics_params), self.ps.asleep, self.ps.entity)
+            )
+            added, persisted, removed = self.contact_tracker.update_from_arrays(
+                ent_a, ent_b, valid
+            )
+            for system in self.scene.lua_systems.values():
+                for a, b in added:
+                    system.on_contact_added(self.scene, a, b)
+                for a, b in persisted:
+                    system.on_contact_persisted(self.scene, a, b)
+                for a, b in removed:
+                    system.on_contact_removed(self.scene, a, b)
+            if self.activation_tracker is not None:
+                act, deact = self.activation_tracker.update_from_arrays(asleep, entity)
+                for system in self.scene.lua_systems.values():
+                    for e in act:
+                        system.on_body_activated(self.scene, e)
+                    for e in deact:
+                        system.on_body_deactivated(self.scene, e)
         self.frame_index += 1
 
         image = None

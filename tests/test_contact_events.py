@@ -77,3 +77,38 @@ def on_contact_removed(scene, a, b):
     tracker2.dispatch(s, ps, params)
     events = script.namespace["events"]
     assert any(e[0] == "added" for e in events)
+
+
+def test_runner_contact_cadence_and_batched_sync():
+    """contact_events_every defers the event narrowphase + host sync to every
+    Nth frame; callbacks still fire with correct add/remove semantics."""
+    from oxylus_tpu.runtime import SceneRunner
+
+    s, floor, ball = falling_ball_scene()
+
+    script = Script.compile(
+        "listener",
+        """
+events = []
+def on_contact_added(scene, a, b, manifold):
+    events.append(("added", a, b))
+def on_contact_persisted(scene, a, b, manifold):
+    events.append(("persisted", a, b))
+""",
+    )
+    sys_ = ScriptSystem(script, s)
+    s.lua_systems["listener"] = sys_
+    events = script.namespace["events"]
+    s.runtime_start()
+
+    runner = SceneRunner(
+        s, render_mode="none", track_contacts=True, contact_events_every=4,
+        physics_params=PhysicsParams(max_pairs=128),
+    )
+    for _ in range(60):
+        runner.step(DT)
+    # the ball lands → at least one added event despite the 4-frame cadence
+    kinds = {k for k, _, _ in events}
+    assert "added" in kinds
+    # events only fire on cadence frames: fewer dispatches than frames
+    assert len([e for e in events if e[0] == "persisted"]) <= 60 // 4
