@@ -242,8 +242,9 @@ def rasterize(coeff_mat: Array, tile_list: Array, width: int, height: int):
 # G-buffer raster: attributes interpolated in-kernel (no decode gather pass)
 # ---------------------------------------------------------------------------
 
-N_GB_PLANES = 22   # e0 e1 e2 zn wd | ss, [wpos xyz, wnrm xyz, uv] | 8 material consts
+N_GB_PLANES = 6    # e0 e1 e2 zn wd ss — phase-A (depth resolve) planes
 N_GB_ATTR = 16     # per-pixel G-buffer lanes emitted by the kernel
+ATTR_W = 48        # phase-B lanes per slot: [a(16) | b(16) | c(16)] coefficient groups
 
 
 def pack_gbuffer_coeff_matrix(
@@ -251,41 +252,65 @@ def pack_gbuffer_coeff_matrix(
     attr_planes: Array,  # (VM, R, 9, 3) from setup_triangles: ss + 8 raw attrs
     tri_valid: Array,    # (VM, R)
     mat_consts: Array,   # (VM, 8) per-meshlet material constants
-) -> Array:
-    """(VM, 3, 22R) plane-major matmul matrix for the G-buffer raster kernel.
+) -> tuple[Array, Array]:
+    """Two-phase coefficient pack for the G-buffer raster kernel.
 
-    Plane order: e0 e1 e2 zn wd (as pack_coeff_matrix), then ss = Σeᵢ and the 8
-    attribute planes Σaᵢ·eᵢ (perspective-correct attr = plane/ss), then 8 constant
-    planes (a=b=0, c=material constant) so the kernel's single matmul also
-    broadcasts per-meshlet material parameters — replacing the reference's
-    per-pixel visbuffer_decode.slang material fetch."""
+    Returns (cm6, attrB):
+      - cm6 (VM, 3, 6R): plane-major [e0 | e1 | e2 | zn | wd | ss] matmul matrix
+        for the phase-A depth/winner resolve (ss = Σeᵢ is resolved alongside the
+        depth so the perspective division needs no phase-B work).
+      - attrB (VM·R, 48): per-slot attribute-plane coefficients for the phase-B
+        winner gather, lane groups [a₀…a₇ 0×8 | b₀…b₇ 0×8 | c₀…c₇ consts×8] —
+        after the one-hot slot matmul, attr = a·px + b·py + c evaluates the 8
+        perspective planes (wpos xyz, wnrm xyz, uv) and broadcasts the 8
+        per-meshlet material constants, replacing the reference's per-pixel
+        visbuffer_decode.slang material fetch.
+
+    Splitting depth resolve from attribute evaluation is the TPU-shaped analog of
+    the reference's visbuffer encode/decode split: the per-hit matmul shrinks 22→6
+    planes (the dominant VMEM traffic), and attributes are evaluated once per
+    pixel for the *winning* slot only instead of for all R slots per hit."""
     vm, r = coeffs.shape[0], coeffs.shape[1]
-    zero = jnp.zeros((vm, r, 8, 1), coeffs.dtype)
-    cplanes = jnp.concatenate(
-        [zero, zero, jnp.broadcast_to(mat_consts[:, None, :, None], (vm, r, 8, 1))],
-        axis=-1,
-    )  # (VM, R, 8, 3)
-    allp = jnp.concatenate([coeffs, attr_planes, cplanes], axis=2)  # (VM, R, 22, 3)
-    allp = jnp.moveaxis(allp, 3, 1)       # (VM, 3, R, 22)
-    allp = jnp.swapaxes(allp, 2, 3)       # (VM, 3, 22, R)
-    return allp.reshape(vm, 3, N_GB_PLANES * r)
+    allp = jnp.concatenate([coeffs, attr_planes[:, :, 0:1, :]], axis=2)  # (VM, R, 6, 3)
+    allp = jnp.moveaxis(allp, 3, 1)       # (VM, 3, R, 6)
+    allp = jnp.swapaxes(allp, 2, 3)       # (VM, 3, 6, R)
+    cm6 = allp.reshape(vm, 3, N_GB_PLANES * r)
+
+    ap = attr_planes[:, :, 1:9, :]        # (VM, R, 8, 3) perspective attr planes
+    zero8 = jnp.zeros((vm, r, 8), ap.dtype)
+    consts = jnp.broadcast_to(mat_consts[:, None, :], (vm, r, 8)).astype(ap.dtype)
+    attrB = jnp.concatenate(
+        [ap[..., 0], zero8, ap[..., 1], zero8, ap[..., 2], consts], axis=-1
+    )  # (VM, R, 48)
+    # lane-pad to 128: Mosaic DMA slices of HBM arrays need 128-aligned lane widths
+    attrB = jnp.pad(attrB, ((0, 0), (0, 0), (0, 128 - ATTR_W)))
+    return cm6, attrB.reshape(vm * r, 128)
 
 
 def _gbuffer_kernel(
-    tile_list_ref, cnt_ref, tx_ref, coeff_hbm, depth_out, vid_out, gb_out, buf, sem
+    tile_list_ref, cnt_ref, tx_ref, cm6_vmem, attr_hbm, depth_out, vid_out, gb_out,
+    bbuf, bsem
 ):
-    """_raster_kernel extended with winner-attribute selection: the same matmul
-    evaluates all 21 planes; the winning slot's attribute rows are pulled with
-    masked reductions and carried per pixel; perspective division by the 1/w plane
-    happens once at the end.
+    """Two-phase G-buffer raster (per tile):
 
-    The 21-plane coefficient matrix is too big for VMEM (~350 MB at the default
-    capacities), so it stays in HBM and each meshlet's (8, 21R) block is DMA'd with
-    double buffering — the k+1 fetch is issued before computing k, hiding the
-    ~15 µs serial DMA latency that killed the first 2D-kernel design."""
+    Phase A — depth resolve: per binned meshlet, one (8, 6R)×(8, PIX) matmul
+    evaluates edge/zn/wd/ss planes for all R slots; reverse-Z max picks the
+    winner. Carries (depth, vid, ss) only. The old single-phase kernel evaluated
+    22 planes here; the (22R, PIX) intermediate (~23 MB at TILE=64) was ~5× the
+    per-hit VMEM traffic of this 6-plane resolve.
+
+    Phase B — winner-attribute gather: re-walks the tile's meshlet list, builds a
+    one-hot (R, PIX) mask of pixels whose resolved vid belongs to slot s of this
+    meshlet, and pulls the winning slot's 48 attribute coefficients with ONE
+    (R, 48)ᵀ·(R, PIX) matmul; attr = a·px + b·py + c finishes the evaluation.
+    Attribute work is per-pixel (winner only), not per-slot-per-pixel.
+
+    The attrB matrix stays in HBM; each (R, 48) block is DMA'd double-buffered —
+    the k=0 fetch is issued before phase A runs, so its latency hides under the
+    depth resolve."""
     t = pl.program_id(0)
     row = t % ROWG
-    n_slots = coeff_hbm.shape[-1] // N_GB_PLANES
+    n_slots = cm6_vmem.shape[-1] // N_GB_PLANES
     k_cap = tile_list_ref.shape[1]
 
     tx = tx_ref[0]
@@ -299,44 +324,36 @@ def _gbuffer_kernel(
 
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (n_slots, PIX), 0)
     n = cnt_ref[row, 0]
-    n_attr = N_GB_PLANES - 5  # ss + 8 perspective attrs + 8 consts
 
-    def fetch(k, par):
+    def bfetch(k, par):
         vm = tile_list_ref[row, jnp.minimum(k, k_cap - 1)]
-        cp = pltpu.make_async_copy(
-            coeff_hbm.at[pl.ds(vm * 8, 8), :],
-            buf.at[pl.ds(par * 8, 8), :],
-            sem.at[par],
-        )
-        cp.start()
-        return cp
-
-    # a lax.cond costs ~1.5 µs but an unconditional 86 KB fetch on every (mostly
-    # empty) tile costs far more — guard the initial fetch on occupancy
-    jax.lax.cond(n > 0, lambda: fetch(0, 0) and None, lambda: None)
-
-    def loop(k, carry):
-        depth, vid = carry[0], carry[1]
-        attrs = carry[2:]
-        par = k % 2
-        # prefetch k+1 into the other buffer before waiting on k (clamped: the
-        # last iteration re-fetches its own block, which is then drained below)
-        fetch(jnp.minimum(k + 1, n - 1), 1 - par)
         pltpu.make_async_copy(
-            coeff_hbm.at[pl.ds(0, 8), :], buf.at[pl.ds(par * 8, 8), :], sem.at[par]
-        ).wait()
-        blk = buf[pl.ds(par * 8, 8), :]
+            attr_hbm.at[pl.ds(vm * n_slots, n_slots), :],
+            bbuf.at[pl.ds(par * n_slots, n_slots), :],
+            bsem.at[par],
+        ).start()
+
+    # issue the phase-B k=0 fetch before phase A: its ~15 µs latency hides under
+    # the depth resolve (a lax.cond costs ~1.5 µs; an unconditional fetch on
+    # every mostly-empty tile costs far more)
+    jax.lax.cond(n > 0, lambda: bfetch(0, 0), lambda: None)
+
+    def loop_a(k, carry):
+        depth, vid, ssb = carry
+        vm = tile_list_ref[row, k]
+        blk = cm6_vmem[pl.ds(vm * 8, 8), :]  # (8, 6R) resident — no DMA
         e = jax.lax.dot_general(
             blk, pmat8,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (22R, PIX)
+        )  # (6R, PIX)
         e0 = e[0:n_slots, :]
         e1 = e[n_slots : 2 * n_slots, :]
         e2 = e[2 * n_slots : 3 * n_slots, :]
         zn = e[3 * n_slots : 4 * n_slots, :]
         wd = e[4 * n_slots : 5 * n_slots, :]
+        ss = e[5 * n_slots :, :]
         cover = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (wd > 0) & (zn >= 0) & (zn <= wd)
         z = zn / jnp.where(wd > 0, wd, 1.0)
         zm = jnp.where(cover, z, -1.0)
@@ -344,63 +361,91 @@ def _gbuffer_kernel(
         arg = jnp.min(
             jnp.where(zm >= best, slot_iota, jnp.int32(1 << 20)), axis=0, keepdims=True
         )
-        winner = slot_iota == arg
+        ssw = jnp.sum(jnp.where(slot_iota == arg, ss, 0.0), axis=0, keepdims=True)
         better = best > depth
-        vm = tile_list_ref[row, k]
         pid = vm * 256 + arg
-        new = [
+        return (
             jnp.where(better, best, depth),
             jnp.where(better, pid, vid),
-        ]
-        for i in range(n_attr):
-            rows = e[(5 + i) * n_slots : (6 + i) * n_slots, :]
-            val = jnp.sum(jnp.where(winner, rows, 0.0), axis=0, keepdims=True)
-            new.append(jnp.where(better, val, attrs[i]))
-        return tuple(new)
+            jnp.where(better, ssw, ssb),
+        )
 
     depth0 = jnp.zeros((1, PIX), jnp.float32)
     vid0 = jnp.full((1, PIX), -1, jnp.int32)
-    init = (depth0, vid0) + tuple(jnp.zeros((1, PIX), jnp.float32) for _ in range(n_attr))
-    out = jax.lax.fori_loop(0, n, loop, init)
+    ss0 = jnp.zeros((1, PIX), jnp.float32)
+    depth, vid, ssb = jax.lax.fori_loop(0, n, loop_a, (depth0, vid0, ss0))
+
+    def loop_b(k, gb):
+        par = k % 2
+        # prefetch k+1 into the other buffer before waiting on k (clamped: the
+        # last iteration re-fetches its own block, which is then drained below)
+        bfetch(jnp.minimum(k + 1, n - 1), 1 - par)
+        pltpu.make_async_copy(
+            attr_hbm.at[pl.ds(0, n_slots), :],
+            bbuf.at[pl.ds(par * n_slots, n_slots), :],
+            bsem.at[par],
+        ).wait()
+        blk = bbuf[pl.ds(par * n_slots, n_slots), :][:, 0:ATTR_W]  # (R, 48)
+        vm = tile_list_ref[row, k]
+        key = vid - vm * 256  # (1, PIX): winner slot if this meshlet won, else ∉[0,R)
+        onehot = (slot_iota == key).astype(jnp.float32)  # (R, PIX)
+        # one-hot selection matmul in two bf16 passes (Mosaic has no Precision.HIGH):
+        # hi keeps the top 8 mantissa bits, lo the next 8 — onehot is exact, so the
+        # sum reconstructs the selected coefficient to ~2^-16 relative
+        hi = blk.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = blk - hi
+        dn = (((0,), (0,)), ((), ()))
+        sel = jax.lax.dot_general(
+            hi, onehot, dimension_numbers=dn, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            lo, onehot, dimension_numbers=dn, preferred_element_type=jnp.float32
+        )  # (48, PIX): winning slot's coefficients, 0 where this meshlet lost
+        a = sel[0:16, :]
+        b = sel[16:32, :]
+        c = sel[32:48, :]
+        attrs = a * px + b * py + c  # (16, PIX)
+        mine = (key >= 0) & (key < n_slots)
+        return jnp.where(mine, attrs, gb)
+
+    gb = jax.lax.fori_loop(0, n, loop_b, jnp.zeros((N_GB_ATTR, PIX), jnp.float32))
     # drain the one outstanding prefetch (issued for slot n, parity n % 2);
     # nothing was ever fetched for empty tiles
     jax.lax.cond(
         n > 0,
         lambda: pltpu.make_async_copy(
-            coeff_hbm.at[pl.ds(0, 8), :], buf.at[pl.ds((n % 2) * 8, 8), :], sem.at[n % 2]
+            attr_hbm.at[pl.ds(0, n_slots), :],
+            bbuf.at[pl.ds((n % 2) * n_slots, n_slots), :],
+            bsem.at[n % 2],
         ).wait(),
         lambda: None,
     )
-    depth, vid = out[0], out[1]
-    ssum = out[2]       # Σeᵢ of the winning slot
-    persp = out[3:11]   # wpos xyz, wnrm xyz, uv — stored as Σaᵢ·eᵢ
-    consts = out[11:19]  # material constants
 
-    rw = 1.0 / jnp.where(jnp.abs(ssum) > 1e-12, ssum, 1.0)
+    rw = 1.0 / jnp.where(jnp.abs(ssb) > 1e-12, ssb, 1.0)
     # row writes into the 8-tile output blocks, keeping the kernel's (1, PIX)
     # lanes-major layout — the old per-tile transposes to (PIX, 1/16) columns
     # were the dominant fixed cost of empty tiles
     depth_out[pl.ds(row, 1), :] = depth
     vid_out[pl.ds(row, 1), :] = vid
-    for i, p in enumerate(persp):
-        gb_out[pl.ds(row * N_GB_ATTR + i, 1), :] = p * rw
-    for i, c in enumerate(consts):
-        gb_out[pl.ds(row * N_GB_ATTR + 8 + i, 1), :] = c
+    # first 8 attrs are perspective planes (÷ Σeᵢ of the winner); last 8 consts
+    gb_out[pl.ds(row * N_GB_ATTR, 8), :] = gb[0:8, :] * rw
+    gb_out[pl.ds(row * N_GB_ATTR + 8, 8), :] = gb[8:16, :]
 
 
 @partial(jax.jit, static_argnames=("width", "height", "interpret"))
 def rasterize_gbuffer_pallas(
-    coeff_mat: Array, tile_list: Array, width: int, height: int, interpret: bool = False
+    coeff_mat: Array, attr_mat: Array, tile_list: Array, width: int, height: int,
+    interpret: bool = False
 ):
     """Returns (depth (H,W), vid (H,W) i32, gbuffer (H,W,16)) — lanes
-    [wpos xyz, wnrm xyz, uv, alb rgb, metallic, roughness, emissive rgb]."""
+    [wpos xyz, wnrm xyz, uv, alb rgb, metallic, roughness, emissive rgb].
+    coeff_mat (VM, 3, 6R) + attr_mat (VM·R, 48) from pack_gbuffer_coeff_matrix."""
     tx, ty = _tile_grid(width, height)
     n_tiles = tx * ty
     k_cap = tile_list.shape[1]
     vm = coeff_mat.shape[0]
+    n_slots = coeff_mat.shape[-1] // N_GB_PLANES
 
     coeff_pad = jnp.pad(coeff_mat, ((0, 0), (0, 5), (0, 0))).reshape(vm * 8, -1)
-    k_coeff = coeff_mat.shape[-1] // N_GB_PLANES  # raster slots per meshlet
     cnt = jnp.sum((tile_list >= 0).astype(jnp.int32), axis=1, keepdims=True)
     tl_c = jnp.maximum(tile_list, 0)
 
@@ -418,7 +463,8 @@ def rasterize_gbuffer_pallas(
             pl.BlockSpec((ROWG, k_cap), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((ROWG, 1), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # 21-plane matrix stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # 6-plane matrix resident in VMEM
+            pl.BlockSpec(memory_space=pl.ANY),      # attr coefficients stay in HBM
         ],
         out_specs=[
             pl.BlockSpec((ROWG, PIX), lambda t: (t // ROWG, 0)),
@@ -431,14 +477,14 @@ def rasterize_gbuffer_pallas(
             jax.ShapeDtypeStruct((n_tiles_pad * N_GB_ATTR, PIX), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((16, N_GB_PLANES * k_coeff), jnp.float32),  # double buffer
+            pltpu.VMEM((2 * n_slots, 128), jnp.float32),  # phase-B double buffer
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(pad_rows(tl_c, 0), pad_rows(cnt, 0), jnp.array([tx], jnp.int32), coeff_pad)
+    )(pad_rows(tl_c, 0), pad_rows(cnt, 0), jnp.array([tx], jnp.int32), coeff_pad, attr_mat)
 
     def untile(a):
         a = a[:n_tiles].reshape(ty, tx, TILE, TILE)

@@ -174,14 +174,14 @@ class RendererInstance:
                 ],
                 axis=1,
             )  # (VM, 8)
-            cm_gb = pack_gbuffer_coeff_matrix(
+            cm_gb, attr_gb = pack_gbuffer_coeff_matrix(
                 setup["coeffs"], setup["attr_planes"], setup["tri_valid"], mat_consts
             )
 
         def raster_full(tile_list):
             """One raster pass → (depth, vid, gbuffer-or-None)."""
             if use_gbuffer_raster:
-                d, v, gb = rasterize_gbuffer_pallas(cm_gb, tile_list, w, h)
+                d, v, gb = rasterize_gbuffer_pallas(cm_gb, attr_gb, tile_list, w, h)
                 return d, v, gb
             fn = (
                 rasterize_pallas

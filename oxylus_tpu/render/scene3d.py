@@ -78,6 +78,15 @@ class GPUScene:
         return self.ml_vertex_offset.shape[0]
 
 
+def worst_case_meshlet_instances(meshes: list[BakedMesh], instances: list[tuple[int, int, int]]) -> int:
+    """Static upper bound on simultaneously-visible meshlet instances: each
+    instance renders exactly one LOD, so its worst case is its mesh's largest
+    per-LOD meshlet count. Lets the renderer clamp its compaction capacities to
+    the scene (the sorts scale with capacity — PERF_NOTES.md)."""
+    per_mesh = [max((lod.meshlets.count for lod in m.lods), default=0) for m in meshes]
+    return sum(per_mesh[mi] for (mi, _e, _m) in instances if mi < len(per_mesh))
+
+
 def upload_meshes(meshes: list[BakedMesh], instances: list[tuple[int, int, int]], max_instances: int = 0) -> GPUScene:
     """Flatten baked meshes + (mesh, entity, material) instance bindings to device."""
     pos_l, nrm_l, uv_l = [], [], []

@@ -344,19 +344,21 @@ def resolve_shadows(
         best_z = jnp.where(inside, z, best_z)
         any_inside = any_inside | inside
 
-    flat = shadow_maps.reshape(-1)
+    # pack each texel's 2×2 neighborhood into 4 lanes (edge-clamped shifts — fused
+    # elementwise, ~free) so the PCF costs ONE row gather instead of four: gathers
+    # price per ROW on this target (~10 ns/row, PERF_NOTES.md), so 4 taps ≈ 4×
+    right = jnp.concatenate([shadow_maps[:, :, 1:], shadow_maps[:, :, -1:]], axis=2)
+    down = jnp.concatenate([shadow_maps[:, 1:, :], shadow_maps[:, -1:, :]], axis=1)
+    down_right = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
+    packed = jnp.stack([shadow_maps, right, down, down_right], axis=-1)  # (L,S,S,4)
+
     x = jnp.clip((best_u * s).astype(jnp.int32), 0, s - 1)
     y = jnp.clip((best_v * s).astype(jnp.int32), 0, s - 1)
-    base = best_lvl * (s * s)
-    lit = jnp.zeros(world_pos.shape[:2])
-    for dy in (0, 1):
-        for dx in (0, 1):
-            xs = jnp.clip(x + dx, 0, s - 1)
-            ys = jnp.clip(y + dy, 0, s - 1)
-            stored = flat[base + ys * s + xs]
-            # reverse-Z: nearer = larger; lit when the pixel is at/nearer than the
-            # stored occluder depth (within bias)
-            lit = lit + jnp.where(best_z + bias >= stored, 1.0, 0.0)
+    idx = best_lvl * (s * s) + y * s + x
+    taps = packed.reshape(-1, 4)[idx]  # (H, W, 4)
+    # reverse-Z: nearer = larger; lit when the pixel is at/nearer than the
+    # stored occluder depth (within bias)
+    lit = jnp.sum(jnp.where(best_z[..., None] + bias >= taps, 1.0, 0.0), axis=-1)
     factor = jnp.where(any_inside, lit * 0.25, 1.0)
     return jnp.where(hit, factor, 1.0)
 

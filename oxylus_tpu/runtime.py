@@ -85,9 +85,25 @@ class SceneRunner:
                 mi = min(mi, max(len(meshes) - 1, 0))
                 instances.append((mi, int(i), 0))
             self.gscene = upload_meshes(meshes, instances) if meshes else None
-            self.renderer3d = RendererInstance(
-                render_spec or RenderSpec(width=width, height=height)
-            )
+            spec = render_spec or RenderSpec(width=width, height=height)
+            if meshes:
+                # clamp compaction capacities to the scene's provable worst case:
+                # every capacity-sized stage (expand sort, meshlet cull, triangle
+                # setup, binning, the raster's VMEM-resident coefficient matrix)
+                # scales with these, and an instance set fixed at runner build
+                # time can never exceed its static meshlet-instance bound
+                import dataclasses as _dc
+
+                from .render.scene3d import worst_case_meshlet_instances
+
+                worst = worst_case_meshlet_instances(meshes, instances)
+                cap = max(128, -(-worst // 128) * 128)
+                spec = _dc.replace(
+                    spec,
+                    max_meshlet_instances=min(spec.max_meshlet_instances, cap),
+                    max_visible_meshlets=min(spec.max_visible_meshlets, cap),
+                )
+            self.renderer3d = RendererInstance(spec)
             if atmosphere is not None:
                 # prewarm the sky LUT cache eagerly so the jitted frame graph
                 # closes over concrete LUT arrays instead of tracing their build

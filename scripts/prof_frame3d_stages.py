@@ -63,12 +63,12 @@ def stage_fn(level):
         tl, ov = bin_meshlets_to_tiles(setup, W, H, 32, 64)
         if level == 3:
             return tl
-        cm = pack_gbuffer_coeff_matrix(
+        cm, attr = pack_gbuffer_coeff_matrix(
             setup["coeffs"], setup["attr_planes"], setup["tri_valid"], mat_consts[: vm_i.shape[0]]
         )
         if level == 4:
             return cm
-        d, v, gb = rasterize_gbuffer_pallas(cm, tl, W, H)
+        d, v, gb = rasterize_gbuffer_pallas(cm, attr, tl, W, H)
         return d
 
     return fn

@@ -75,10 +75,10 @@ def test_gbuffer_matches_decode(scene):
         ],
         axis=1,
     )
-    cm_gb = pack_gbuffer_coeff_matrix(
+    cm_gb, attr_gb = pack_gbuffer_coeff_matrix(
         setup["coeffs"], setup["attr_planes"], setup["tri_valid"], mat_consts
     )
-    depth, vid, gb = rasterize_gbuffer_pallas(cm_gb, tile_list, W, H, interpret=True)
+    depth, vid, gb = rasterize_gbuffer_pallas(cm_gb, attr_gb, tile_list, W, H, interpret=True)
     got = gbuffer_from_raster(gb, vid)
 
     # oracle: reference raster (identical visbuffer) + analytic decode
