@@ -1,0 +1,1301 @@
+"""Compacted-neighbor-list physics mega-kernel (throughput path, round 2).
+
+The banded kernel (`megakernel_banded.py`) evaluates contact geometry and solver
+sweeps over the FULL rank-band pair space — 8 chunks x (128, 256) = 262k VPU lanes
+for a 1024-body world — of which only ~2% hold touching pairs on the flagship
+pile.  This kernel keeps the banded *discovery* (live AABB overlap over rank
+bands at SAT cadence) but compacts each body's overlap candidates into R = 16
+neighbor slots and runs ALL per-pair work (SAT manifolds, effective masses,
+warm-started solver sweeps) on the compacted (R, B) = 16k lanes — ~16x less
+vector work.
+
+Partner state moves between body order and neighbor-slot order through
+block-banded one-hot matmuls on the MXU (the TPU-native gather/scatter):
+
+  - discovery writes per-body partner deltas d[r, i] in (1, BAND]; the partner
+    of lane (r, i) is body rank i + d[r, i] (0 marks an empty slot)
+  - per (r, chunk) a (SLAB, BCHUNK) one-hot block M and its (BCHUNK, SLAB)
+    transpose MT are built by iota comparison in VMEM scratch (bf16)
+  - gather:  col_state[r, i] = state[i + d]   via (F, SLAB) @ M
+  - scatter: acc[i + d] += impulse[r, i]      via (F, BCHUNK) @ MT
+  - f32 operands ride the MXU as hi/lo bf16 pairs (exact to ~2^-16 relative)
+
+Everything else — contact model, mass-splitting projected-Jacobi sweeps with
+bf16 accumulated-impulse caches, analytic hub planes, Jolt combine rules, body
+sleeping with wake propagation — matches `megakernel_banded._banded_kernel`
+semantics (same approximation contract; see that module's docstring).
+Reference behavior being reproduced: Jolt's PhysicsSystem::Update as configured
+by `/root/reference/Oxylus/src/Physics/Physics.cpp:100-115` (broadphase ->
+narrowphase -> impulse solver at fixed 60 Hz, `Scene.cpp:720-729`).
+
+Because neighbor-slot assignment changes at every SAT rebuild, the per-slot
+lambda caches are REMAPPED at rebuild time by matching old/new partner deltas
+(RxR slot matching on (1, BCHUNK) masks) — without this the warm pass replays
+an impulse onto the wrong pair and resting stacks explode.
+
+Only the warm-started solver path is implemented (warm > 0); the production
+config has used warm=0.7 since round 1 (PERF_NOTES.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .megakernel_banded import extract_hub_planes, slab_rank_key, _permute_state
+from .state import BODY_DYNAMIC, BODY_STATIC, PhysicsParams, PhysicsState
+
+Array = jax.Array
+
+BCHUNK = 128          # rows per discovery chunk
+BAND = 128            # max rank_b - rank_a for a candidate pair
+SLAB = BCHUNK + BAND  # discovery slab / gather window width
+R = 16                # compacted neighbor slots per body (lower-rank side)
+N_SLOT = 4            # manifold points per pair
+LAM_DT = jnp.bfloat16
+N_PLANE = 4
+PLANE_SC = 16
+
+# per-pair (R, B) f32 geometry caches:
+#   nx ny nz mu  dx0 dy0 dz0  dxc dyc dzc  + per slot [rax ray raz ikn bias d0]
+N_PGEO = 10 + 6 * N_SLOT
+N_LAM = N_SLOT + 3    # per-slot normal lambdas + one pair tangent vector (bf16)
+N_SMALL = 32 + N_PLANE * N_SLOT * 5 + 2   # body rows + plane geo + paircnt + ovf
+N_PWARM = N_PLANE * N_SLOT * 4
+GROWS = 32            # gathered col-state rows per neighbor slot
+
+
+def _ws(c: int, b: int) -> int:
+    return max(0, min(c * BCHUNK, b - SLAB))
+
+
+def _hilo(v):
+    hi = v.astype(jnp.bfloat16)
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _compact_kernel(
+    scalars_ref,
+    posx, posy, posz,
+    velx, vely, velz,
+    avx, avy, avz,
+    qx, qy, qz, qw,
+    inv_mass, im3x, im3y, im3z,
+    hx, hy, hz, rad, hlen,
+    fric, rest, grav, dof_x, dof_y, dof_z,
+    is_box, dynamic, movable, act,
+    asleep0, timer0, r_eff2, can_sleep,
+    o_posx, o_posy, o_posz,
+    o_velx, o_vely, o_velz,
+    o_avx, o_avy, o_avz,
+    o_qx, o_qy, o_qz, o_qw,
+    o_sleep, o_timer, o_ovf,
+    *scratch,
+    iterations: int,
+    n_bodies: int,
+    warm: float = 0.7,
+    geom_every: int = 2,
+    sleep: bool = False,
+):
+    dt = scalars_ref[0]
+    g = (scalars_ref[1], scalars_ref[2], scalars_ref[3])
+    baumgarte = scalars_ref[4]
+    slop = scalars_ref[5]
+    margin = scalars_ref[6]
+    n_sub = scalars_ref[7].astype(jnp.int32)
+    sleep_v2 = scalars_ref[8 + N_PLANE * PLANE_SC]
+    sleep_time = scalars_ref[8 + N_PLANE * PLANE_SC + 1]
+
+    b = n_bodies
+    nc = b // BCHUNK
+
+    # ---- unpack scratch ------------------------------------------------------
+    it = iter(scratch)
+    d_cur = next(it)            # (R, b) i32 partner deltas (0 = empty slot)
+    m_ref = next(it)            # (R*nc*SLAB, BCHUNK) bf16 gather one-hots
+    mt_ref = next(it)           # (R*nc*BCHUNK, SLAB) bf16 scatter one-hots
+    tri_ref = next(it)          # (SLAB, SLAB) bf16 strict-lower prefix matmul
+    g_gath = next(it)           # (R*GROWS, b) f32 gathered col-state staging
+    s_ghi = next(it)            # (GROWS//2, b) bf16 gather source hi
+    s_glo = next(it)            # (GROWS//2, b) bf16 gather source lo
+    s_shi = next(it)            # (R*8, b) bf16 scatter source hi
+    s_slo = next(it)            # (R*8, b) bf16 scatter source lo
+    acc8 = next(it)             # (8, b) f32 scatter accumulator
+    pgeo = [next(it) for _ in range(N_PGEO)]   # (R, b) f32 geometry caches
+    lam = [next(it) for _ in range(N_LAM)]     # (R, b) bf16 lambda caches
+    plam = [next(it) for _ in range(N_PWARM)]  # (1, b) f32 plane lambda caches
+    small = [next(it) for _ in range(N_SMALL)]
+    if sleep:
+        s_sleep, s_timer, s_pusher, s_awakef = (next(it) for _ in range(4))
+    assert not list(it)
+
+    (g_nx, g_ny, g_nz, g_mu,
+     g_dx0, g_dy0, g_dz0,
+     g_dxc, g_dyc, g_dzc) = pgeo[:10]
+    g_ra = [pgeo[10 + 6 * k : 10 + 6 * (k + 1)] for k in range(N_SLOT)]
+    g_lam = lam[:N_SLOT]
+    g_lamt = lam[N_SLOT : N_SLOT + 3]
+    p_lam = [
+        [plam[(p * N_SLOT + k) * 4 : (p * N_SLOT + k) * 4 + 4] for k in range(N_SLOT)]
+        for p in range(N_PLANE)
+    ]
+    (
+        s_px, s_py, s_pz, s_vx, s_vy, s_vz, s_wx, s_wy, s_wz,
+        s_qx, s_qy, s_qz, s_qw,
+        s_r00, s_r01, s_r02, s_r10, s_r11, s_r12, s_r20, s_r21, s_r22,
+        s_ehx, s_ehy, s_ehz,
+        s_cax, s_cay, s_caz,
+        s_ime, s_imex, s_imey, s_imez,
+    ) = small[:32]
+    n_psmall = 32 + N_PLANE * N_SLOT * 5
+    p_geo = [
+        [small[32 + (p * N_SLOT + k) * 5 : 32 + (p * N_SLOT + k) * 5 + 5] for k in range(N_SLOT)]
+        for p in range(N_PLANE)
+    ]
+    s_paircnt = small[n_psmall]
+    s_ovf = small[n_psmall + 1]
+
+    def plane_scalars(p):
+        o = 8 + p * PLANE_SC
+        return dict(
+            cx=scalars_ref[o + 0], cy=scalars_ref[o + 1], cz=scalars_ref[o + 2],
+            nx=scalars_ref[o + 3], ny=scalars_ref[o + 4], nz=scalars_ref[o + 5],
+            ux=scalars_ref[o + 6], uy=scalars_ref[o + 7], uz=scalars_ref[o + 8],
+            vx=scalars_ref[o + 9], vy=scalars_ref[o + 10], vz=scalars_ref[o + 11],
+            hu=scalars_ref[o + 12], hv=scalars_ref[o + 13], ht=scalars_ref[o + 14],
+            mu=scalars_ref[o + 15],
+        )
+
+    # ---- stage state ---------------------------------------------------------
+    s_px[:] = posx[:]; s_py[:] = posy[:]; s_pz[:] = posz[:]
+    s_vx[:] = velx[:]; s_vy[:] = vely[:]; s_vz[:] = velz[:]
+    s_wx[:] = avx[:]; s_wy[:] = avy[:]; s_wz[:] = avz[:]
+    s_qx[:] = qx[:]; s_qy[:] = qy[:]; s_qz[:] = qz[:]; s_qw[:] = qw[:]
+    d_cur[:, :] = jnp.zeros((R, b), jnp.int32)
+    s_ovf[:] = jnp.zeros((1, b), jnp.float32)
+    for ref in lam:
+        ref[:, :] = jnp.zeros((R, b), LAM_DT)
+    for ref in plam:
+        ref[:] = jnp.zeros((1, b), jnp.float32)
+    if sleep:
+        s_sleep[:] = asleep0[:]
+        s_timer[:] = timer0[:]
+        s_awakef[:] = 1.0 - asleep0[:]
+    # strict-lower prefix matrix: tri[j', j] = 1 iff j' < j (exclusive prefix
+    # sum along lanes = one MXU matmul)
+    jj0 = jax.lax.broadcasted_iota(jnp.int32, (SLAB, SLAB), 0)
+    jj1 = jax.lax.broadcasted_iota(jnp.int32, (SLAB, SLAB), 1)
+    tri_ref[:, :] = (jj0 < jj1).astype(jnp.bfloat16)
+
+    def rowT(ref, start):
+        return jnp.swapaxes(ref[0:1, start : start + BCHUNK], 0, 1)
+
+    def colS(ref, cs):
+        return ref[0:1, cs : cs + SLAB]
+
+    # ---- one-hot matmul gather / scatter helpers -----------------------------
+    def gather_phase(fields, row0):
+        """Gather partner values of `fields` ((1,b) f32 values) into g_gath rows
+        [r*GROWS + row0 + k]."""
+        n = len(fields)
+        for k, v in enumerate(fields):
+            hi, lo = _hilo(v)
+            s_ghi[k : k + 1, :] = hi
+            s_glo[k : k + 1, :] = lo
+        for r in range(R):
+            for c in range(nc):
+                ws = _ws(c, b)
+                m = m_ref[(r * nc + c) * SLAB : (r * nc + c + 1) * SLAB, :]
+                gm = jnp.dot(
+                    s_ghi[0:n, ws : ws + SLAB], m,
+                    preferred_element_type=jnp.float32,
+                ) + jnp.dot(
+                    s_glo[0:n, ws : ws + SLAB], m,
+                    preferred_element_type=jnp.float32,
+                )
+                g_gath[r * GROWS + row0 : r * GROWS + row0 + n,
+                       c * BCHUNK : (c + 1) * BCHUNK] = gm
+
+    def gcol(r, k):
+        return g_gath[r * GROWS + k : r * GROWS + k + 1, :]
+
+    def scatter_phase(nrows):
+        """Scatter-add staged per-r rows (s_shi/s_slo) into acc8[0:nrows]."""
+        acc8[0:nrows, :] = jnp.zeros((nrows, b), jnp.float32)
+        for c in range(nc):
+            ws = _ws(c, b)
+            tot = jnp.zeros((nrows, SLAB), jnp.float32)
+            for r in range(R):
+                mt = mt_ref[(r * nc + c) * BCHUNK : (r * nc + c + 1) * BCHUNK, :]
+                tot = tot + jnp.dot(
+                    s_shi[r * 8 : r * 8 + nrows, c * BCHUNK : (c + 1) * BCHUNK], mt,
+                    preferred_element_type=jnp.float32,
+                )
+                tot = tot + jnp.dot(
+                    s_slo[r * 8 : r * 8 + nrows, c * BCHUNK : (c + 1) * BCHUNK], mt,
+                    preferred_element_type=jnp.float32,
+                )
+            acc8[0:nrows, ws : ws + SLAB] = acc8[0:nrows, ws : ws + SLAB] + tot
+
+    def stage_scatter_rows(r, rows):
+        for k, v in enumerate(rows):
+            hi, lo = _hilo(v)
+            s_shi[r * 8 + k : r * 8 + k + 1, :] = hi
+            s_slo[r * 8 + k : r * 8 + k + 1, :] = lo
+
+    def body_substep(step_i, carry):
+      def _active_substep():
+            # --- integrate velocities (gravity; dynamics only) ----------------
+            grav_dt = grav[:] * dynamic[:] * dt
+            if sleep:
+                grav_dt = grav_dt * (1.0 - s_sleep[:])
+            s_vx[:] = s_vx[:] + g[0] * grav_dt
+            s_vy[:] = s_vy[:] + g[1] * grav_dt
+            s_vz[:] = s_vz[:] + g[2] * grav_dt
+
+            cqx = s_qx[:]; cqy = s_qy[:]; cqz = s_qz[:]; cqw = s_qw[:]
+            xx = cqx * cqx; yy = cqy * cqy; zz = cqz * cqz
+            xy = cqx * cqy; xz = cqx * cqz; yz = cqy * cqz
+            wx_ = cqw * cqx; wy_ = cqw * cqy; wz_ = cqw * cqz
+            s_r00[:] = 1 - 2 * (yy + zz); s_r01[:] = 2 * (xy - wz_); s_r02[:] = 2 * (xz + wy_)
+            s_r10[:] = 2 * (xy + wz_);    s_r11[:] = 1 - 2 * (xx + zz); s_r12[:] = 2 * (yz - wx_)
+            s_r20[:] = 2 * (xz - wy_);    s_r21[:] = 2 * (yz + wx_);    s_r22[:] = 1 - 2 * (xx + yy)
+
+            box_f = is_box[:]
+            lhx = jnp.where(box_f > 0.5, hx[:], rad[:])
+            lhy = jnp.where(box_f > 0.5, hy[:], rad[:] + hlen[:])
+            lhz = jnp.where(box_f > 0.5, hz[:], rad[:])
+            s_ehx[:] = jnp.abs(s_r00[:]) * lhx + jnp.abs(s_r01[:]) * lhy + jnp.abs(s_r02[:]) * lhz + margin
+            s_ehy[:] = jnp.abs(s_r10[:]) * lhx + jnp.abs(s_r11[:]) * lhy + jnp.abs(s_r12[:]) * lhz + margin
+            s_ehz[:] = jnp.abs(s_r20[:]) * lhx + jnp.abs(s_r21[:]) * lhy + jnp.abs(s_r22[:]) * lhz + margin
+
+            s_cax[:] = s_r01[:] * hlen[:]
+            s_cay[:] = s_r11[:] * hlen[:]
+            s_caz[:] = s_r21[:] * hlen[:]
+
+            # ========== rebuild: discovery -> compact -> M/MT -> SAT ==========
+            def rebuild_pairs():
+                # --- banded discovery + per-row compaction to delta slots ------
+                new_d = [[None] * R for _ in range(nc)]
+                col_cnt = jnp.zeros((1, b), jnp.float32)
+                row_cnt_parts = []
+                ovf_parts = []
+                for c in range(nc):
+                    start = c * BCHUNK
+                    cs = _ws(c, b)
+                    dxc = colS(s_px, cs) - rowT(s_px, start)
+                    dyc = colS(s_py, cs) - rowT(s_py, start)
+                    dzc = colS(s_pz, cs) - rowT(s_pz, start)
+                    overlap = (
+                        (jnp.abs(dxc) <= rowT(s_ehx, start) + colS(s_ehx, cs))
+                        & (jnp.abs(dyc) <= rowT(s_ehy, start) + colS(s_ehy, cs))
+                        & (jnp.abs(dzc) <= rowT(s_ehz, start) + colS(s_ehz, cs))
+                    )
+                    some_dyn = (rowT(dynamic, start) + colS(dynamic, cs)) > 0.5
+                    both_act = (rowT(act, start) * colS(act, cs)) > 0.5
+                    a_ids = jax.lax.broadcasted_iota(jnp.int32, (BCHUNK, SLAB), 0) + start
+                    b_ids = jax.lax.broadcasted_iota(jnp.int32, (BCHUNK, SLAB), 1) + cs
+                    delta = b_ids - a_ids
+                    in_band = (delta >= 1) & (delta <= BAND) & (b_ids < b)
+                    active = overlap & some_dyn & both_act & in_band
+                    af = active.astype(jnp.float32)
+
+                    pref = jnp.dot(
+                        af.astype(jnp.bfloat16), tri_ref[:, :],
+                        preferred_element_type=jnp.float32,
+                    )
+                    kept = af * (pref < float(R)).astype(jnp.float32)
+                    for r in range(R):
+                        sel = kept * (jnp.abs(pref - float(r)) < 0.5).astype(jnp.float32)
+                        dr = jnp.sum(delta.astype(jnp.float32) * sel, axis=1, keepdims=True)
+                        new_d[c][r] = jnp.swapaxes(dr, 0, 1).astype(jnp.int32)  # (1, BCHUNK)
+
+                    row_cnt_parts.append(
+                        jnp.swapaxes(jnp.sum(kept, axis=1, keepdims=True), 0, 1)
+                    )
+                    ovf_parts.append(
+                        jnp.swapaxes(jnp.sum(af - kept, axis=1, keepdims=True), 0, 1)
+                    )
+                    cpart = jnp.sum(kept, axis=0, keepdims=True)
+                    upd = col_cnt[0:1, cs : cs + SLAB] + cpart
+                    pieces = []
+                    if cs > 0:
+                        pieces.append(col_cnt[0:1, 0:cs])
+                    pieces.append(upd)
+                    if cs + SLAB < b:
+                        pieces.append(col_cnt[0:1, cs + SLAB : b])
+                    col_cnt = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+
+                s_paircnt[:] = (
+                    row_cnt_parts[0] if nc == 1 else jnp.concatenate(row_cnt_parts, axis=1)
+                ) + col_cnt
+                s_ovf[:] = (
+                    ovf_parts[0] if nc == 1 else jnp.concatenate(ovf_parts, axis=1)
+                )
+
+                # --- remap lambda caches old slots -> new slots -----------------
+                # match on partner delta; unmatched new slots start cold at 0
+                for c in range(nc):
+                    start = c * BCHUNK
+                    sl = slice(start, start + BCHUNK)
+                    oldv = [d_cur[r : r + 1, sl] for r in range(R)]
+                    lam_old = [
+                        [a[r : r + 1, sl].astype(jnp.float32) for r in range(R)] for a in lam
+                    ]
+                    lam_new = [[None] * R for _ in lam]
+                    for rn in range(R):
+                        dn = new_d[c][rn]
+                        valid = (dn > 0).astype(jnp.float32)
+                        acc = [jnp.zeros((1, BCHUNK), jnp.float32) for _ in lam]
+                        for ro in range(R):
+                            match = ((oldv[ro] == dn) & (dn > 0)).astype(jnp.float32)
+                            for a in range(len(lam)):
+                                acc[a] = acc[a] + lam_old[a][ro] * match
+                        for a in range(len(lam)):
+                            lam_new[a][rn] = acc[a] * valid
+                    for a in range(len(lam)):
+                        for rn in range(R):
+                            lam[a][rn : rn + 1, sl] = lam_new[a][rn].astype(LAM_DT)
+                    for rn in range(R):
+                        d_cur[rn : rn + 1, sl] = new_d[c][rn]
+
+                # --- build M / MT one-hot blocks --------------------------------
+                for r in range(R):
+                    for c in range(nc):
+                        ws = _ws(c, b)
+                        off = c * BCHUNK - ws
+                        dr = d_cur[r : r + 1, c * BCHUNK : (c + 1) * BCHUNK]
+                        li = jax.lax.broadcasted_iota(jnp.int32, (1, BCHUNK), 1)
+                        tgt = li + off + dr
+                        jjm = jax.lax.broadcasted_iota(jnp.int32, (SLAB, BCHUNK), 0)
+                        m_ref[(r * nc + c) * SLAB : (r * nc + c + 1) * SLAB, :] = (
+                            jjm == tgt
+                        ).astype(jnp.bfloat16)
+                        jjt = jax.lax.broadcasted_iota(jnp.int32, (BCHUNK, SLAB), 1)
+                        lit = jax.lax.broadcasted_iota(jnp.int32, (BCHUNK, SLAB), 0)
+                        drt = jnp.swapaxes(dr, 0, 1)
+                        # empty slots must not scatter onto rank i+0 = self
+                        tgt_t = lit + off + drt + jnp.where(drt == 0, 2 * SLAB, 0)
+                        mt_ref[(r * nc + c) * BCHUNK : (r * nc + c + 1) * BCHUNK, :] = (
+                            jjt == tgt_t
+                        ).astype(jnp.bfloat16)
+
+                # --- gather col-side geometry (rows 0..15, 16..21) --------------
+                gather_phase(
+                    [s_r00[:], s_r01[:], s_r02[:], s_r10[:], s_r11[:], s_r12[:],
+                     s_r20[:], s_r21[:], s_r22[:],
+                     hx[:], hy[:], hz[:], rad[:],
+                     s_cax[:], s_cay[:], s_caz[:]],
+                    0,
+                )
+                gather_phase(
+                    [s_px[:], s_py[:], s_pz[:], fric[:], is_box[:]],
+                    16,
+                )
+
+                # --- SAT manifolds per neighbor slot ----------------------------
+                for r in range(R):
+                    pair_valid = (d_cur[r : r + 1, :] > 0)
+                    dxc = gcol(r, 16) - s_px[:]
+                    dyc = gcol(r, 17) - s_py[:]
+                    dzc = gcol(r, 18) - s_pz[:]
+                    g_dx0[r : r + 1, :] = dxc
+                    g_dy0[r : r + 1, :] = dyc
+                    g_dz0[r : r + 1, :] = dzc
+                    g_dxc[r : r + 1, :] = dxc
+                    g_dyc[r : r + 1, :] = dyc
+                    g_dzc[r : r + 1, :] = dzc
+                    g_mu[r : r + 1, :] = jnp.sqrt(fric[:] * gcol(r, 19))
+
+                    r_box = is_box[:]; c_box = gcol(r, 20)
+                    both_round = (r_box < 0.5) & (c_box < 0.5)
+                    a_box = r_box > 0.5
+                    b_box = c_box > 0.5
+                    r_rad = rad[:]; c_rad = gcol(r, 12)
+                    r_hx = hx[:]; r_hy = hy[:]; r_hz = hz[:]
+                    c_hx = gcol(r, 9); c_hy = gcol(r, 10); c_hz = gcol(r, 11)
+                    rr = [
+                        [s_r00[:], s_r01[:], s_r02[:]],
+                        [s_r10[:], s_r11[:], s_r12[:]],
+                        [s_r20[:], s_r21[:], s_r22[:]],
+                    ]
+                    cr = [
+                        [gcol(r, 0), gcol(r, 1), gcol(r, 2)],
+                        [gcol(r, 3), gcol(r, 4), gcol(r, 5)],
+                        [gcol(r, 6), gcol(r, 7), gcol(r, 8)],
+                    ]
+
+                    # capsule-capsule closest points
+                    adx = s_cax[:]; ady = s_cay[:]; adz = s_caz[:]
+                    bdx = gcol(r, 13); bdy = gcol(r, 14); bdz = gcol(r, 15)
+                    relx = dxc; rely = dyc; relz = dzc
+                    bd2 = bdx * bdx + bdy * bdy + bdz * bdz + 1e-9
+                    tb = jnp.clip(-(relx * bdx + rely * bdy + relz * bdz) / bd2, -1.0, 1.0)
+                    bxp = -relx + tb * bdx
+                    byp = -rely + tb * bdy
+                    bzp = -relz + tb * bdz
+                    ad2 = adx * adx + ady * ady + adz * adz + 1e-9
+                    ta = jnp.clip((bxp * adx + byp * ady + bzp * adz) / ad2, -1.0, 1.0)
+                    sxp = bxp - ta * adx
+                    syp = byp - ta * ady
+                    szp = bzp - ta * adz
+                    dist_cc = jnp.sqrt(sxp * sxp + syp * syp + szp * szp) + 1e-9
+                    ncc_x = -sxp / dist_cc
+                    ncc_y = -syp / dist_cc
+                    ncc_z = -szp / dist_cc
+                    depth_cc = r_rad + c_rad - dist_cc
+                    pcc_x = ta * adx + ncc_x * (r_rad + depth_cc * 0.5)
+                    pcc_y = ta * ady + ncc_y * (r_rad + depth_cc * 0.5)
+                    pcc_z = ta * adz + ncc_z * (r_rad + depth_cc * 0.5)
+
+                    # box(A)-capsule/sphere(B)
+                    lax_ = rr[0][0] * dxc + rr[1][0] * dyc + rr[2][0] * dzc
+                    lay = rr[0][1] * dxc + rr[1][1] * dyc + rr[2][1] * dzc
+                    laz = rr[0][2] * dxc + rr[1][2] * dyc + rr[2][2] * dzc
+                    clx = jnp.clip(lax_, -r_hx, r_hx)
+                    cly = jnp.clip(lay, -r_hy, r_hy)
+                    clz = jnp.clip(laz, -r_hz, r_hz)
+                    ddx = lax_ - clx; ddy = lay - cly; ddz = laz - clz
+                    out_d = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+                    outside = out_d > 1e-6
+                    fdx = r_hx - jnp.abs(lax_)
+                    fdy = r_hy - jnp.abs(lay)
+                    fdz = r_hz - jnp.abs(laz)
+                    fmin = jnp.minimum(fdx, jnp.minimum(fdy, fdz))
+                    nin_x = jnp.where(fdx <= fmin + 1e-9, jnp.sign(lax_), 0.0)
+                    nin_y = jnp.where((fdy <= fmin + 1e-9) & (fdx > fmin + 1e-9), jnp.sign(lay), 0.0)
+                    nin_z = jnp.where(
+                        (fdz <= fmin + 1e-9) & (fdy > fmin + 1e-9) & (fdx > fmin + 1e-9),
+                        jnp.sign(laz), 0.0,
+                    )
+                    nl_x = jnp.where(outside, ddx / (out_d + 1e-9), nin_x)
+                    nl_y = jnp.where(outside, ddy / (out_d + 1e-9), nin_y)
+                    nl_z = jnp.where(outside, ddz / (out_d + 1e-9), nin_z)
+                    sd = jnp.where(outside, -out_d, fmin)
+                    depth_bc = sd + c_rad
+                    nbc_x = rr[0][0] * nl_x + rr[0][1] * nl_y + rr[0][2] * nl_z
+                    nbc_y = rr[1][0] * nl_x + rr[1][1] * nl_y + rr[1][2] * nl_z
+                    nbc_z = rr[2][0] * nl_x + rr[2][1] * nl_y + rr[2][2] * nl_z
+                    pbc_x = dxc - nbc_x * c_rad
+                    pbc_y = dyc - nbc_y * c_rad
+                    pbc_z = dzc - nbc_z * c_rad
+
+                    # capsule/sphere(A)-box(B)
+                    lbx = cr[0][0] * -dxc + cr[1][0] * -dyc + cr[2][0] * -dzc
+                    lby = cr[0][1] * -dxc + cr[1][1] * -dyc + cr[2][1] * -dzc
+                    lbz = cr[0][2] * -dxc + cr[1][2] * -dyc + cr[2][2] * -dzc
+                    cbx = jnp.clip(lbx, -c_hx, c_hx)
+                    cby = jnp.clip(lby, -c_hy, c_hy)
+                    cbz = jnp.clip(lbz, -c_hz, c_hz)
+                    edx = lbx - cbx; edy = lby - cby; edz = lbz - cbz
+                    eod = jnp.sqrt(edx * edx + edy * edy + edz * edz)
+                    eoutside = eod > 1e-6
+                    gdx = c_hx - jnp.abs(lbx)
+                    gdy = c_hy - jnp.abs(lby)
+                    gdz = c_hz - jnp.abs(lbz)
+                    gmin = jnp.minimum(gdx, jnp.minimum(gdy, gdz))
+                    min_x = jnp.where(gdx <= gmin + 1e-9, jnp.sign(lbx), 0.0)
+                    min_y = jnp.where((gdy <= gmin + 1e-9) & (gdx > gmin + 1e-9), jnp.sign(lby), 0.0)
+                    min_z = jnp.where(
+                        (gdz <= gmin + 1e-9) & (gdy > gmin + 1e-9) & (gdx > gmin + 1e-9),
+                        jnp.sign(lbz), 0.0,
+                    )
+                    ml_x = jnp.where(eoutside, edx / (eod + 1e-9), min_x)
+                    ml_y = jnp.where(eoutside, edy / (eod + 1e-9), min_y)
+                    ml_z = jnp.where(eoutside, edz / (eod + 1e-9), min_z)
+                    esd = jnp.where(eoutside, -eod, gmin)
+                    depth_cb = esd + r_rad
+                    ncb_x = -(cr[0][0] * ml_x + cr[0][1] * ml_y + cr[0][2] * ml_z)
+                    ncb_y = -(cr[1][0] * ml_x + cr[1][1] * ml_y + cr[1][2] * ml_z)
+                    ncb_z = -(cr[2][0] * ml_x + cr[2][1] * ml_y + cr[2][2] * ml_z)
+                    pcb_x = ncb_x * r_rad
+                    pcb_y = ncb_y * r_rad
+                    pcb_z = ncb_z * r_rad
+
+                    # box-box SAT over the 6 face axes
+                    def proj_pair(ax, ay, az):
+                        pa = (
+                            jnp.abs(ax * rr[0][0] + ay * rr[1][0] + az * rr[2][0]) * r_hx
+                            + jnp.abs(ax * rr[0][1] + ay * rr[1][1] + az * rr[2][1]) * r_hy
+                            + jnp.abs(ax * rr[0][2] + ay * rr[1][2] + az * rr[2][2]) * r_hz
+                        )
+                        pb = (
+                            jnp.abs(ax * cr[0][0] + ay * cr[1][0] + az * cr[2][0]) * c_hx
+                            + jnp.abs(ax * cr[0][1] + ay * cr[1][1] + az * cr[2][1]) * c_hy
+                            + jnp.abs(ax * cr[0][2] + ay * cr[1][2] + az * cr[2][2]) * c_hz
+                        )
+                        dist = jnp.abs(ax * dxc + ay * dyc + az * dzc)
+                        return pa + pb - dist
+
+                    best_depth = jnp.full((1, b), 1e30)
+                    nbb_x = jnp.zeros((1, b)); nbb_y = jnp.zeros((1, b))
+                    nbb_z = jnp.zeros((1, b))
+                    ref_is_a = jnp.ones((1, b), jnp.float32)
+                    axes = [
+                        (rr[0][0], rr[1][0], rr[2][0], 1.0),
+                        (rr[0][1], rr[1][1], rr[2][1], 1.0),
+                        (rr[0][2], rr[1][2], rr[2][2], 1.0),
+                        (cr[0][0], cr[1][0], cr[2][0], 0.0),
+                        (cr[0][1], cr[1][1], cr[2][1], 0.0),
+                        (cr[0][2], cr[1][2], cr[2][2], 0.0),
+                    ]
+                    for ax, ay, az, from_a in axes:
+                        ov = proj_pair(ax, ay, az)
+                        better = ov < best_depth
+                        best_depth = jnp.where(better, ov, best_depth)
+                        one = jnp.ones_like(ov)
+                        nbb_x = jnp.where(better, ax * one, nbb_x)
+                        nbb_y = jnp.where(better, ay * one, nbb_y)
+                        nbb_z = jnp.where(better, az * one, nbb_z)
+                        ref_is_a = jnp.where(better, from_a * one, ref_is_a)
+                    sgn = jnp.sign(nbb_x * dxc + nbb_y * dyc + nbb_z * dzc + 1e-12)
+                    nbb_x = nbb_x * sgn; nbb_y = nbb_y * sgn; nbb_z = nbb_z * sgn
+                    depth_bb = best_depth
+
+                    a_axes = (
+                        (rr[0][0], rr[1][0], rr[2][0], r_hx),
+                        (rr[0][1], rr[1][1], rr[2][1], r_hy),
+                        (rr[0][2], rr[1][2], rr[2][2], r_hz),
+                    )
+                    b_axes = (
+                        (cr[0][0], cr[1][0], cr[2][0], c_hx),
+                        (cr[0][1], cr[1][1], cr[2][1], c_hy),
+                        (cr[0][2], cr[1][2], cr[2][2], c_hz),
+                    )
+
+                    def incident_face(axes3, toward_n_sign):
+                        dots = [axk[0] * nbb_x + axk[1] * nbb_y + axk[2] * nbb_z for axk in axes3]
+                        absd = [jnp.abs(dv) for dv in dots]
+                        k0 = (absd[0] >= absd[1]) & (absd[0] >= absd[2])
+                        k1 = (~k0) & (absd[1] >= absd[2])
+                        k2 = (~k0) & (~k1)
+                        masks = [k0.astype(jnp.float32), k1.astype(jnp.float32), k2.astype(jnp.float32)]
+                        fx = fy = fz = 0.0
+                        ux = uy = uz = 0.0
+                        vx_ = vy_ = vz_ = 0.0
+                        for k in range(3):
+                            m = masks[k]
+                            sgn_k = -jnp.sign(dots[k] + 1e-12) * toward_n_sign
+                            akx, aky, akz, hk = axes3[k]
+                            fx = fx + m * sgn_k * akx * hk
+                            fy = fy + m * sgn_k * aky * hk
+                            fz = fz + m * sgn_k * akz * hk
+                            iux, iuy, iuz, hu = axes3[(k + 1) % 3]
+                            ivx, ivy, ivz, hv = axes3[(k + 2) % 3]
+                            ux = ux + m * iux * hu
+                            uy = uy + m * iuy * hu
+                            uz = uz + m * iuz * hu
+                            vx_ = vx_ + m * ivx * hv
+                            vy_ = vy_ + m * ivy * hv
+                            vz_ = vz_ + m * ivz * hv
+                        return (fx, fy, fz), (ux, uy, uz), (vx_, vy_, vz_)
+
+                    fb, ub, vb_ = incident_face(b_axes, 1.0)
+                    fa, ua, va_ = incident_face(a_axes, -1.0)
+                    ra_mask = ref_is_a
+
+                    pa_n = (
+                        jnp.abs(nbb_x * rr[0][0] + nbb_y * rr[1][0] + nbb_z * rr[2][0]) * r_hx
+                        + jnp.abs(nbb_x * rr[0][1] + nbb_y * rr[1][1] + nbb_z * rr[2][1]) * r_hy
+                        + jnp.abs(nbb_x * rr[0][2] + nbb_y * rr[1][2] + nbb_z * rr[2][2]) * r_hz
+                    )
+                    pb_n = (
+                        jnp.abs(nbb_x * cr[0][0] + nbb_y * cr[1][0] + nbb_z * cr[2][0]) * c_hx
+                        + jnp.abs(nbb_x * cr[0][1] + nbb_y * cr[1][1] + nbb_z * cr[2][1]) * c_hy
+                        + jnp.abs(nbb_x * cr[0][2] + nbb_y * cr[1][2] + nbb_z * cr[2][2]) * c_hz
+                    )
+
+                    bb_pts = []
+                    for su, sv in ((1.0, 1.0), (1.0, -1.0), (-1.0, 1.0), (-1.0, -1.0)):
+                        cbx_ = dxc + fb[0] + su * ub[0] + sv * vb_[0]
+                        cby_ = dyc + fb[1] + su * ub[1] + sv * vb_[1]
+                        cbz_ = dzc + fb[2] + su * ub[2] + sv * vb_[2]
+                        dep_b = pa_n - (cbx_ * nbb_x + cby_ * nbb_y + cbz_ * nbb_z)
+                        lxa = jnp.clip(rr[0][0] * cbx_ + rr[1][0] * cby_ + rr[2][0] * cbz_, -r_hx, r_hx)
+                        lya = jnp.clip(rr[0][1] * cbx_ + rr[1][1] * cby_ + rr[2][1] * cbz_, -r_hy, r_hy)
+                        lza = jnp.clip(rr[0][2] * cbx_ + rr[1][2] * cby_ + rr[2][2] * cbz_, -r_hz, r_hz)
+                        cbx_c = rr[0][0] * lxa + rr[0][1] * lya + rr[0][2] * lza
+                        cby_c = rr[1][0] * lxa + rr[1][1] * lya + rr[1][2] * lza
+                        cbz_c = rr[2][0] * lxa + rr[2][1] * lya + rr[2][2] * lza
+                        cax_ = fa[0] + su * ua[0] + sv * va_[0]
+                        cay_ = fa[1] + su * ua[1] + sv * va_[1]
+                        caz_ = fa[2] + su * ua[2] + sv * va_[2]
+                        dep_a = pb_n + ((cax_ - dxc) * nbb_x + (cay_ - dyc) * nbb_y + (caz_ - dzc) * nbb_z)
+                        lxb = jnp.clip(cr[0][0] * (cax_ - dxc) + cr[1][0] * (cay_ - dyc) + cr[2][0] * (caz_ - dzc), -c_hx, c_hx)
+                        lyb = jnp.clip(cr[0][1] * (cax_ - dxc) + cr[1][1] * (cay_ - dyc) + cr[2][1] * (caz_ - dzc), -c_hy, c_hy)
+                        lzb = jnp.clip(cr[0][2] * (cax_ - dxc) + cr[1][2] * (cay_ - dyc) + cr[2][2] * (caz_ - dzc), -c_hz, c_hz)
+                        cax_c = dxc + cr[0][0] * lxb + cr[0][1] * lyb + cr[0][2] * lzb
+                        cay_c = dyc + cr[1][0] * lxb + cr[1][1] * lyb + cr[1][2] * lzb
+                        caz_c = dzc + cr[2][0] * lxb + cr[2][1] * lyb + cr[2][2] * lzb
+                        px_k = jnp.where(ra_mask > 0.5, cbx_c, cax_c)
+                        py_k = jnp.where(ra_mask > 0.5, cby_c, cay_c)
+                        pz_k = jnp.where(ra_mask > 0.5, cbz_c, caz_c)
+                        dep_k = jnp.where(ra_mask > 0.5, dep_b, dep_a)
+                        dep_k = jnp.where(depth_bb > 0.0, dep_k, -1e9)
+                        bb_pts.append((px_k, py_k, pz_k, dep_k))
+
+                    def sel(cc, bc, cb2, bb):
+                        out = jnp.where(both_round, cc, bb)
+                        out = jnp.where(a_box & ~b_box, bc, out)
+                        out = jnp.where(~a_box & b_box, cb2, out)
+                        return out
+
+                    nx = sel(ncc_x, nbc_x, ncb_x, nbb_x)
+                    ny = sel(ncc_y, nbc_y, ncb_y, nbb_y)
+                    nz = sel(ncc_z, nbc_z, ncb_z, nbb_z)
+                    is_bb = a_box & b_box
+                    neg = jnp.full_like(depth_cc, -1e9)
+                    slots = [
+                        (
+                            sel(pcc_x, pbc_x, pcb_x, bb_pts[0][0]),
+                            sel(pcc_y, pbc_y, pcb_y, bb_pts[0][1]),
+                            sel(pcc_z, pbc_z, pcb_z, bb_pts[0][2]),
+                            sel(depth_cc, depth_bc, depth_cb, bb_pts[0][3]),
+                        )
+                    ]
+                    for k in range(1, N_SLOT):
+                        slots.append(
+                            (
+                                bb_pts[k][0],
+                                bb_pts[k][1],
+                                bb_pts[k][2],
+                                jnp.where(is_bb, bb_pts[k][3], neg),
+                            )
+                        )
+
+                    g_nx[r : r + 1, :] = nx
+                    g_ny[r : r + 1, :] = ny
+                    g_nz[r : r + 1, :] = nz
+                    for k in range(N_SLOT):
+                        rpx, rpy, rpz, depth = slots[k]
+                        s_rax, s_ray, s_raz, _s_ikn, s_bias, s_d0 = g_ra[k]
+                        s_rax[r : r + 1, :] = rpx
+                        s_ray[r : r + 1, :] = rpy
+                        s_raz[r : r + 1, :] = rpz
+                        d0v = jnp.where(pair_valid, depth, -1e30)
+                        s_d0[r : r + 1, :] = d0v
+                        s_bias[r : r + 1, :] = jnp.where(
+                            d0v > 0.0,
+                            baumgarte / dt * jnp.maximum(d0v - slop, 0.0),
+                            -1e30,
+                        )
+
+            def refresh_pairs():
+                # gather current partner positions -> fresh dxc + bias refresh
+                gather_phase([s_px[:], s_py[:], s_pz[:]], 16)
+                for r in range(R):
+                    dxc = gcol(r, 16) - s_px[:]
+                    dyc = gcol(r, 17) - s_py[:]
+                    dzc = gcol(r, 18) - s_pz[:]
+                    # empty slots gather self -> dxc = 0; harmless (bias sentinel)
+                    g_dxc[r : r + 1, :] = dxc
+                    g_dyc[r : r + 1, :] = dyc
+                    g_dzc[r : r + 1, :] = dzc
+                    ddx = dxc - g_dx0[r : r + 1, :]
+                    ddy = dyc - g_dy0[r : r + 1, :]
+                    ddz = dzc - g_dz0[r : r + 1, :]
+                    nx = g_nx[r : r + 1, :]; ny = g_ny[r : r + 1, :]; nz = g_nz[r : r + 1, :]
+                    drift = ddx * nx + ddy * ny + ddz * nz
+                    for k in range(N_SLOT):
+                        _1, _2, _3, _4, s_bias, s_d0 = g_ra[k]
+                        d = s_d0[r : r + 1, :] - drift
+                        s_bias[r : r + 1, :] = jnp.where(
+                            (d > 0.0) & (s_d0[r : r + 1, :] > -1e29),
+                            baumgarte / dt * jnp.maximum(d - slop, 0.0),
+                            -1e30,
+                        )
+
+            if geom_every > 1:
+                is_rebuild = (step_i % geom_every) == 0
+                pl.when(is_rebuild)(rebuild_pairs)
+                pl.when(jnp.logical_not(is_rebuild))(refresh_pairs)
+            else:
+                rebuild_pairs()
+
+            # --- analytic bounded planes (hub boxes), every substep -----------
+            plane_cnt = jnp.zeros((1, b), jnp.float32)
+            dpxs = []; dpys = []; dpzs = []; nexs = []; neys = []; nezs = []
+            body_ax = [
+                (s_r00[:], s_r10[:], s_r20[:], hx[:]),
+                (s_r01[:], s_r11[:], s_r21[:], hy[:]),
+                (s_r02[:], s_r12[:], s_r22[:], hz[:]),
+            ]
+            box_b = is_box[:] > 0.5
+            dyn_b = dynamic[:] > 0.5
+            caxv = s_cax[:]; cayv = s_cay[:]; cazv = s_caz[:]
+            radv = rad[:]; hlenv = hlen[:]
+            for p in range(N_PLANE):
+                P = plane_scalars(p)
+                p_act = P["hu"] > 0.0
+                dpx = s_px[:] - P["cx"]; dpy = s_py[:] - P["cy"]; dpz = s_pz[:] - P["cz"]
+                side = P["nx"] * dpx + P["ny"] * dpy + P["nz"] * dpz
+                sgn_p = jnp.where(side >= 0.0, 1.0, -1.0)
+                nex = P["nx"] * sgn_p; ney = P["ny"] * sgn_p; nez = P["nz"] * sgn_p
+                dpxs.append(dpx); dpys.append(dpy); dpzs.append(dpz)
+                nexs.append(nex); neys.append(ney); nezs.append(nez)
+
+                dots = [a[0] * nex + a[1] * ney + a[2] * nez for a in body_ax]
+                absd = [jnp.abs(dv) for dv in dots]
+                k0 = (absd[0] >= absd[1]) & (absd[0] >= absd[2])
+                k1 = (~k0) & (absd[1] >= absd[2])
+                k2 = (~k0) & (~k1)
+                masks = [k0.astype(jnp.float32), k1.astype(jnp.float32), k2.astype(jnp.float32)]
+                fx = fy = fz = 0.0
+                ufx = ufy = ufz = 0.0
+                vfx = vfy = vfz = 0.0
+                for kk in range(3):
+                    m = masks[kk]
+                    sgn_k = -jnp.sign(dots[kk] + 1e-12)
+                    akx, aky, akz, hk = body_ax[kk]
+                    fx = fx + m * sgn_k * akx * hk
+                    fy = fy + m * sgn_k * aky * hk
+                    fz = fz + m * sgn_k * akz * hk
+                    iux, iuy, iuz, hu_ = body_ax[(kk + 1) % 3]
+                    ivx, ivy, ivz, hv_ = body_ax[(kk + 2) % 3]
+                    ufx = ufx + m * iux * hu_
+                    ufy = ufy + m * iuy * hu_
+                    ufz = ufz + m * iuz * hu_
+                    vfx = vfx + m * ivx * hv_
+                    vfy = vfy + m * ivy * hv_
+                    vfz = vfz + m * ivz * hv_
+
+                for k in range(N_SLOT):
+                    if k == 0:
+                        su, sv = 1.0, 1.0
+                    elif k == 1:
+                        su, sv = 1.0, -1.0
+                    elif k == 2:
+                        su, sv = -1.0, 1.0
+                    else:
+                        su, sv = -1.0, -1.0
+                    bx = fx + su * ufx + sv * vfx
+                    by = fy + su * ufy + sv * vfy
+                    bz = fz + su * ufz + sv * vfz
+                    if k == 0:
+                        ox = caxv - nex * radv; oy = cayv - ney * radv; oz = cazv - nez * radv
+                    elif k == 1:
+                        ox = -caxv - nex * radv; oy = -cayv - ney * radv; oz = -cazv - nez * radv
+                    else:
+                        ox = oy = oz = None
+                    if ox is None:
+                        rax = bx; ray = by; raz = bz
+                        shape_ok = box_b
+                    else:
+                        rax = jnp.where(box_b, bx, ox)
+                        ray = jnp.where(box_b, by, oy)
+                        raz = jnp.where(box_b, bz, oz)
+                        shape_ok = box_b | (hlenv > 1e-6) if k == 1 else jnp.full_like(box_b, True)
+                    wx_c = dpx + rax; wy_c = dpy + ray; wz_c = dpz + raz
+                    hgt = nex * wx_c + ney * wy_c + nez * wz_c
+                    depth = P["ht"] - hgt
+                    pu = P["ux"] * wx_c + P["uy"] * wy_c + P["uz"] * wz_c
+                    pv = P["vx"] * wx_c + P["vy"] * wy_c + P["vz"] * wz_c
+                    inb = (jnp.abs(pu) <= P["hu"] + margin) & (jnp.abs(pv) <= P["hv"] + margin)
+                    touching = p_act & dyn_b & shape_ok & inb & (depth > 0.0) & (act[:] > 0.5)
+                    s_prax, s_pray, s_praz, _s_pikn, s_pbias = p_geo[p][k]
+                    s_prax[:] = rax; s_pray[:] = ray; s_praz[:] = raz
+                    s_pbias[:] = jnp.where(
+                        touching, baumgarte / dt * jnp.maximum(depth - slop, 0.0), -1e30
+                    )
+                    plane_cnt = plane_cnt + touching.astype(jnp.float32)
+
+            cnt = s_paircnt[:] + plane_cnt
+            split = jnp.maximum(cnt, 1.0)
+            # sleeping bodies keep their normal solver mass (see banded kernel
+            # NOTE: infinite-mass gating explodes on wake)
+            s_ime[:] = inv_mass[:] * split
+            s_imex[:] = im3x[:] * split
+            s_imey[:] = im3y[:] * split
+            s_imez[:] = im3z[:] * split
+
+            # --- pair effective masses (rebuild cadence) -----------------------
+            def build_pair_ikn():
+                gather_phase([s_ime[:], s_imex[:], s_imey[:], s_imez[:]], 22)
+                for r in range(R):
+                    nx = g_nx[r : r + 1, :]; ny = g_ny[r : r + 1, :]; nz = g_nz[r : r + 1, :]
+                    dxc = g_dxc[r : r + 1, :]; dyc = g_dyc[r : r + 1, :]; dzc = g_dzc[r : r + 1, :]
+                    c_ime = gcol(r, 22); c_imex = gcol(r, 23)
+                    c_imey = gcol(r, 24); c_imez = gcol(r, 25)
+                    for k in range(N_SLOT):
+                        s_rax, s_ray, s_raz, s_ikn, _b, _d = g_ra[k]
+                        rax = s_rax[r : r + 1, :]; ray = s_ray[r : r + 1, :]; raz = s_raz[r : r + 1, :]
+                        rbx = rax - dxc; rby = ray - dyc; rbz = raz - dzc
+                        raxn_x = ray * nz - raz * ny
+                        raxn_y = raz * nx - rax * nz
+                        raxn_z = rax * ny - ray * nx
+                        rbxn_x = rby * nz - rbz * ny
+                        rbxn_y = rbz * nx - rbx * nz
+                        rbxn_z = rbx * ny - rby * nx
+                        ang_a = (
+                            s_imex[:] * raxn_x**2
+                            + s_imey[:] * raxn_y**2
+                            + s_imez[:] * raxn_z**2
+                        )
+                        ang_b = (
+                            c_imex * rbxn_x**2 + c_imey * rbxn_y**2 + c_imez * rbxn_z**2
+                        )
+                        kn = s_ime[:] + c_ime + ang_a + ang_b + 1e-9
+                        s_ikn[r : r + 1, :] = 1.0 / kn
+
+            if geom_every > 1:
+                pl.when((step_i % geom_every) == 0)(build_pair_ikn)
+            else:
+                build_pair_ikn()
+
+            # --- plane effective masses (every substep) ------------------------
+            for p in range(N_PLANE):
+                nex = nexs[p]; ney = neys[p]; nez = nezs[p]
+                for k in range(N_SLOT):
+                    s_prax, s_pray, s_praz, s_pikn, _s_pbias = p_geo[p][k]
+                    rax = s_prax[:]; ray = s_pray[:]; raz = s_praz[:]
+                    cxn = ray * nez - raz * ney
+                    cyn = raz * nex - rax * nez
+                    czn = rax * ney - ray * nex
+                    kn = (
+                        s_ime[:]
+                        + s_imex[:] * cxn**2 + s_imey[:] * cyn**2 + s_imez[:] * czn**2
+                        + 1e-9
+                    )
+                    s_pikn[:] = 1.0 / kn
+
+            # ============== solver sweeps over cached geometry =================
+            def solve_iter(_, icarry, is_warm=False):
+                accx = jnp.zeros((1, b), jnp.float32)
+                accy = jnp.zeros((1, b), jnp.float32)
+                accz = jnp.zeros((1, b), jnp.float32)
+                tqx = jnp.zeros((1, b), jnp.float32)
+                tqy = jnp.zeros((1, b), jnp.float32)
+                tqz = jnp.zeros((1, b), jnp.float32)
+
+                if not is_warm:
+                    gather_phase(
+                        [s_vx[:], s_vy[:], s_vz[:], s_wx[:], s_wy[:], s_wz[:]], 26
+                    )
+                r_vx = s_vx[:]; r_vy = s_vy[:]; r_vz = s_vz[:]
+                r_wx = s_wx[:]; r_wy = s_wy[:]; r_wz = s_wz[:]
+
+                for r in range(R):
+                    nx = g_nx[r : r + 1, :]; ny = g_ny[r : r + 1, :]; nz = g_nz[r : r + 1, :]
+                    mu = g_mu[r : r + 1, :]
+                    dxc = g_dxc[r : r + 1, :]; dyc = g_dyc[r : r + 1, :]; dzc = g_dzc[r : r + 1, :]
+                    if not is_warm:
+                        c_vx = gcol(r, 26); c_vy = gcol(r, 27); c_vz = gcol(r, 28)
+                        c_wx = gcol(r, 29); c_wy = gcol(r, 30); c_wz = gcol(r, 31)
+
+                    jx_t = jnp.zeros((1, b), jnp.float32)
+                    jy_t = jnp.zeros((1, b), jnp.float32)
+                    jz_t = jnp.zeros((1, b), jnp.float32)
+                    ta_x = jnp.zeros((1, b), jnp.float32)
+                    ta_y = jnp.zeros((1, b), jnp.float32)
+                    ta_z = jnp.zeros((1, b), jnp.float32)
+                    tb_x = jnp.zeros((1, b), jnp.float32)
+                    tb_y = jnp.zeros((1, b), jnp.float32)
+                    tb_z = jnp.zeros((1, b), jnp.float32)
+
+                    def apply(jx, jy, jz, rax, ray, raz, rbx, rby, rbz):
+                        nonlocal jx_t, jy_t, jz_t, ta_x, ta_y, ta_z, tb_x, tb_y, tb_z
+                        jx_t = jx_t + jx; jy_t = jy_t + jy; jz_t = jz_t + jz
+                        ta_x = ta_x + ray * jz - raz * jy
+                        ta_y = ta_y + raz * jx - rax * jz
+                        ta_z = ta_z + rax * jy - ray * jx
+                        tb_x = tb_x + rby * jz - rbz * jy
+                        tb_y = tb_y + rbz * jx - rbx * jz
+                        tb_z = tb_z + rbx * jy - rby * jx
+
+                    # per-slot normal impulses (accumulated clamp on bf16 caches)
+                    sum_ln = jnp.zeros((1, b), jnp.float32)
+                    c_ax = jnp.zeros((1, b), jnp.float32)
+                    c_ay = jnp.zeros((1, b), jnp.float32)
+                    c_az = jnp.zeros((1, b), jnp.float32)
+                    c_w = jnp.zeros((1, b), jnp.float32)
+                    for k in range(N_SLOT):
+                        s_rax, s_ray, s_raz, s_ikn, s_bias, _d0 = g_ra[k]
+                        rax = s_rax[r : r + 1, :]; ray = s_ray[r : r + 1, :]; raz = s_raz[r : r + 1, :]
+                        bias = s_bias[r : r + 1, :]
+                        rbx = rax - dxc; rby = ray - dyc; rbz = raz - dzc
+                        touch = (bias > -1e29).astype(jnp.float32)
+                        s_ln = g_lam[k]
+                        if is_warm:
+                            lamw = (
+                                s_ln[r : r + 1, :].astype(jnp.float32) * (touch * warm)
+                            ).astype(LAM_DT)
+                            s_ln[r : r + 1, :] = lamw
+                            ln_eff = lamw.astype(jnp.float32)
+                            dl = ln_eff
+                        else:
+                            ikn = s_ikn[r : r + 1, :]
+                            rvx = c_vx + c_wy * rbz - c_wz * rby - (r_vx + r_wy * raz - r_wz * ray)
+                            rvy = c_vy + c_wz * rbx - c_wx * rbz - (r_vy + r_wz * rax - r_wx * raz)
+                            rvz = c_vz + c_wx * rby - c_wy * rbx - (r_vz + r_wx * ray - r_wy * rax)
+                            vn = rvx * nx + rvy * ny + rvz * nz
+                            ln_old = s_ln[r : r + 1, :].astype(jnp.float32)
+                            ln_store = jnp.maximum(
+                                ln_old - (vn - bias) * ikn, 0.0
+                            ).astype(LAM_DT)
+                            s_ln[r : r + 1, :] = ln_store
+                            ln_eff = ln_store.astype(jnp.float32)
+                            dl = ln_eff - ln_old
+                        sum_ln = sum_ln + ln_eff
+                        apply(nx * dl, ny * dl, nz * dl, rax, ray, raz, rbx, rby, rbz)
+                        c_ax = c_ax + touch * rax
+                        c_ay = c_ay + touch * ray
+                        c_az = c_az + touch * raz
+                        c_w = c_w + touch
+
+                    # pair friction at the manifold centroid
+                    inv_cw = 1.0 / jnp.maximum(c_w, 1.0)
+                    rax = c_ax * inv_cw; ray = c_ay * inv_cw; raz = c_az * inv_cw
+                    rbx = rax - dxc; rby = ray - dyc; rbz = raz - dzc
+                    s_ltx, s_lty, s_ltz = g_lamt
+                    ltx_old = s_ltx[r : r + 1, :].astype(jnp.float32)
+                    lty_old = s_lty[r : r + 1, :].astype(jnp.float32)
+                    ltz_old = s_ltz[r : r + 1, :].astype(jnp.float32)
+                    if is_warm:
+                        gate = (c_w > 0.5).astype(jnp.float32) * warm
+                        ltx_s = (ltx_old * gate).astype(LAM_DT)
+                        lty_s = (lty_old * gate).astype(LAM_DT)
+                        ltz_s = (ltz_old * gate).astype(LAM_DT)
+                        djx = ltx_s.astype(jnp.float32)
+                        djy = lty_s.astype(jnp.float32)
+                        djz = ltz_s.astype(jnp.float32)
+                    else:
+                        ikn0 = g_ra[0][3][r : r + 1, :]
+                        rvx = c_vx + c_wy * rbz - c_wz * rby - (r_vx + r_wy * raz - r_wz * ray)
+                        rvy = c_vy + c_wz * rbx - c_wx * rbz - (r_vy + r_wz * rax - r_wx * raz)
+                        rvz = c_vz + c_wx * rby - c_wy * rbx - (r_vz + r_wx * ray - r_wy * rax)
+                        vn = rvx * nx + rvy * ny + rvz * nz
+                        tvx = rvx - vn * nx
+                        tvy = rvy - vn * ny
+                        tvz = rvz - vn * nz
+                        ltx_c = ltx_old - tvx * ikn0
+                        lty_c = lty_old - tvy * ikn0
+                        ltz_c = ltz_old - tvz * ikn0
+                        ltl = jnp.sqrt(ltx_c * ltx_c + lty_c * lty_c + ltz_c * ltz_c) + 1e-9
+                        tscale = jnp.minimum(mu * sum_ln / ltl, 1.0)
+                        ltx_s = (ltx_c * tscale).astype(LAM_DT)
+                        lty_s = (lty_c * tscale).astype(LAM_DT)
+                        ltz_s = (ltz_c * tscale).astype(LAM_DT)
+                        djx = ltx_s.astype(jnp.float32) - ltx_old
+                        djy = lty_s.astype(jnp.float32) - lty_old
+                        djz = ltz_s.astype(jnp.float32) - ltz_old
+                    s_ltx[r : r + 1, :] = ltx_s
+                    s_lty[r : r + 1, :] = lty_s
+                    s_ltz[r : r + 1, :] = ltz_s
+                    apply(djx, djy, djz, rax, ray, raz, rbx, rby, rbz)
+
+                    # row side: -j / -torque_a accumulate directly
+                    accx = accx - jx_t; accy = accy - jy_t; accz = accz - jz_t
+                    tqx = tqx - ta_x; tqy = tqy - ta_y; tqz = tqz - ta_z
+                    # col side: stage +j / +torque_b for the matmul scatter
+                    stage_scatter_rows(r, [jx_t, jy_t, jz_t, tb_x, tb_y, tb_z])
+
+                scatter_phase(6)
+                accx = accx + acc8[0:1, :]
+                accy = accy + acc8[1:2, :]
+                accz = accz + acc8[2:3, :]
+                tqx = tqx + acc8[3:4, :]
+                tqy = tqy + acc8[4:5, :]
+                tqz = tqz + acc8[5:6, :]
+
+                # --- plane-contact impulses (body side only) -------------------
+                bvx = s_vx[:]; bvy = s_vy[:]; bvz = s_vz[:]
+                bwx = s_wx[:]; bwy = s_wy[:]; bwz = s_wz[:]
+                fricv = fric[:]
+                for p in range(N_PLANE):
+                    P = plane_scalars(p)
+                    nex = nexs[p]; ney = neys[p]; nez = nezs[p]
+                    mu_p = jnp.sqrt(fricv * P["mu"])
+                    for k in range(N_SLOT):
+                        s_prax, s_pray, s_praz, s_pikn, s_pbias = p_geo[p][k]
+                        rax = s_prax[:]; ray = s_pray[:]; raz = s_praz[:]
+                        ikn = s_pikn[:]; bias = s_pbias[:]
+
+                        if is_warm:
+                            s_ln, s_ltx2, s_lty2, s_ltz2 = p_lam[p][k]
+                            touch = (bias > -1e29).astype(jnp.float32) * warm
+                            lamw = s_ln[:] * touch
+                            jx = nex * lamw + s_ltx2[:] * touch
+                            jy = ney * lamw + s_lty2[:] * touch
+                            jz = nez * lamw + s_ltz2[:] * touch
+                            s_ln[:] = lamw
+                            s_ltx2[:] = s_ltx2[:] * touch
+                            s_lty2[:] = s_lty2[:] * touch
+                            s_ltz2[:] = s_ltz2[:] * touch
+                            accx = accx + jx; accy = accy + jy; accz = accz + jz
+                            tqx = tqx + ray * jz - raz * jy
+                            tqy = tqy + raz * jx - rax * jz
+                            tqz = tqz + rax * jy - ray * jx
+                            continue
+
+                        rvx = bvx + bwy * raz - bwz * ray
+                        rvy = bvy + bwz * rax - bwx * raz
+                        rvz = bvz + bwx * ray - bwy * rax
+                        vn = rvx * nex + rvy * ney + rvz * nez
+
+                        s_ln, s_ltx2, s_lty2, s_ltz2 = p_lam[p][k]
+                        ln_old = s_ln[:]
+                        ln_new = jnp.maximum(ln_old - (vn - bias) * ikn, 0.0)
+                        dlam = ln_new - ln_old
+                        s_ln[:] = ln_new
+                        tvx = rvx - vn * nex
+                        tvy = rvy - vn * ney
+                        tvz = rvz - vn * nez
+                        ltx_old = s_ltx2[:]; lty_old = s_lty2[:]; ltz_old = s_ltz2[:]
+                        ltx_c = ltx_old - tvx * ikn
+                        lty_c = lty_old - tvy * ikn
+                        ltz_c = ltz_old - tvz * ikn
+                        ltl = jnp.sqrt(ltx_c * ltx_c + lty_c * lty_c + ltz_c * ltz_c) + 1e-9
+                        tscale = jnp.minimum(mu_p * ln_new / ltl, 1.0)
+                        ltx_n = ltx_c * tscale; lty_n = lty_c * tscale; ltz_n = ltz_c * tscale
+                        s_ltx2[:] = ltx_n; s_lty2[:] = lty_n; s_ltz2[:] = ltz_n
+                        jx = nex * dlam + (ltx_n - ltx_old)
+                        jy = ney * dlam + (lty_n - lty_old)
+                        jz = nez * dlam + (ltz_n - ltz_old)
+                        accx = accx + jx; accy = accy + jy; accz = accz + jz
+                        tqx = tqx + ray * jz - raz * jy
+                        tqy = tqy + raz * jx - rax * jz
+                        tqz = tqz + rax * jy - ray * jx
+
+                mov_f = movable[:]
+                if sleep:
+                    mov_f = mov_f * (1.0 - s_sleep[:])
+                s_vx[:] = s_vx[:] + accx * inv_mass[:] * dof_x[:] * mov_f
+                s_vy[:] = s_vy[:] + accy * inv_mass[:] * dof_y[:] * mov_f
+                s_vz[:] = s_vz[:] + accz * inv_mass[:] * dof_z[:] * mov_f
+                s_wx[:] = s_wx[:] + tqx * im3x[:] * mov_f
+                s_wy[:] = s_wy[:] + tqy * im3y[:] * mov_f
+                s_wz[:] = s_wz[:] + tqz * im3z[:] * mov_f
+                return icarry
+
+            solve_iter(0, 0, is_warm=True)
+            jax.lax.fori_loop(0, iterations, solve_iter, 0, unroll=False)
+
+            # --- sleeping: wake propagation + deactivation timers --------------
+            if sleep:
+                vxs = s_vx[:]; vys = s_vy[:]; vzs = s_vz[:]
+                wxs = s_wx[:]; wys = s_wy[:]; wzs = s_wz[:]
+                sp2 = vxs * vxs + vys * vys + vzs * vzs + r_eff2[:] * (
+                    wxs * wxs + wys * wys + wzs * wzs
+                )
+                moving = (sp2 >= sleep_v2).astype(jnp.float32)
+                awake_f = 1.0 - s_sleep[:]
+                s_pusher[:] = dynamic[:] * awake_f * moving
+                # wake rows: gather partner pusher flags; wake cols: scatter own
+                gather_phase([s_pusher[:]], 26)
+                wake = jnp.zeros((1, b), jnp.float32)
+                for r in range(R):
+                    touch = jnp.zeros((1, b), jnp.float32)
+                    for k in range(N_SLOT):
+                        touch = jnp.maximum(
+                            touch,
+                            (g_ra[k][4][r : r + 1, :] > -1e29).astype(jnp.float32),
+                        )
+                    wake = wake + touch * gcol(r, 26)
+                    stage_scatter_rows(r, [touch * s_pusher[:]])
+                scatter_phase(1)
+                wake = wake + acc8[0:1, :]
+                # plane contacts never wake (planes are static hubs)
+                wk = (wake > 0.5).astype(jnp.float32)
+                eligible = (1.0 - moving) * can_sleep[:] * (1.0 - wk)
+                timer = (s_timer[:] + dt) * eligible
+                fall = (timer >= sleep_time).astype(jnp.float32) * eligible
+                new_sleep = jnp.minimum(s_sleep[:] * (1.0 - wk) + fall, 1.0)
+                s_sleep[:] = new_sleep
+                s_timer[:] = timer
+                s_awakef[:] = 1.0 - new_sleep
+                keep = 1.0 - new_sleep
+                s_vx[:] = vxs * keep; s_vy[:] = vys * keep; s_vz[:] = vzs * keep
+                s_wx[:] = wxs * keep; s_wy[:] = wys * keep; s_wz[:] = wzs * keep
+
+            # --- integrate positions -------------------------------------------
+            mov_dt = movable[:] * dt
+            if sleep:
+                mov_dt = mov_dt * (1.0 - s_sleep[:])
+            s_px[:] = s_px[:] + s_vx[:] * mov_dt
+            s_py[:] = s_py[:] + s_vy[:] * mov_dt
+            s_pz[:] = s_pz[:] + s_vz[:] * mov_dt
+            hq = 0.5 * dt
+            wxv = s_wx[:]; wyv = s_wy[:]; wzv = s_wz[:]
+            cqx = s_qx[:]; cqy = s_qy[:]; cqz = s_qz[:]; cqw = s_qw[:]
+            mov_f = movable[:]
+            if sleep:
+                mov_f = mov_f * (1.0 - s_sleep[:])
+            dqx = hq * (wxv * cqw + wyv * cqz - wzv * cqy)
+            dqy = hq * (-wxv * cqz + wyv * cqw + wzv * cqx)
+            dqz = hq * (wxv * cqy - wyv * cqx + wzv * cqw)
+            dqw = hq * (-wxv * cqx - wyv * cqy - wzv * cqz)
+            nqx = cqx + dqx * mov_f
+            nqy = cqy + dqy * mov_f
+            nqz = cqz + dqz * mov_f
+            nqw = cqw + dqw * mov_f
+            qn = jax.lax.rsqrt(nqx * nqx + nqy * nqy + nqz * nqz + nqw * nqw + 1e-12)
+            s_qx[:] = nqx * qn; s_qy[:] = nqy * qn; s_qz[:] = nqz * qn; s_qw[:] = nqw * qn
+      if sleep:
+          pl.when(jnp.sum(movable[:] * (1.0 - s_sleep[:])) > 0.5)(_active_substep)
+      else:
+          _active_substep()
+      return carry
+
+    jax.lax.fori_loop(0, n_sub, body_substep, 0)
+    o_posx[:] = s_px[:]; o_posy[:] = s_py[:]; o_posz[:] = s_pz[:]
+    o_velx[:] = s_vx[:]; o_vely[:] = s_vy[:]; o_velz[:] = s_vz[:]
+    o_avx[:] = s_wx[:]; o_avy[:] = s_wy[:]; o_avz[:] = s_wz[:]
+    o_qx[:] = s_qx[:]; o_qy[:] = s_qy[:]; o_qz[:] = s_qz[:]; o_qw[:] = s_qw[:]
+    o_ovf[:] = s_ovf[:]
+    if sleep:
+        o_sleep[:] = s_sleep[:]
+        o_timer[:] = s_timer[:]
+    else:
+        o_sleep[:] = asleep0[:]
+        o_timer[:] = timer0[:]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "iterations", "n_substeps", "interpret", "warm", "geom_every", "sleep",
+        "with_overflow",
+    ),
+)
+def megakernel_substeps_compact(
+    ps: PhysicsState,
+    params: PhysicsParams,
+    dt,
+    n_substeps: int = 1,
+    iterations: int = 3,
+    interpret: bool = False,
+    warm: float = 0.7,
+    geom_every: int = 2,
+    sleep: bool = False,
+    with_overflow: bool = False,
+):
+    """Compacted-neighbor throughput path: slab-rank sort once per launch, run
+    the compact kernel for `n_substeps`, permute results back to slot order.
+
+    Returns the advanced PhysicsState; with `with_overflow=True` returns
+    `(state, dropped)` where `dropped` is the total number of in-band AABB
+    candidates that did not fit the R=16 neighbor slots at the last rebuild
+    (the compaction analog of the banded kernel's out-of-band diagnostic).
+    """
+    b = ps.num_slots
+    assert b % BCHUNK == 0 and b >= SLAB, (
+        f"compact kernel needs capacity a multiple of {BCHUNK} and >= {SLAB}"
+    )
+    assert warm > 0.0, "compact kernel implements the warm-started solver only"
+    assert not ps.has_proxies, (
+        "compound bodies are not supported on the mega-kernel throughput path; "
+        "use the XLA physics_substep path"
+    )
+
+    plane_block, is_hub = extract_hub_planes(ps)
+    key = slab_rank_key(ps, exclude=is_hub)
+    iota = jnp.arange(b, dtype=jnp.int32)
+    _, perm = jax.lax.sort((key, iota), num_keys=1)
+    sorted_ps = _permute_state(ps, perm)
+    hub_sorted = is_hub[perm]
+
+    dyn = ((sorted_ps.body_type == BODY_DYNAMIC) & sorted_ps.active).astype(jnp.float32)
+    movable = ((sorted_ps.body_type != BODY_STATIC) & sorted_ps.active).astype(jnp.float32)
+    from .state import SHAPE_BOX as _SB
+    is_box = (sorted_ps.shape_type == _SB).astype(jnp.float32)
+    act_pair = sorted_ps.active.astype(jnp.float32) * (1.0 - hub_sorted.astype(jnp.float32))
+
+    scalars = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    jnp.asarray(dt, jnp.float32),
+                    params.gravity[0],
+                    params.gravity[1],
+                    params.gravity[2],
+                    params.baumgarte,
+                    params.penetration_slop,
+                    jnp.asarray(0.04 * geom_every, jnp.float32),
+                    jnp.asarray(float(n_substeps), jnp.float32),
+                ]
+            ),
+            plane_block.astype(jnp.float32),
+            jnp.stack([params.sleep_velocity**2, params.sleep_time]).astype(jnp.float32),
+        ]
+    )
+
+    sp = sorted_ps
+    r1 = lambda x: x.reshape(1, b)
+    inputs = [
+        r1(sp.pos[:, 0]), r1(sp.pos[:, 1]), r1(sp.pos[:, 2]),
+        r1(sp.linvel[:, 0]), r1(sp.linvel[:, 1]), r1(sp.linvel[:, 2]),
+        r1(sp.angvel[:, 0]), r1(sp.angvel[:, 1]), r1(sp.angvel[:, 2]),
+        r1(sp.quat[:, 0]), r1(sp.quat[:, 1]), r1(sp.quat[:, 2]), r1(sp.quat[:, 3]),
+        r1(sp.inv_mass),
+        r1(sp.inv_inertia[:, 0]), r1(sp.inv_inertia[:, 1]), r1(sp.inv_inertia[:, 2]),
+        r1(sp.half_extent[:, 0]), r1(sp.half_extent[:, 1]), r1(sp.half_extent[:, 2]),
+        r1(sp.radius), r1(sp.half_length),
+        r1(sp.friction), r1(sp.restitution), r1(sp.gravity_factor),
+        r1(sp.dof_mask_lin[:, 0]), r1(sp.dof_mask_lin[:, 1]), r1(sp.dof_mask_lin[:, 2]),
+        r1(is_box), r1(dyn), r1(movable), r1(act_pair),
+    ]
+    r_eff = jnp.maximum(jnp.max(sp.half_extent, axis=1), sp.radius + sp.half_length)
+    can_sleep = dyn * (1.0 - sp.is_character.astype(jnp.float32))
+    inputs += [
+        r1(sp.asleep.astype(jnp.float32)), r1(sp.sleep_timer),
+        r1(r_eff * r_eff), r1(can_sleep),
+    ]
+
+    nc = b // BCHUNK
+    out_shapes = [jax.ShapeDtypeStruct((1, b), jnp.float32)] * 16
+    scratch = (
+        [pltpu.VMEM((R, b), jnp.int32)]                       # d_cur
+        + [pltpu.VMEM((R * nc * SLAB, BCHUNK), jnp.bfloat16)]  # M
+        + [pltpu.VMEM((R * nc * BCHUNK, SLAB), jnp.bfloat16)]  # MT
+        + [pltpu.VMEM((SLAB, SLAB), jnp.bfloat16)]             # tri
+        + [pltpu.VMEM((R * GROWS, b), jnp.float32)]            # g_gath
+        + [pltpu.VMEM((GROWS // 2, b), jnp.bfloat16)] * 2      # s_ghi, s_glo
+        + [pltpu.VMEM((R * 8, b), jnp.bfloat16)] * 2           # s_shi, s_slo
+        + [pltpu.VMEM((8, b), jnp.float32)]                    # acc8
+        + [pltpu.VMEM((R, b), jnp.float32)] * N_PGEO
+        + [pltpu.VMEM((R, b), LAM_DT)] * N_LAM
+        + [pltpu.VMEM((1, b), jnp.float32)] * N_PWARM
+        + [pltpu.VMEM((1, b), jnp.float32)] * N_SMALL
+        + ([pltpu.VMEM((1, b), jnp.float32)] * 4 if sleep else [])
+    )
+    outs = pl.pallas_call(
+        partial(
+            _compact_kernel,
+            iterations=iterations, n_bodies=b, warm=warm, geom_every=geom_every,
+            sleep=sleep,
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 16,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(scalars, *inputs)
+
+    (npx, npy, npz, nvx, nvy, nvz, nwx, nwy, nwz, nqx, nqy, nqz, nqw,
+     nsl, ntm, ovf) = [o.reshape(b) for o in outs]
+    inv = jnp.zeros(b, jnp.int32).at[perm].set(iota)
+    take = lambda x: x[inv]
+    new_ps = dataclasses.replace(
+        ps,
+        prev_pos=ps.pos,
+        prev_quat=ps.quat,
+        pos=take(jnp.stack([npx, npy, npz], axis=-1)),
+        linvel=take(jnp.stack([nvx, nvy, nvz], axis=-1)),
+        angvel=take(jnp.stack([nwx, nwy, nwz], axis=-1)),
+        quat=take(jnp.stack([nqx, nqy, nqz, nqw], axis=-1)),
+        asleep=take(nsl > 0.5),
+        sleep_timer=take(ntm),
+    )
+    if with_overflow:
+        return new_ps, jnp.sum(ovf)
+    return new_ps

@@ -1,0 +1,69 @@
+"""Compacted-neighbor mega-kernel tests (interpret mode — exercises the exact
+kernel code, including the one-hot matmul gather/scatter and the lambda-cache
+slot remap)."""
+
+import numpy as np
+
+from oxylus_tpu.physics.megakernel_banded import megakernel_substeps_banded
+from oxylus_tpu.physics.megakernel_compact import R, megakernel_substeps_compact
+from oxylus_tpu.physics.state import PhysicsParams
+
+from tests.test_megakernel_banded import _falling_boxes
+
+DT = 1.0 / 60.0
+
+
+def test_compact_matches_banded_short_horizon():
+    """Same discovery contract + same solver math on compacted lanes: the two
+    kernels must track each other closely while contacts form."""
+    ps = _falling_boxes(n_boxes=40, max_bodies=256)
+    params = PhysicsParams()
+
+    banded = megakernel_substeps_banded(
+        ps, params, DT, n_substeps=6, iterations=3, warm=0.7, geom_every=2,
+        interpret=True,
+    )
+    compact, dropped = megakernel_substeps_compact(
+        ps, params, DT, n_substeps=6, iterations=3, warm=0.7, geom_every=2,
+        interpret=True, with_overflow=True,
+    )
+    assert float(dropped) == 0.0, "R neighbor slots overflowed on the test scene"
+    np.testing.assert_allclose(
+        np.asarray(compact.pos), np.asarray(banded.pos), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(compact.linvel), np.asarray(banded.linvel), atol=5e-2
+    )
+
+
+def test_compact_long_horizon_stable():
+    """One 18-substep launch: bodies stay above the floor, nothing explodes,
+    and the lambda remap across SAT rebuilds keeps resting stacks stable."""
+    ps = _falling_boxes(n_boxes=40, max_bodies=256)
+    n_dyn = int(np.asarray(ps.active).sum()) - 1
+    out = megakernel_substeps_compact(
+        ps, PhysicsParams(), DT, n_substeps=18, iterations=3, warm=0.7,
+        geom_every=2, interpret=True,
+    )
+    pos = np.asarray(out.pos)[1 : 1 + n_dyn]
+    vel = np.asarray(out.linvel)[1 : 1 + n_dyn]
+    assert np.all(pos[:, 1] > -0.5), "bodies fell through the floor"
+    assert np.all(np.abs(pos) < 50.0), "explosion"
+    assert np.all(np.abs(vel) < 30.0), "velocity blow-up"
+
+
+def test_compact_sleeping_and_overflow_diag():
+    """Sleep masks propagate through the compact path and the overflow
+    diagnostic reports dropped candidates (R slots exceeded) honestly."""
+    ps = _falling_boxes(n_boxes=40, max_bodies=256)
+    out, dropped = megakernel_substeps_compact(
+        ps, PhysicsParams(), DT, n_substeps=18, iterations=3, warm=0.7,
+        geom_every=2, sleep=True, interpret=True, with_overflow=True,
+    )
+    assert float(dropped) >= 0.0
+    assert np.asarray(out.asleep).dtype == np.bool_
+    # nothing explodes with sleeping enabled either
+    n_dyn = int(np.asarray(ps.active).sum()) - 1
+    pos = np.asarray(out.pos)[1 : 1 + n_dyn]
+    assert np.all(pos[:, 1] > -0.5)
+    assert R == 16  # capacity documented in the kernel module
