@@ -29,7 +29,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 
-def bench_physics(n_boxes=1022, worlds=64, steps_per_call=60, calls=8, warmup=2, mega=False):
+def bench_physics(n_boxes=1022, worlds=64, steps_per_call=60, calls=16, warmup=2, mega=False):
     from __graft_entry__ import _build_flagship
     from oxylus_tpu.physics.state import PhysicsParams
     from oxylus_tpu.physics.step import physics_substep
@@ -50,23 +50,37 @@ def bench_physics(n_boxes=1022, worlds=64, steps_per_call=60, calls=8, warmup=2,
 
     if mega:
         # whole-substep Pallas mega-kernel: one launch per `steps_per_call` substeps.
-        # banded (default): Morton-sorted rank bands + analytic hub planes +
-        # geometry hoisting (megakernel_banded.py) — ~6x the dense kernel.
-        if os.environ.get("OX_BENCH_BANDED", "1") == "1":
+        # compact (default): banded discovery compacted to R=16 neighbor slots,
+        # all per-pair work vectorized on (R, B) lanes (megakernel_compact.py).
+        # banded: full rank-band pair space (megakernel_banded.py).
+        kern = os.environ.get("OX_BENCH_KERNEL", "compact")
+        if os.environ.get("OX_BENCH_BANDED") == "0":  # legacy switch
+            kern = "dense"
+        if kern in ("compact", "banded"):
             from functools import partial
 
-            from oxylus_tpu.physics.megakernel_banded import megakernel_substeps_banded
+            if kern == "compact":
+                from oxylus_tpu.physics.megakernel_compact import (
+                    megakernel_substeps_compact as _mk,
+                )
+            else:
+                from oxylus_tpu.physics.megakernel_banded import (
+                    megakernel_substeps_banded as _mk,
+                )
 
             # production solver config: warm-started accumulated impulses let 3
             # sweeps settle the pile BETTER than 10 cold Jacobi sweeps (lower
             # kinetic energy at rest), and the SAT manifold cache holds for 2
             # substeps (scripts/tune_warm.py, PERF_NOTES.md)
+            # body sleeping (Jolt island deactivation) is supported
+            # (OX_BENCH_SLEEP=1) but defaults off for the headline config: the
+            # falling-boxes pile stays active for the whole measured window
+            # (verified: no body reaches the sleep threshold in 10 sim-seconds)
+            # so the wake-propagation bookkeeping is pure overhead here.
             mega_fn = partial(
-                megakernel_substeps_banded, iterations=3, warm=0.7,
+                _mk, iterations=3, warm=0.7,
                 geom_every=int(os.environ.get("OX_BENCH_GE", "2")),
-                # body sleeping (Jolt island deactivation): settled bodies stop
-                # costing solver work; a fully settled launch skips the substep
-                sleep=os.environ.get("OX_BENCH_SLEEP", "1") == "1",
+                sleep=os.environ.get("OX_BENCH_SLEEP", "0") == "1",
             )
         else:
             from oxylus_tpu.physics.megakernel import megakernel_substeps as mega_fn

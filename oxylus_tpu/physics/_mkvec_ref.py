@@ -58,14 +58,11 @@ PLANE_SC = 16
 #   nx ny nz mu  dx0 dy0 dz0  dxc dyc dzc  + per slot [rax ray raz ikn bias d0]
 N_PGEO = 10 + 6 * N_SLOT
 N_LAM = N_SLOT + 3    # per-slot normal lambdas + one pair tangent vector (bf16)
-N_SMALL = 32 + 2      # body rows + paircnt + ovf
-NPK = N_PLANE * N_SLOT  # plane-contact rows: (NPK, b) stacked (plane, slot)
-N_PGEO_P = 9          # plane geo pages: rax ray raz ikn bias nx ny nz mu
-N_PLAM = 4            # plane lambda pages: ln ltx lty ltz (f32)
+N_SMALL = 32 + N_PLANE * N_SLOT * 5 + 2   # body rows + plane geo + paircnt + ovf
+N_PWARM = N_PLANE * N_SLOT * 4
 GROWS = 32            # gathered col-state pages (field-major)
 GSTG = 32             # gather staging rows (hi above lo; max 16 fields/phase)
 SSTG = 12             # scatter staging pages (hi above lo; max 6 rows/phase)
-SLEEP_EVERY = 4       # sleep bookkeeping cadence in substeps (15 Hz)
 
 
 def _ws(c: int, b: int) -> int:
@@ -121,8 +118,7 @@ def _compact_kernel(
     acc8 = next(it)             # (8, b) f32 scatter accumulator
     pgeo = [next(it) for _ in range(N_PGEO)]   # (R, b) f32 geometry caches
     lam = [next(it) for _ in range(N_LAM)]     # (R, b) bf16 lambda caches
-    pgeo_p = [next(it) for _ in range(N_PGEO_P)]  # (NPK, b) f32 plane geo pages
-    plam = [next(it) for _ in range(N_PLAM)]   # (NPK, b) f32 plane lambda pages
+    plam = [next(it) for _ in range(N_PWARM)]  # (1, b) f32 plane lambda caches
     small = [next(it) for _ in range(N_SMALL)]
     if sleep:
         s_sleep, s_timer, s_pusher, s_awakef = (next(it) for _ in range(4))
@@ -134,8 +130,10 @@ def _compact_kernel(
     g_ra = [pgeo[10 + 6 * k : 10 + 6 * (k + 1)] for k in range(N_SLOT)]
     g_lam = lam[:N_SLOT]
     g_lamt = lam[N_SLOT : N_SLOT + 3]
-    p_rax, p_ray, p_raz, p_ikn, p_bias, p_nx, p_ny, p_nz, p_mu = pgeo_p
-    pl_n, pl_tx, pl_ty, pl_tz = plam
+    p_lam = [
+        [plam[(p * N_SLOT + k) * 4 : (p * N_SLOT + k) * 4 + 4] for k in range(N_SLOT)]
+        for p in range(N_PLANE)
+    ]
     (
         s_px, s_py, s_pz, s_vx, s_vy, s_vz, s_wx, s_wy, s_wz,
         s_qx, s_qy, s_qz, s_qw,
@@ -144,8 +142,13 @@ def _compact_kernel(
         s_cax, s_cay, s_caz,
         s_ime, s_imex, s_imey, s_imez,
     ) = small[:32]
-    s_paircnt = small[32]
-    s_ovf = small[33]
+    n_psmall = 32 + N_PLANE * N_SLOT * 5
+    p_geo = [
+        [small[32 + (p * N_SLOT + k) * 5 : 32 + (p * N_SLOT + k) * 5 + 5] for k in range(N_SLOT)]
+        for p in range(N_PLANE)
+    ]
+    s_paircnt = small[n_psmall]
+    s_ovf = small[n_psmall + 1]
 
     def plane_scalars(p):
         o = 8 + p * PLANE_SC
@@ -168,7 +171,7 @@ def _compact_kernel(
     for ref in lam:
         ref[:, :] = jnp.zeros((R, b), LAM_DT)
     for ref in plam:
-        ref[:, :] = jnp.zeros((NPK, b), f32)
+        ref[:] = jnp.zeros((1, b), f32)
     if sleep:
         s_sleep[:] = asleep0[:]
         s_timer[:] = timer0[:]
@@ -223,9 +226,10 @@ def _compact_kernel(
             ws = _ws(c, b)
             tot = jnp.zeros((nrows, SLAB), f32)
             for r in range(R):
+                mt = mt_ref[(r * nc + c) * BCHUNK : (r * nc + c + 1) * BCHUNK, :]
                 mm = jnp.dot(
                     sc_hl[0 : 2 * nrows, r, c * BCHUNK : (c + 1) * BCHUNK],
-                    mt_ref[(c * R + r) * BCHUNK : (c * R + r + 1) * BCHUNK, :],
+                    mt,
                     preferred_element_type=f32,
                 )  # (2*nrows, SLAB)
                 tot = tot + mm[0:nrows] + mm[nrows : 2 * nrows]
@@ -360,9 +364,7 @@ def _compact_kernel(
                         drt = jnp.swapaxes(dr, 0, 1)
                         # empty slots must not scatter onto rank i+0 = self
                         tgt_t = lit + off + drt + jnp.where(drt == 0, 2 * SLAB, 0)
-                        # chunk-major MT layout: scatter_phase walks a chunk's
-                        # R blocks as one contiguous (R*BCHUNK, SLAB) K window
-                        mt_ref[(c * R + r) * BCHUNK : (c * R + r + 1) * BCHUNK, :] = (
+                        mt_ref[(r * nc + c) * BCHUNK : (r * nc + c + 1) * BCHUNK, :] = (
                             jjt == tgt_t
                         ).astype(jnp.bfloat16)
 
@@ -694,10 +696,8 @@ def _compact_kernel(
                 rebuild_pairs()
 
             # --- analytic bounded planes (hub boxes), every substep -----------
-            # all N_SLOT support points of a plane run as (N_SLOT, b) rows with
-            # per-row su/sv sign constants; the NPK pages stack the N_PLANE
-            # blocks: page row q = N_SLOT*p + k
             plane_cnt = jnp.zeros((1, b), jnp.float32)
+            dpxs = []; dpys = []; dpzs = []; nexs = []; neys = []; nezs = []
             body_ax = [
                 (s_r00[:], s_r10[:], s_r20[:], hx[:]),
                 (s_r01[:], s_r11[:], s_r21[:], hy[:]),
@@ -707,18 +707,6 @@ def _compact_kernel(
             dyn_b = dynamic[:] > 0.5
             caxv = s_cax[:]; cayv = s_cay[:]; cazv = s_caz[:]
             radv = rad[:]; hlenv = hlen[:]
-            rows4 = jax.lax.broadcasted_iota(jnp.int32, (N_SLOT, b), 0)
-            su4 = jnp.where(rows4 < 2, 1.0, -1.0)
-            sv4 = jnp.where((rows4 % 2) == 0, 1.0, -1.0)
-            cap_sgn = jnp.where(rows4 == 0, 1.0, jnp.where(rows4 == 1, -1.0, 0.0))
-            use_box_pt = box_b | (rows4 >= 2)
-            # float select: Mosaic rejects bool select_n against a literal
-            shape_gate = jnp.where(
-                rows4 >= 2, box_b.astype(jnp.float32),
-                jnp.where(
-                    rows4 == 1, (box_b | (hlenv > 1e-6)).astype(jnp.float32), 1.0
-                ),
-            ) > 0.5
             for p in range(N_PLANE):
                 P = plane_scalars(p)
                 p_act = P["hu"] > 0.0
@@ -726,6 +714,8 @@ def _compact_kernel(
                 side = P["nx"] * dpx + P["ny"] * dpy + P["nz"] * dpz
                 sgn_p = jnp.where(side >= 0.0, 1.0, -1.0)
                 nex = P["nx"] * sgn_p; ney = P["ny"] * sgn_p; nez = P["nz"] * sgn_p
+                dpxs.append(dpx); dpys.append(dpy); dpzs.append(dpz)
+                nexs.append(nex); neys.append(ney); nezs.append(nez)
 
                 dots = [a[0] * nex + a[1] * ney + a[2] * nez for a in body_ax]
                 absd = [jnp.abs(dv) for dv in dots]
@@ -752,35 +742,45 @@ def _compact_kernel(
                     vfy = vfy + m * ivy * hv_
                     vfz = vfz + m * ivz * hv_
 
-                # box corner points per slot row, capsule endpoints on rows 0/1
-                bx = fx + su4 * ufx + sv4 * vfx
-                by = fy + su4 * ufy + sv4 * vfy
-                bz = fz + su4 * ufz + sv4 * vfz
-                rax = jnp.where(use_box_pt, bx, cap_sgn * caxv - nex * radv)
-                ray = jnp.where(use_box_pt, by, cap_sgn * cayv - ney * radv)
-                raz = jnp.where(use_box_pt, bz, cap_sgn * cazv - nez * radv)
-                wx_c = dpx + rax; wy_c = dpy + ray; wz_c = dpz + raz
-                hgt = nex * wx_c + ney * wy_c + nez * wz_c
-                depth = P["ht"] - hgt
-                pu = P["ux"] * wx_c + P["uy"] * wy_c + P["uz"] * wz_c
-                pv = P["vx"] * wx_c + P["vy"] * wy_c + P["vz"] * wz_c
-                inb = (jnp.abs(pu) <= P["hu"] + margin) & (jnp.abs(pv) <= P["hv"] + margin)
-                touching = (
-                    p_act & dyn_b & shape_gate & inb & (depth > 0.0) & (act[:] > 0.5)
-                )
-                sl4 = slice(N_SLOT * p, N_SLOT * (p + 1))
-                p_rax[sl4, :] = rax; p_ray[sl4, :] = ray; p_raz[sl4, :] = raz
-                p_bias[sl4, :] = jnp.where(
-                    touching, baumgarte / dt * jnp.maximum(depth - slop, 0.0), -1e30
-                )
-                zero4 = jnp.zeros((N_SLOT, b), jnp.float32)
-                p_nx[sl4, :] = nex + zero4
-                p_ny[sl4, :] = ney + zero4
-                p_nz[sl4, :] = nez + zero4
-                p_mu[sl4, :] = jnp.sqrt(fric[:] * P["mu"]) + zero4
-                plane_cnt = plane_cnt + jnp.sum(
-                    touching.astype(jnp.float32), axis=0, keepdims=True
-                )
+                for k in range(N_SLOT):
+                    if k == 0:
+                        su, sv = 1.0, 1.0
+                    elif k == 1:
+                        su, sv = 1.0, -1.0
+                    elif k == 2:
+                        su, sv = -1.0, 1.0
+                    else:
+                        su, sv = -1.0, -1.0
+                    bx = fx + su * ufx + sv * vfx
+                    by = fy + su * ufy + sv * vfy
+                    bz = fz + su * ufz + sv * vfz
+                    if k == 0:
+                        ox = caxv - nex * radv; oy = cayv - ney * radv; oz = cazv - nez * radv
+                    elif k == 1:
+                        ox = -caxv - nex * radv; oy = -cayv - ney * radv; oz = -cazv - nez * radv
+                    else:
+                        ox = oy = oz = None
+                    if ox is None:
+                        rax = bx; ray = by; raz = bz
+                        shape_ok = box_b
+                    else:
+                        rax = jnp.where(box_b, bx, ox)
+                        ray = jnp.where(box_b, by, oy)
+                        raz = jnp.where(box_b, bz, oz)
+                        shape_ok = box_b | (hlenv > 1e-6) if k == 1 else jnp.full_like(box_b, True)
+                    wx_c = dpx + rax; wy_c = dpy + ray; wz_c = dpz + raz
+                    hgt = nex * wx_c + ney * wy_c + nez * wz_c
+                    depth = P["ht"] - hgt
+                    pu = P["ux"] * wx_c + P["uy"] * wy_c + P["uz"] * wz_c
+                    pv = P["vx"] * wx_c + P["vy"] * wy_c + P["vz"] * wz_c
+                    inb = (jnp.abs(pu) <= P["hu"] + margin) & (jnp.abs(pv) <= P["hv"] + margin)
+                    touching = p_act & dyn_b & shape_ok & inb & (depth > 0.0) & (act[:] > 0.5)
+                    s_prax, s_pray, s_praz, _s_pikn, s_pbias = p_geo[p][k]
+                    s_prax[:] = rax; s_pray[:] = ray; s_praz[:] = raz
+                    s_pbias[:] = jnp.where(
+                        touching, baumgarte / dt * jnp.maximum(depth - slop, 0.0), -1e30
+                    )
+                    plane_cnt = plane_cnt + touching.astype(jnp.float32)
 
             cnt = s_paircnt[:] + plane_cnt
             split = jnp.maximum(cnt, 1.0)
@@ -824,17 +824,21 @@ def _compact_kernel(
             else:
                 build_pair_ikn()
 
-            # --- plane effective masses (every substep, all NPK rows) ----------
-            pnxv = p_nx[:, :]; pnyv = p_ny[:, :]; pnzv = p_nz[:, :]
-            prxv = p_rax[:, :]; pryv = p_ray[:, :]; przv = p_raz[:, :]
-            cxn = pryv * pnzv - przv * pnyv
-            cyn = przv * pnxv - prxv * pnzv
-            czn = prxv * pnyv - pryv * pnxv
-            p_ikn[:, :] = 1.0 / (
-                s_ime[:]
-                + s_imex[:] * cxn**2 + s_imey[:] * cyn**2 + s_imez[:] * czn**2
-                + 1e-9
-            )
+            # --- plane effective masses (every substep) ------------------------
+            for p in range(N_PLANE):
+                nex = nexs[p]; ney = neys[p]; nez = nezs[p]
+                for k in range(N_SLOT):
+                    s_prax, s_pray, s_praz, s_pikn, _s_pbias = p_geo[p][k]
+                    rax = s_prax[:]; ray = s_pray[:]; raz = s_praz[:]
+                    cxn = ray * nez - raz * ney
+                    cyn = raz * nex - rax * nez
+                    czn = rax * ney - ray * nex
+                    kn = (
+                        s_ime[:]
+                        + s_imex[:] * cxn**2 + s_imey[:] * cyn**2 + s_imez[:] * czn**2
+                        + 1e-9
+                    )
+                    s_pikn[:] = 1.0 / kn
 
             # ============== solver sweeps over cached geometry =================
             def solve_iter(_, icarry, is_warm=False):
@@ -970,54 +974,64 @@ def _compact_kernel(
                 tqy = tqy + acc8[4:5, :]
                 tqz = tqz + acc8[5:6, :]
 
-                # --- plane-contact impulses (body side only, all NPK rows) -----
-                prax = p_rax[:, :]; pray = p_ray[:, :]; praz = p_raz[:, :]
-                pikn = p_ikn[:, :]; pbias = p_bias[:, :]
-                pnex = p_nx[:, :]; pney = p_ny[:, :]; pnez = p_nz[:, :]
-                if is_warm:
-                    ptouch = (pbias > -1e29).astype(jnp.float32) * warm
-                    plamw = pl_n[:, :] * ptouch
-                    ltx_w = pl_tx[:, :] * ptouch
-                    lty_w = pl_ty[:, :] * ptouch
-                    ltz_w = pl_tz[:, :] * ptouch
-                    pjx = pnex * plamw + ltx_w
-                    pjy = pney * plamw + lty_w
-                    pjz = pnez * plamw + ltz_w
-                    pl_n[:, :] = plamw
-                    pl_tx[:, :] = ltx_w
-                    pl_ty[:, :] = lty_w
-                    pl_tz[:, :] = ltz_w
-                else:
-                    bvx = s_vx[:]; bvy = s_vy[:]; bvz = s_vz[:]
-                    bwx = s_wx[:]; bwy = s_wy[:]; bwz = s_wz[:]
-                    rvx = bvx + bwy * praz - bwz * pray
-                    rvy = bvy + bwz * prax - bwx * praz
-                    rvz = bvz + bwx * pray - bwy * prax
-                    vn = rvx * pnex + rvy * pney + rvz * pnez
-                    ln_old = pl_n[:, :]
-                    ln_new = jnp.maximum(ln_old - (vn - pbias) * pikn, 0.0)
-                    dlam = ln_new - ln_old
-                    pl_n[:, :] = ln_new
-                    tvx = rvx - vn * pnex
-                    tvy = rvy - vn * pney
-                    tvz = rvz - vn * pnez
-                    ltx_old = pl_tx[:, :]; lty_old = pl_ty[:, :]; ltz_old = pl_tz[:, :]
-                    ltx_c = ltx_old - tvx * pikn
-                    lty_c = lty_old - tvy * pikn
-                    ltz_c = ltz_old - tvz * pikn
-                    ltl = jnp.sqrt(ltx_c * ltx_c + lty_c * lty_c + ltz_c * ltz_c) + 1e-9
-                    tscale = jnp.minimum(p_mu[:, :] * ln_new / ltl, 1.0)
-                    ltx_n = ltx_c * tscale; lty_n = lty_c * tscale; ltz_n = ltz_c * tscale
-                    pl_tx[:, :] = ltx_n; pl_ty[:, :] = lty_n; pl_tz[:, :] = ltz_n
-                    pjx = pnex * dlam + (ltx_n - ltx_old)
-                    pjy = pney * dlam + (lty_n - lty_old)
-                    pjz = pnez * dlam + (ltz_n - ltz_old)
-                accx = accx + jnp.sum(pjx, axis=0, keepdims=True)
-                accy = accy + jnp.sum(pjy, axis=0, keepdims=True)
-                accz = accz + jnp.sum(pjz, axis=0, keepdims=True)
-                tqx = tqx + jnp.sum(pray * pjz - praz * pjy, axis=0, keepdims=True)
-                tqy = tqy + jnp.sum(praz * pjx - prax * pjz, axis=0, keepdims=True)
-                tqz = tqz + jnp.sum(prax * pjy - pray * pjx, axis=0, keepdims=True)
+                # --- plane-contact impulses (body side only) -------------------
+                bvx = s_vx[:]; bvy = s_vy[:]; bvz = s_vz[:]
+                bwx = s_wx[:]; bwy = s_wy[:]; bwz = s_wz[:]
+                fricv = fric[:]
+                for p in range(N_PLANE):
+                    P = plane_scalars(p)
+                    nex = nexs[p]; ney = neys[p]; nez = nezs[p]
+                    mu_p = jnp.sqrt(fricv * P["mu"])
+                    for k in range(N_SLOT):
+                        s_prax, s_pray, s_praz, s_pikn, s_pbias = p_geo[p][k]
+                        rax = s_prax[:]; ray = s_pray[:]; raz = s_praz[:]
+                        ikn = s_pikn[:]; bias = s_pbias[:]
+
+                        if is_warm:
+                            s_ln, s_ltx2, s_lty2, s_ltz2 = p_lam[p][k]
+                            touch = (bias > -1e29).astype(jnp.float32) * warm
+                            lamw = s_ln[:] * touch
+                            jx = nex * lamw + s_ltx2[:] * touch
+                            jy = ney * lamw + s_lty2[:] * touch
+                            jz = nez * lamw + s_ltz2[:] * touch
+                            s_ln[:] = lamw
+                            s_ltx2[:] = s_ltx2[:] * touch
+                            s_lty2[:] = s_lty2[:] * touch
+                            s_ltz2[:] = s_ltz2[:] * touch
+                            accx = accx + jx; accy = accy + jy; accz = accz + jz
+                            tqx = tqx + ray * jz - raz * jy
+                            tqy = tqy + raz * jx - rax * jz
+                            tqz = tqz + rax * jy - ray * jx
+                            continue
+
+                        rvx = bvx + bwy * raz - bwz * ray
+                        rvy = bvy + bwz * rax - bwx * raz
+                        rvz = bvz + bwx * ray - bwy * rax
+                        vn = rvx * nex + rvy * ney + rvz * nez
+
+                        s_ln, s_ltx2, s_lty2, s_ltz2 = p_lam[p][k]
+                        ln_old = s_ln[:]
+                        ln_new = jnp.maximum(ln_old - (vn - bias) * ikn, 0.0)
+                        dlam = ln_new - ln_old
+                        s_ln[:] = ln_new
+                        tvx = rvx - vn * nex
+                        tvy = rvy - vn * ney
+                        tvz = rvz - vn * nez
+                        ltx_old = s_ltx2[:]; lty_old = s_lty2[:]; ltz_old = s_ltz2[:]
+                        ltx_c = ltx_old - tvx * ikn
+                        lty_c = lty_old - tvy * ikn
+                        ltz_c = ltz_old - tvz * ikn
+                        ltl = jnp.sqrt(ltx_c * ltx_c + lty_c * lty_c + ltz_c * ltz_c) + 1e-9
+                        tscale = jnp.minimum(mu_p * ln_new / ltl, 1.0)
+                        ltx_n = ltx_c * tscale; lty_n = lty_c * tscale; ltz_n = ltz_c * tscale
+                        s_ltx2[:] = ltx_n; s_lty2[:] = lty_n; s_ltz2[:] = ltz_n
+                        jx = nex * dlam + (ltx_n - ltx_old)
+                        jy = ney * dlam + (lty_n - lty_old)
+                        jz = nez * dlam + (ltz_n - ltz_old)
+                        accx = accx + jx; accy = accy + jy; accz = accz + jz
+                        tqx = tqx + ray * jz - raz * jy
+                        tqy = tqy + raz * jx - rax * jz
+                        tqz = tqz + rax * jy - ray * jx
 
                 mov_f = movable[:]
                 if sleep:
@@ -1034,13 +1048,7 @@ def _compact_kernel(
             jax.lax.fori_loop(0, iterations, solve_iter, 0, unroll=False)
 
             # --- sleeping: wake propagation + deactivation timers --------------
-            # runs at SLEEP_EVERY-substep cadence (15 Hz at 60 Hz substeps):
-            # timers accumulate real time per check, so the sleep_time
-            # threshold is reached at the same wall-clock; wake latency is at
-            # most SLEEP_EVERY-1 substeps (bodies are awake during impact, so
-            # the approximation only delays chain-reaction wakeups)
             if sleep:
-              def sleep_update():
                 vxs = s_vx[:]; vys = s_vy[:]; vzs = s_vz[:]
                 wxs = s_wx[:]; wys = s_wy[:]; wzs = s_wz[:]
                 sp2 = vxs * vxs + vys * vys + vzs * vzs + r_eff2[:] * (
@@ -1064,7 +1072,7 @@ def _compact_kernel(
                 # plane contacts never wake (planes are static hubs)
                 wk = (wake > 0.5).astype(jnp.float32)
                 eligible = (1.0 - moving) * can_sleep[:] * (1.0 - wk)
-                timer = (s_timer[:] + dt * SLEEP_EVERY) * eligible
+                timer = (s_timer[:] + dt) * eligible
                 fall = (timer >= sleep_time).astype(jnp.float32) * eligible
                 new_sleep = jnp.minimum(s_sleep[:] * (1.0 - wk) + fall, 1.0)
                 s_sleep[:] = new_sleep
@@ -1073,8 +1081,6 @@ def _compact_kernel(
                 keep = 1.0 - new_sleep
                 s_vx[:] = vxs * keep; s_vy[:] = vys * keep; s_vz[:] = vzs * keep
                 s_wx[:] = wxs * keep; s_wy[:] = wys * keep; s_wz[:] = wzs * keep
-
-              pl.when((step_i % SLEEP_EVERY) == (SLEEP_EVERY - 1))(sleep_update)
 
             # --- integrate positions -------------------------------------------
             mov_dt = movable[:] * dt
@@ -1223,8 +1229,7 @@ def megakernel_substeps_compact(
         + [pltpu.VMEM((8, b), jnp.float32)]                    # acc8
         + [pltpu.VMEM((R, b), jnp.float32)] * N_PGEO
         + [pltpu.VMEM((R, b), LAM_DT)] * N_LAM
-        + [pltpu.VMEM((NPK, b), jnp.float32)] * N_PGEO_P
-        + [pltpu.VMEM((NPK, b), jnp.float32)] * N_PLAM
+        + [pltpu.VMEM((1, b), jnp.float32)] * N_PWARM
         + [pltpu.VMEM((1, b), jnp.float32)] * N_SMALL
         + ([pltpu.VMEM((1, b), jnp.float32)] * 4 if sleep else [])
     )
