@@ -113,6 +113,7 @@ class SceneRunner:
                 ms_lut = multiscatter_lut(atmosphere, t_lut)
                 self.renderer3d._sky_cache[atmosphere] = (t_lut, ms_lut)
         self._render3d_jit = None
+        self._full3d_jit = None
         self.bindings = bindings or default_bindings(scene.spec.padded_entities())
 
     # ------------------------------------------------------------------ camera
@@ -144,6 +145,26 @@ class SceneRunner:
     # ------------------------------------------------------------------ stepping
     def step(self, dt: float = 1.0 / 60.0, render: bool = True):
         """One frame: simulate (+render when enabled). Returns the final image or None."""
+        # fused 3D path: simulate + camera + render in ONE jit dispatch.
+        # Eagerly-glued stages each cost a pjit round trip over the accelerator
+        # tunnel (~1 ms) plus host tracing glue (~4-7 ms/frame total measured);
+        # the fused graph pays one dispatch. The separate-stage path below stays
+        # for megakernel/2D/no-render modes and contact-event frames keep
+        # working off the returned ps.
+        if (
+            render
+            and self.render_mode == "3d"
+            and self.gscene is not None
+            and not self.use_megakernel
+        ):
+            self.active_camera()  # resolve + cache the host-side camera index
+            if self._camera_idx >= 0:
+                image = self._step_render3d_fused(dt)
+                self._post_step_events()
+                self.frame_index += 1
+                self.last_frame = image
+                PROFILER.frame_mark()
+                return image
         with PROFILER.zone("frame_step"):
             if self.use_megakernel:
                 # throughput path: physics via the Pallas mega-kernel, then the
@@ -184,35 +205,7 @@ class SceneRunner:
                     self.state, self.ps, self.physics_params, jnp.float32(dt),
                     self.scene.spec, has_bodies=self._has_bodies,
                 )
-        if (
-            self.contact_tracker is not None
-            and self.frame_index % self.contact_events_every == 0
-        ):
-            # one batched device→host sync for both event trackers: enqueue the
-            # (async) contact query, then fetch all event arrays in a single
-            # transfer instead of per-tracker round trips over the tunnel
-            from .physics.events import query_contacts
-
-            ent_a, ent_b, valid, asleep, entity = jax.device_get(
-                (*query_contacts(self.ps, self.physics_params), self.ps.asleep, self.ps.entity)
-            )
-            added, persisted, removed = self.contact_tracker.update_from_arrays(
-                ent_a, ent_b, valid
-            )
-            for system in self.scene.lua_systems.values():
-                for a, b in added:
-                    system.on_contact_added(self.scene, a, b)
-                for a, b in persisted:
-                    system.on_contact_persisted(self.scene, a, b)
-                for a, b in removed:
-                    system.on_contact_removed(self.scene, a, b)
-            if self.activation_tracker is not None:
-                act, deact = self.activation_tracker.update_from_arrays(asleep, entity)
-                for system in self.scene.lua_systems.values():
-                    for e in act:
-                        system.on_body_activated(self.scene, e)
-                    for e in deact:
-                        system.on_body_deactivated(self.scene, e)
+        self._post_step_events()
         self.frame_index += 1
 
         image = None
@@ -252,6 +245,72 @@ class SceneRunner:
                     self.carry = out["carry"]
         self.last_frame = image
         PROFILER.frame_mark()
+        return image
+
+    def _post_step_events(self) -> None:
+        """Contact/activation script callbacks off the post-step physics state."""
+        if (
+            self.contact_tracker is None
+            or self.frame_index % self.contact_events_every != 0
+        ):
+            return
+        # one batched device→host sync for both event trackers: enqueue the
+        # (async) contact query, then fetch all event arrays in a single
+        # transfer instead of per-tracker round trips over the tunnel
+        from .physics.events import query_contacts
+
+        ent_a, ent_b, valid, asleep, entity = jax.device_get(
+            (*query_contacts(self.ps, self.physics_params), self.ps.asleep, self.ps.entity)
+        )
+        added, persisted, removed = self.contact_tracker.update_from_arrays(
+            ent_a, ent_b, valid
+        )
+        for system in self.scene.lua_systems.values():
+            for a, b in added:
+                system.on_contact_added(self.scene, a, b)
+            for a, b in persisted:
+                system.on_contact_persisted(self.scene, a, b)
+            for a, b in removed:
+                system.on_contact_removed(self.scene, a, b)
+        if self.activation_tracker is not None:
+            act, deact = self.activation_tracker.update_from_arrays(asleep, entity)
+            for system in self.scene.lua_systems.values():
+                for e in act:
+                    system.on_body_activated(self.scene, e)
+                for e in deact:
+                    system.on_body_deactivated(self.scene, e)
+
+    def _step_render3d_fused(self, dt: float):
+        """Simulate + camera + render as one compiled graph, one dispatch."""
+        if getattr(self, "_has_bodies", None) is None:
+            self._has_bodies = bool(np.asarray(self.ps.active).any())
+        if self._full3d_jit is None:
+            spec = self.scene.spec
+            cam_idx = self._camera_idx
+            aspect = jnp.float32(self.width / self.height)
+            has_bodies = self._has_bodies
+
+            def _full3d(state, ps, gscene, materials, atlas, carry, dtv):
+                state, ps = frame_step(
+                    state, ps, self.physics_params, dtv, spec,
+                    has_bodies=has_bodies,
+                )
+                camera = camera_from_state(state, cam_idx, aspect)
+                ctx = self.renderer3d.render(
+                    state, gscene, camera, materials, atlas,
+                    self.config, prev=carry,
+                    atmosphere=self.atmosphere,
+                    enable_shadows=self.enable_shadows,
+                )
+                return state, ps, ctx["final"], ctx.get("carry", {})
+
+            self._full3d_jit = jax.jit(_full3d)
+        with PROFILER.zone("frame3d_fused"):
+            self.state, self.ps, image, self.carry = self._full3d_jit(
+                self.state, self.ps, self.gscene,
+                self.bindings.materials, self.bindings.atlas, self.carry,
+                jnp.float32(dt),
+            )
         return image
 
     def run(self, frames: int, dt: float = 1.0 / 60.0, render: bool = True):
