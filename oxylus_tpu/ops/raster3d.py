@@ -119,6 +119,36 @@ def rasterize_reference(
 ROWG = 8  # sublane row-group for blocked per-tile inputs (TPU block rule)
 
 
+def _pmat16_local():
+    """(16, PIX) bf16 pixel matrix in TILE-LOCAL coordinates, rows
+    [x, y, 1, 0×5] twice. Local coords k+0.5 (k < TILE ≤ 64) are EXACTLY
+    representable in bf16, which is what makes the single-pass bf16 plane
+    matmul below exact: Precision.HIGHEST (6 bf16 passes) measured ~8 ms/frame
+    at 1080p vs DEFAULT's one pass."""
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    xl = (lin % TILE).astype(jnp.float32) + 0.5
+    yl = (lin // TILE).astype(jnp.float32) + 0.5
+    r8 = jax.lax.broadcasted_iota(jnp.int32, (16, PIX), 0) % 8
+    pm = jnp.where(r8 == 0, xl, jnp.where(r8 == 1, yl, jnp.where(r8 == 2, 1.0, 0.0)))
+    return pm.astype(jnp.bfloat16), xl, yl
+
+
+def _local_hilo16(blk, x0, y0):
+    """(8, C) f32 coefficient rows [a, b, c, 0…] → (16, C) bf16 operand
+    [a_hi b_hi c'_hi 0… | a_lo b_lo c'_lo 0…] with c' = c + a·x0 + b·y0
+    (tile-local constant). Contracted against _pmat16_local()'s 16 rows, the
+    matmul itself sums the hi and lo partial products: e = (a_hi+a_lo)·xl +
+    (b_hi+b_lo)·yl + (c'_hi+c'_lo), exact to ~2⁻¹⁶ relative — bf16×bf16
+    products are exact in the f32 accumulator, so the only error is the
+    hi/lo split truncation of the f32 coefficients."""
+    cp = blk[2:3, :] + x0 * blk[0:1, :] + y0 * blk[1:2, :]
+    rid = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0)
+    loc = jnp.where(rid == 2, cp, jnp.where(rid < 2, blk, 0.0))
+    hi = loc.astype(jnp.bfloat16)
+    lo = (loc - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=0)
+
+
 def _raster_kernel(tile_list_ref, cnt_ref, tx_ref, coeff_ref, depth_out, vid_out):
     """Per-tile meshlet loop with every Mosaic/perf lesson from the 2D kernel
     (PERF_NOTES.md): coefficients resident in VMEM (serial per-hit DMAs cost
@@ -132,14 +162,7 @@ def _raster_kernel(tile_list_ref, cnt_ref, tx_ref, coeff_ref, depth_out, vid_out
     tx = tx_ref[0]
     x0 = ((t % tx) * TILE).astype(jnp.float32)
     y0 = ((t // tx) * TILE).astype(jnp.float32)
-    lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
-    px = x0 + (lin % TILE).astype(jnp.float32) + 0.5  # (1, PIX)
-    py = y0 + (lin // TILE).astype(jnp.float32) + 0.5
-
-    # pmat8 (8, PIX): rows [x, y, 1, 0…] — contracted against the 8-row-padded
-    # coefficient block so e = cmᵀ · pmat lands slots-on-sublanes
-    rid = jax.lax.broadcasted_iota(jnp.int32, (8, PIX), 0)
-    pmat8 = jnp.where(rid == 0, px, jnp.where(rid == 1, py, jnp.where(rid == 2, 1.0, 0.0)))
+    pmat16, _xl, _yl = _pmat16_local()
 
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (n_slots, PIX), 0)
     n = cnt_ref[row, 0]
@@ -147,12 +170,11 @@ def _raster_kernel(tile_list_ref, cnt_ref, tx_ref, coeff_ref, depth_out, vid_out
     def loop(k, carry):
         depth, vid = carry  # (1, PIX) f32 / i32
         vm = tile_list_ref[row, k]
-        blk = coeff_ref[pl.ds(vm * 8, 8), :]  # (8, 4R)
+        blk = _local_hilo16(coeff_ref[pl.ds(vm * 8, 8), :], x0, y0)  # (16, 5R) bf16
         e = jax.lax.dot_general(
-            blk, pmat8,
+            blk, pmat16,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
         )  # (5R, PIX) — plane-major rows: e0 | e1 | e2 | zn | wd
         e0 = e[0:n_slots, :]
         e1 = e[n_slots : 2 * n_slots, :]
@@ -287,6 +309,25 @@ def pack_gbuffer_coeff_matrix(
     return cm6, attrB.reshape(vm * r, 128)
 
 
+# VMEM budget for the resident-attribute raster variant: the bf16 hi/lo packed
+# attribute matrix (VM·R, 128) costs VM·R·256 bytes; together with the resident
+# 6-plane matrix and the pipeline's output blocks it must stay under the 110 MB
+# kernel cap (rasterize_gbuffer_pallas decides per shape at trace time)
+ATTR_VMEM_BYTES = 48 * 1024 * 1024
+
+
+def pack_attrB_hilo(attrB128: Array) -> Array:
+    """(VM·R, 128) f32 [hi48-source | pad] → (VM·R, 128) bf16
+    [hi(48) | 0×16 | lo(48) | 0×16]: one resident bf16 matrix whose single
+    (R,128)ᵀ·(R,PIX) matmul yields both hi and lo one-hot selections
+    (rows 0:48 and 64:112 of the result), exact to ~2^-16 relative."""
+    a = attrB128[:, :ATTR_W]
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    z16 = jnp.zeros((a.shape[0], 64 - ATTR_W), jnp.bfloat16)
+    return jnp.concatenate([hi, z16, lo, z16], axis=-1)
+
+
 def _gbuffer_kernel(
     tile_list_ref, cnt_ref, tx_ref, cm6_vmem, attr_hbm, depth_out, vid_out, gb_out,
     bbuf, bsem
@@ -316,11 +357,9 @@ def _gbuffer_kernel(
     tx = tx_ref[0]
     x0 = ((t % tx) * TILE).astype(jnp.float32)
     y0 = ((t // tx) * TILE).astype(jnp.float32)
-    lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
-    px = x0 + (lin % TILE).astype(jnp.float32) + 0.5
-    py = y0 + (lin // TILE).astype(jnp.float32) + 0.5
-    rid = jax.lax.broadcasted_iota(jnp.int32, (8, PIX), 0)
-    pmat8 = jnp.where(rid == 0, px, jnp.where(rid == 1, py, jnp.where(rid == 2, 1.0, 0.0)))
+    pmat16, xl, yl = _pmat16_local()
+    px = x0 + xl  # global coords for the phase-B f32 attribute evaluation
+    py = y0 + yl
 
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (n_slots, PIX), 0)
     n = cnt_ref[row, 0]
@@ -341,12 +380,11 @@ def _gbuffer_kernel(
     def loop_a(k, carry):
         depth, vid, ssb = carry
         vm = tile_list_ref[row, k]
-        blk = cm6_vmem[pl.ds(vm * 8, 8), :]  # (8, 6R) resident — no DMA
+        blk = _local_hilo16(cm6_vmem[pl.ds(vm * 8, 8), :], x0, y0)  # (16, 6R) bf16
         e = jax.lax.dot_general(
-            blk, pmat8,
+            blk, pmat16,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
         )  # (6R, PIX)
         e0 = e[0:n_slots, :]
         e1 = e[n_slots : 2 * n_slots, :]
@@ -431,6 +469,91 @@ def _gbuffer_kernel(
     gb_out[pl.ds(row * N_GB_ATTR + 8, 8), :] = gb[8:16, :]
 
 
+def _gbuffer_kernel_resident(
+    tile_list_ref, cnt_ref, tx_ref, cm6_vmem, attr_vmem, depth_out, vid_out, gb_out
+):
+    """Resident-attribute G-buffer raster: identical to `_gbuffer_kernel` except
+    phase B reads the winner's attribute coefficients from a VMEM-resident
+    bf16 hi/lo matrix (pack_attrB_hilo) — no per-hit DMA, no semaphores, and
+    ONE (R,128)·(R,PIX) matmul per hit whose result carries hi rows 0:48 and
+    lo rows 64:112. Chosen by rasterize_gbuffer_pallas when the matrix fits
+    the VMEM budget; the HBM double-buffered variant handles larger scenes."""
+    t = pl.program_id(0)
+    row = t % ROWG
+    n_slots = cm6_vmem.shape[-1] // N_GB_PLANES
+
+    tx = tx_ref[0]
+    x0 = ((t % tx) * TILE).astype(jnp.float32)
+    y0 = ((t // tx) * TILE).astype(jnp.float32)
+    pmat16, xl, yl = _pmat16_local()
+    px = x0 + xl  # global coords for the phase-B f32 attribute evaluation
+    py = y0 + yl
+
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (n_slots, PIX), 0)
+    n = cnt_ref[row, 0]
+
+    def loop_a(k, carry):
+        depth, vid, ssb = carry
+        vm = tile_list_ref[row, k]
+        blk = _local_hilo16(cm6_vmem[pl.ds(vm * 8, 8), :], x0, y0)  # (16, 6R) bf16
+        e = jax.lax.dot_general(
+            blk, pmat16,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (6R, PIX)
+        e0 = e[0:n_slots, :]
+        e1 = e[n_slots : 2 * n_slots, :]
+        e2 = e[2 * n_slots : 3 * n_slots, :]
+        zn = e[3 * n_slots : 4 * n_slots, :]
+        wd = e[4 * n_slots : 5 * n_slots, :]
+        ss = e[5 * n_slots :, :]
+        cover = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (wd > 0) & (zn >= 0) & (zn <= wd)
+        z = zn / jnp.where(wd > 0, wd, 1.0)
+        zm = jnp.where(cover, z, -1.0)
+        best = jnp.max(zm, axis=0, keepdims=True)
+        arg = jnp.min(
+            jnp.where(zm >= best, slot_iota, jnp.int32(1 << 20)), axis=0, keepdims=True
+        )
+        ssw = jnp.sum(jnp.where(slot_iota == arg, ss, 0.0), axis=0, keepdims=True)
+        better = best > depth
+        pid = vm * 256 + arg
+        return (
+            jnp.where(better, best, depth),
+            jnp.where(better, pid, vid),
+            jnp.where(better, ssw, ssb),
+        )
+
+    depth0 = jnp.zeros((1, PIX), jnp.float32)
+    vid0 = jnp.full((1, PIX), -1, jnp.int32)
+    ss0 = jnp.zeros((1, PIX), jnp.float32)
+    depth, vid, ssb = jax.lax.fori_loop(0, n, loop_a, (depth0, vid0, ss0))
+
+    def loop_b(k, gb):
+        vm = tile_list_ref[row, k]
+        blk = attr_vmem[pl.ds(vm * n_slots, n_slots), :]  # (R, 128) bf16 resident
+        key = vid - vm * 256
+        onehot = (slot_iota == key).astype(jnp.bfloat16)
+        sel = jax.lax.dot_general(
+            blk, onehot,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (128, PIX): rows 0:48 hi selection, 64:112 lo selection
+        a = sel[0:16, :] + sel[64:80, :]
+        b = sel[16:32, :] + sel[80:96, :]
+        c = sel[32:48, :] + sel[96:112, :]
+        attrs = a * px + b * py + c
+        mine = (key >= 0) & (key < n_slots)
+        return jnp.where(mine, attrs, gb)
+
+    gb = jax.lax.fori_loop(0, n, loop_b, jnp.zeros((N_GB_ATTR, PIX), jnp.float32))
+
+    rw = 1.0 / jnp.where(jnp.abs(ssb) > 1e-12, ssb, 1.0)
+    depth_out[pl.ds(row, 1), :] = depth
+    vid_out[pl.ds(row, 1), :] = vid
+    gb_out[pl.ds(row * N_GB_ATTR, 8), :] = gb[0:8, :] * rw
+    gb_out[pl.ds(row * N_GB_ATTR + 8, 8), :] = gb[8:16, :]
+
+
 @partial(jax.jit, static_argnames=("width", "height", "interpret"))
 def rasterize_gbuffer_pallas(
     coeff_mat: Array, attr_mat: Array, tile_list: Array, width: int, height: int,
@@ -456,35 +579,53 @@ def rasterize_gbuffer_pallas(
         return a
 
     n_tiles_pad = ((n_tiles + ROWG - 1) // ROWG) * ROWG
-    depth, vid, gb = pl.pallas_call(
-        _gbuffer_kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((ROWG, k_cap), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ROWG, 1), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # 6-plane matrix resident in VMEM
-            pl.BlockSpec(memory_space=pl.ANY),      # attr coefficients stay in HBM
-        ],
-        out_specs=[
-            pl.BlockSpec((ROWG, PIX), lambda t: (t // ROWG, 0)),
-            pl.BlockSpec((ROWG, PIX), lambda t: (t // ROWG, 0)),
-            pl.BlockSpec((ROWG * N_GB_ATTR, PIX), lambda t: (t // ROWG, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles_pad, PIX), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles_pad, PIX), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles_pad * N_GB_ATTR, PIX), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2 * n_slots, 128), jnp.float32),  # phase-B double buffer
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(pad_rows(tl_c, 0), pad_rows(cnt, 0), jnp.array([tx], jnp.int32), coeff_pad, attr_mat)
+    out_specs = [
+        pl.BlockSpec((ROWG, PIX), lambda t: (t // ROWG, 0)),
+        pl.BlockSpec((ROWG, PIX), lambda t: (t // ROWG, 0)),
+        pl.BlockSpec((ROWG * N_GB_ATTR, PIX), lambda t: (t // ROWG, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles_pad, PIX), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles_pad, PIX), jnp.int32),
+        jax.ShapeDtypeStruct((n_tiles_pad * N_GB_ATTR, PIX), jnp.float32),
+    ]
+    base_specs = [
+        pl.BlockSpec((ROWG, k_cap), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((ROWG, 1), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # 6-plane matrix resident in VMEM
+    ]
+    args = (pad_rows(tl_c, 0), pad_rows(cnt, 0), jnp.array([tx], jnp.int32), coeff_pad)
+    if attr_mat.shape[0] * 256 <= ATTR_VMEM_BYTES:
+        # resident phase B: the bf16 hi/lo attribute matrix lives in VMEM —
+        # no per-hit DMA latency (dominant on ~1-hit tiles), no drain conds
+        depth, vid, gb = pl.pallas_call(
+            _gbuffer_kernel_resident,
+            grid=(n_tiles,),
+            in_specs=base_specs + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*args, pack_attrB_hilo(attr_mat))
+    else:
+        depth, vid, gb = pl.pallas_call(
+            _gbuffer_kernel,
+            grid=(n_tiles,),
+            in_specs=base_specs + [pl.BlockSpec(memory_space=pl.ANY)],  # attrs in HBM
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((2 * n_slots, 128), jnp.float32),  # phase-B double buffer
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*args, attr_mat)
 
     def untile(a):
         a = a[:n_tiles].reshape(ty, tx, TILE, TILE)

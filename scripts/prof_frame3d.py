@@ -89,3 +89,11 @@ for _ in range(6):
     t0 = time.perf_counter(); img = runner.step(); jax.block_until_ready(img)
     ts.append((time.perf_counter() - t0) * 1e3)
 print(f"CONFIG {cfg} {W}x{H} obj={N_OBJ}: median {sorted(ts)[len(ts)//2]:.1f} ms  all={['%.1f' % t for t in ts]}")
+
+# throughput mode (pipelined, like bench.py): OX_THROUGHPUT=1
+if os.environ.get("OX_THROUGHPUT") == "1":
+    runner.run(2)
+    t0 = time.perf_counter()
+    runner.run(40)
+    el = time.perf_counter() - t0
+    print(f"THROUGHPUT {cfg} {W}x{H} obj={N_OBJ}: {40/el:.2f} fps ({el/40*1e3:.1f} ms/frame)")
