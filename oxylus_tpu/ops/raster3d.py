@@ -271,7 +271,7 @@ ATTR_W = 48        # phase-B lanes per slot: [a(16) | b(16) | c(16)] coefficient
 
 def pack_gbuffer_coeff_matrix(
     coeffs: Array,       # (VM, R, 5, 3) from setup_triangles
-    attr_planes: Array,  # (VM, R, 9, 3) from setup_triangles: ss + 8 raw attrs
+    attr_planes: Array,  # (VM, R, 6, 3) from setup_triangles: ss + nrm xyz + uv
     tri_valid: Array,    # (VM, R)
     mat_consts: Array,   # (VM, 8) per-meshlet material constants
 ) -> tuple[Array, Array]:
@@ -298,12 +298,13 @@ def pack_gbuffer_coeff_matrix(
     allp = jnp.swapaxes(allp, 2, 3)       # (VM, 3, 6, R)
     cm6 = allp.reshape(vm, 3, N_GB_PLANES * r)
 
-    ap = attr_planes[:, :, 1:9, :]        # (VM, R, 8, 3) perspective attr planes
-    zero8 = jnp.zeros((vm, r, 8), ap.dtype)
+    ap = attr_planes[:, :, 1:6, :]        # (VM, R, 5, 3) perspective attr planes
+    z11 = jnp.zeros((vm, r, 11), ap.dtype)
+    z3 = jnp.zeros((vm, r, 3), ap.dtype)
     consts = jnp.broadcast_to(mat_consts[:, None, :], (vm, r, 8)).astype(ap.dtype)
     attrB = jnp.concatenate(
-        [ap[..., 0], zero8, ap[..., 1], zero8, ap[..., 2], consts], axis=-1
-    )  # (VM, R, 48)
+        [ap[..., 0], z11, ap[..., 1], z11, ap[..., 2], z3, consts], axis=-1
+    )  # (VM, R, 48): 16-lane groups [a | b | c+consts]
     # lane-pad to 128: Mosaic DMA slices of HBM arrays need 128-aligned lane widths
     attrB = jnp.pad(attrB, ((0, 0), (0, 0), (0, 128 - ATTR_W)))
     return cm6, attrB.reshape(vm * r, 128)
@@ -465,8 +466,11 @@ def _gbuffer_kernel(
     depth_out[pl.ds(row, 1), :] = depth
     vid_out[pl.ds(row, 1), :] = vid
     # first 8 attrs are perspective planes (÷ Σeᵢ of the winner); last 8 consts
-    gb_out[pl.ds(row * N_GB_ATTR, 8), :] = gb[0:8, :] * rw
-    gb_out[pl.ds(row * N_GB_ATTR + 8, 8), :] = gb[8:16, :]
+    # bf16 G-buffer: normals/uv/material factors tolerate 8-bit mantissas and
+    # the (T*16, PIX) untile chain halves its traffic; world position is
+    # reconstructed from f32 depth downstream, never stored
+    gb_out[pl.ds(row * N_GB_ATTR, 8), :] = (gb[0:8, :] * rw).astype(jnp.bfloat16)
+    gb_out[pl.ds(row * N_GB_ATTR + 8, 8), :] = gb[8:16, :].astype(jnp.bfloat16)
 
 
 def _gbuffer_kernel_resident(
@@ -550,8 +554,11 @@ def _gbuffer_kernel_resident(
     rw = 1.0 / jnp.where(jnp.abs(ssb) > 1e-12, ssb, 1.0)
     depth_out[pl.ds(row, 1), :] = depth
     vid_out[pl.ds(row, 1), :] = vid
-    gb_out[pl.ds(row * N_GB_ATTR, 8), :] = gb[0:8, :] * rw
-    gb_out[pl.ds(row * N_GB_ATTR + 8, 8), :] = gb[8:16, :]
+    # bf16 G-buffer: normals/uv/material factors tolerate 8-bit mantissas and
+    # the (T*16, PIX) untile chain halves its traffic; world position is
+    # reconstructed from f32 depth downstream, never stored
+    gb_out[pl.ds(row * N_GB_ATTR, 8), :] = (gb[0:8, :] * rw).astype(jnp.bfloat16)
+    gb_out[pl.ds(row * N_GB_ATTR + 8, 8), :] = gb[8:16, :].astype(jnp.bfloat16)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "interpret"))
@@ -587,7 +594,7 @@ def rasterize_gbuffer_pallas(
     out_shape = [
         jax.ShapeDtypeStruct((n_tiles_pad, PIX), jnp.float32),
         jax.ShapeDtypeStruct((n_tiles_pad, PIX), jnp.int32),
-        jax.ShapeDtypeStruct((n_tiles_pad * N_GB_ATTR, PIX), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles_pad * N_GB_ATTR, PIX), jnp.bfloat16),
     ]
     base_specs = [
         pl.BlockSpec((ROWG, k_cap), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
@@ -637,21 +644,38 @@ def rasterize_gbuffer_pallas(
     return untile(depth), untile(vid), gbt[:height, :width]
 
 
-def gbuffer_from_raster(gb: Array, vid: Array) -> dict[str, Array]:
-    """Unpack the kernel's (H, W, 16) attribute image into the GBuffer dict that
-    decode_visbuffer produces (ops/decode3d.py) — no per-pixel gathers."""
+def gbuffer_from_raster(
+    gb: Array, vid: Array, depth: Array, inv_view_proj: Array
+) -> dict[str, Array]:
+    """Unpack the kernel's (H, W, 16) bf16 attribute image into the GBuffer dict
+    that decode_visbuffer produces (ops/decode3d.py) — no per-pixel gathers.
+    Lanes: [nrm xyz, uv, pad×3, alb rgb, metallic, roughness, emissive rgb].
+    World position is reconstructed from the f32 depth by unprojecting the
+    pixel's NDC through inv_view_proj (the standard deferred-shading trick) —
+    interpolating it in bf16 would cost ~0.2 units of error at scene scale."""
     hit = vid >= 0
     hitf = hit[..., None]
-    nrm = gb[..., 3:6]
+    g = gb.astype(jnp.float32)
+    nrm = g[..., 0:3]
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+    h, w = depth.shape
+    ndc_x = (jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5) * (2.0 / w) - 1.0
+    ndc_y = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5) * (2.0 / h) - 1.0
+    m = inv_view_proj
+    hx = m[0, 0] * ndc_x + m[0, 1] * ndc_y + m[0, 2] * depth + m[0, 3]
+    hy = m[1, 0] * ndc_x + m[1, 1] * ndc_y + m[1, 2] * depth + m[1, 3]
+    hz = m[2, 0] * ndc_x + m[2, 1] * ndc_y + m[2, 2] * depth + m[2, 3]
+    hw = m[3, 0] * ndc_x + m[3, 1] * ndc_y + m[3, 2] * depth + m[3, 3]
+    inv_w = 1.0 / jnp.where(jnp.abs(hw) > 1e-12, hw, 1.0)
+    wpos = jnp.stack([hx * inv_w, hy * inv_w, hz * inv_w], axis=-1)
     return {
         "hit": hit,
-        "world_pos": jnp.where(hitf, gb[..., 0:3], 0.0),
+        "world_pos": jnp.where(hitf, wpos, 0.0),
         "normal": jnp.where(hitf, nrm, 0.0),
-        "uv": gb[..., 6:8],
-        "albedo": jnp.where(hitf, gb[..., 8:11], 0.0),
-        "metallic": jnp.where(hit, gb[..., 11], 0.0),
-        "roughness": jnp.where(hit, gb[..., 12], 1.0),
-        "emissive": jnp.where(hitf, gb[..., 13:16], 0.0),
-        "occlusion": jnp.ones_like(gb[..., 11]),
+        "uv": g[..., 3:5],
+        "albedo": jnp.where(hitf, g[..., 8:11], 0.0),
+        "metallic": jnp.where(hit, g[..., 11], 0.0),
+        "roughness": jnp.where(hit, g[..., 12], 1.0),
+        "emissive": jnp.where(hitf, g[..., 13:16], 0.0),
+        "occlusion": jnp.ones_like(g[..., 11]),
     }

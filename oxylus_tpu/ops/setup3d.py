@@ -66,10 +66,12 @@ def setup_triangles(
 
     # per-vertex attributes interpolated by the raster kernel so it can emit the
     # G-buffer directly (the per-pixel decode gather pass costs ~0.5 s at 1080p
-    # on this target — PERF_NOTES.md): world position, world normal, uv → (VM,64,3,8)
-    wpos_v = jnp.einsum("vij,vtcj->vtci", world[:, :3, :3], pos) + world[:, None, None, :3, 3]
+    # on this target — PERF_NOTES.md): world normal + uv → (VM,64,3,5). World
+    # position is NOT interpolated — the lighting stage reconstructs it from
+    # depth + the inverse view-projection (gbuffer_from_raster), saving 3 of 8
+    # attribute planes and their setup einsums.
     wnrm_v = jnp.einsum("vij,vtcj->vtci", world[:, :3, :3], nrm_v)
-    attrs = jnp.concatenate([wpos_v, wnrm_v, uv_v], axis=-1)  # (VM,64,3,8)
+    attrs = jnp.concatenate([wnrm_v, uv_v], axis=-1)  # (VM,64,3,5)
 
     # ---- homogeneous (Olano–Greer) triangle setup ---------------------------
     # No near-plane clipping: edge functions are built directly from the 2D
@@ -139,8 +141,8 @@ def setup_triangles(
 
     # attribute planes (raw attribute values × edge forms; resolve divides by ss)
     e_stack = jnp.stack([e0, e1, e2], axis=-2)  # (VM, 64, vert, coeff)
-    attr_planes = jnp.einsum("vtna,vtnc->vtac", attrs, e_stack)  # (VM, 64, 8, 3)
-    attr_planes = jnp.concatenate([ss[..., None, :], attr_planes], axis=-2)  # (VM,64,9,3)
+    attr_planes = jnp.einsum("vtna,vtnc->vtac", attrs, e_stack)  # (VM, 64, 5, 3)
+    attr_planes = jnp.concatenate([ss[..., None, :], attr_planes], axis=-2)  # (VM,64,6,3)
     attr_planes = jnp.where(tri_valid[..., None, None], attr_planes, 0.0)
 
     vm_slot = jax.lax.broadcasted_iota(jnp.int32, tri_valid.shape, 0)

@@ -261,7 +261,9 @@ class RendererInstance:
 
         # ---- Decode → GBuffer --------------------------------------------
         if use_gbuffer_raster:
-            gbuffer = gbuffer_from_raster(gb_img, vid)
+            gbuffer = gbuffer_from_raster(
+                gb_img, vid, depth, jnp.linalg.inv(camera.view_projection)
+            )
         else:
             gbuffer = decode_visbuffer(
                 vid, setup, vm_inst, gscene, world, materials, atlas, width=w, height=h

@@ -377,22 +377,21 @@ def contact_shadows(
     (`RendererInstance.cpp:855-886`, defaults from RendererCVar)."""
     h, w = depth.shape
     to_light = -light_dir
-    shadow = jnp.ones_like(depth)
 
-    occluded = jnp.zeros_like(depth, jnp.bool_)
-    for i in range(1, steps + 1):
-        t = length * i / steps
-        sample_ws = world_pos + to_light[None, None, :] * t
-        clip = math3d.mat4_point_image(view_proj, sample_ws)
-        wc = jnp.maximum(jnp.abs(clip[..., 3]), 1e-9)
-        ndc = clip[..., :3] / wc[..., None]
-        sx = jnp.clip(((ndc[..., 0] * 0.5 + 0.5) * w).astype(jnp.int32), 0, w - 1)
-        sy = jnp.clip(((ndc[..., 1] * 0.5 + 0.5) * h).astype(jnp.int32), 0, h - 1)
-        scene_depth = depth[sy, sx]
-        ray_depth = ndc[..., 2]
-        # occluder: scene surface nearer than the ray point by less than `thickness`
-        # (reverse-Z: nearer = larger)
-        delta = scene_depth - ray_depth
-        occluded = occluded | ((delta > 1e-5) & (delta < thickness))
-    shadow = jnp.where(occluded & hit, 0.0, 1.0)
-    return shadow
+    # all `steps` march samples in ONE batched gather: the per-step table
+    # gathers were ~0.3 ms EACH at 1/8 res (trace: 8 separate fusions); the
+    # ndc math fuses either way, so batching the gather is a ~steps× win
+    ts = (jnp.arange(1, steps + 1, dtype=jnp.float32) * (length / steps))
+    sample_ws = world_pos[None, ...] + to_light[None, None, None, :] * ts[:, None, None, None]
+    clip = math3d.mat4_point_image(view_proj, sample_ws)  # (S, H, W, 4)
+    wc = jnp.maximum(jnp.abs(clip[..., 3]), 1e-9)
+    ndc = clip[..., :3] / wc[..., None]
+    sx = jnp.clip(((ndc[..., 0] * 0.5 + 0.5) * w).astype(jnp.int32), 0, w - 1)
+    sy = jnp.clip(((ndc[..., 1] * 0.5 + 0.5) * h).astype(jnp.int32), 0, h - 1)
+    scene_depth = depth[sy, sx]  # (S, H, W) — one gather for the whole march
+    ray_depth = ndc[..., 2]
+    # occluder: scene surface nearer than the ray point by less than `thickness`
+    # (reverse-Z: nearer = larger)
+    delta = scene_depth - ray_depth
+    occluded = jnp.any((delta > 1e-5) & (delta < thickness), axis=0)
+    return jnp.where(occluded & hit, 0.0, 1.0)

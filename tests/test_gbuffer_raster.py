@@ -49,11 +49,11 @@ def scene():
     )
     setup = setup_triangles(gscene, world, vm_inst, vm_ml, vm_valid, cam.view_projection, W, H)
     tile_list, _ = bin_meshlets_to_tiles(setup, W, H, __import__("oxylus_tpu.ops.raster3d", fromlist=["TILE"]).TILE, 8)
-    return gscene, world, setup, vm_inst, tile_list
+    return gscene, world, setup, vm_inst, tile_list, cam
 
 
 def test_gbuffer_matches_decode(scene):
-    gscene, world, setup, vm_inst, tile_list = scene
+    gscene, world, setup, vm_inst, tile_list, cam = scene
     mats = empty_gpu_materials(4)
     import dataclasses
 
@@ -79,7 +79,7 @@ def test_gbuffer_matches_decode(scene):
         setup["coeffs"], setup["attr_planes"], setup["tri_valid"], mat_consts
     )
     depth, vid, gb = rasterize_gbuffer_pallas(cm_gb, attr_gb, tile_list, W, H, interpret=True)
-    got = gbuffer_from_raster(gb, vid)
+    got = gbuffer_from_raster(gb, vid, depth, jnp.linalg.inv(cam.view_projection))
 
     # oracle: reference raster (identical visbuffer) + analytic decode
     cm = pack_coeff_matrix(setup["coeffs"], setup["tri_valid"])
@@ -96,14 +96,16 @@ def test_gbuffer_matches_decode(scene):
         a = np.asarray(got[key])[hit]
         b = np.asarray(want[key])[hit]
         assert np.abs(a - b).max() < tol, f"{key} max err {np.abs(a - b).max()}"
+    # the kernel stores the G-buffer in bf16 (8-bit mantissa): constants match
+    # to ~2^-8 relative
     np.testing.assert_allclose(
         np.asarray(got["albedo"])[hit],
         np.asarray(want["albedo"])[hit][:, :3],  # kernel emits RGB; decode RGBA
-        atol=1e-5,
+        atol=5e-3,
     )
     np.testing.assert_allclose(
-        np.asarray(got["metallic"])[hit], np.asarray(want["metallic"])[hit], atol=1e-5
+        np.asarray(got["metallic"])[hit], np.asarray(want["metallic"])[hit], atol=5e-3
     )
     np.testing.assert_allclose(
-        np.asarray(got["roughness"])[hit], np.asarray(want["roughness"])[hit], atol=1e-5
+        np.asarray(got["roughness"])[hit], np.asarray(want["roughness"])[hit], atol=5e-3
     )
