@@ -151,11 +151,15 @@ def rasterize_sprites(
             & (ps_bin[None, :, 20] > 0.5)
         )  # (T, S')
         # cum[t, s] = #overlaps among sorted sprites 0..s: the k-th list entry is
-        # where cum first reaches k+1 — a batched binary search (scatters serialize)
+        # where cum first reaches k+1. For a nondecreasing row that index equals
+        # #{s : cum[t,s] <= k}, so the batched binary search (11 gather steps,
+        # ~15 ms at 1080p — trace) collapses to ONE fused compare-and-reduce.
         cum = jnp.cumsum(overlap.astype(jnp.int32), axis=1)
-        ranks = jnp.arange(1, k_per_tile + 1, dtype=jnp.int32)
-        tile_list = jax.vmap(lambda row: jnp.searchsorted(row, ranks, side="left"))(cum)
-        tile_list = jnp.where(cum[:, -1:] >= ranks[None, :], tile_list, -1)  # (T, K)
+        ranks0 = jnp.arange(k_per_tile, dtype=jnp.int32)  # k = 0..K-1
+        tile_list = jnp.sum(
+            (cum[:, :, None] <= ranks0[None, None, :]).astype(jnp.int32), axis=1
+        )
+        tile_list = jnp.where(cum[:, -1:] > ranks0[None, :], tile_list, -1)  # (T, K)
         if s > MAX_VISIBLE:
             # texture tiles exist only for the first MAX_VISIBLE sorted sprites;
             # per-tile lists are ascending, so this masks a suffix (prefix stays valid)

@@ -42,11 +42,10 @@ def _blend_kernel(
     tl_ref,      # (ROWG, K) i32 SMEM — per-tile sorted sprite slots (valid prefix)
     cnt_ref,     # (ROWG, 1) i32 SMEM — per-tile occupancy
     tx_ref,      # (1,) i32 SMEM
-    fld_ref,     # (ROWG, 10*K) f32 VMEM — field-major per-tile record columns
+    fld_ref,     # (ROWG, 10*K) f32 SMEM — field-major per-tile record columns
     tex_ref,     # (S*8, 256) f32 VMEM — channel-planar, pre-tinted texel planes
     color_out,   # (PIX, 4) block
     vid_out,     # (PIX, 1) block
-    fu_s, fv_s, ins_s, cut_s, eid_s,  # (K, PIX) f32 VMEM scratch
 ):
     t = pl.program_id(0)
     row = t % ROWG
@@ -58,37 +57,20 @@ def _blend_kernel(
     py = y0 + (lin // TILE).astype(jnp.float32) + 0.5
 
     k = tl_ref.shape[1]
+    n = cnt_ref[row, 0]
 
-    stripe = fld_ref.shape[1] // 10  # 128-aligned per-field lane stripe
+    # empty tiles (the common case) write the clear color and skip everything
+    # else — including the (256, PIX) bilinear-grid iotas, which at ~1.3 µs/tile
+    # were most of the kernel's fixed cost (trace: 6 ms/frame at 1080p)
+    color_out[:, :] = jnp.zeros((PIX, 4), jnp.float32)
+    vid_out[:, :] = jnp.full((PIX, 1), -1, jnp.int32)
 
-    # full-width dynamic row load (dynamic sublane + partial lane slice is
-    # unsupported), then 128-aligned lane slices of the VALUE per field
-    fld_row = fld_ref[pl.ds(row, 1), :]  # (1, 10*stripe)
+    @pl.when(n > 0)
+    def _blend_occupied():
+        _blend_tile(tl_ref, fld_ref, tex_ref, color_out, vid_out, row, k, n, px, py)
 
-    def ldT(f):
-        """Field f of this tile's row as a (stripe, 1) column. Rows beyond the
-        K-th are padding and are never reached by the occupancy loop."""
-        return jnp.swapaxes(fld_row[0:1, f * stripe : (f + 1) * stripe], 0, 1)
 
-    # ---- vectorized per-tile setup: all K slots at once, (K, PIX) ----------
-    # field order: p00x p00y e0x e0y e1x e1y idet cut_eff eid flip
-    rx = px - ldT(0)  # (K, PIX)
-    ry = py - ldT(1)
-    c_e0x = ldT(2); c_e0y = ldT(3)
-    c_e1x = ldT(4); c_e1y = ldT(5)
-    c_idet = ldT(6)
-    lu = (rx * c_e1y - ry * c_e1x) * c_idet
-    lv = (ry * c_e0x - rx * c_e0y) * c_idet
-    inside = (lu >= 0.0) & (lu <= 1.0) & (lv >= 0.0) & (lv <= 1.0)
-    u = jnp.where(ldT(9) > 0.5, 1.0 - lu, lu)
-    v = 1.0 - lv
-    zero = rx * 0.0
-    fu_s[:, :] = jnp.clip(u, 0.0, 1.0) * (TEX - 1)
-    fv_s[:, :] = jnp.clip(v, 0.0, 1.0) * (TEX - 1)
-    ins_s[:, :] = inside.astype(jnp.float32)
-    cut_s[:, :] = ldT(7) + zero   # alpha cutoff, -1 when masking disabled
-    eid_s[:, :] = ldT(8) + zero
-
+def _blend_tile(tl_ref, fld_ref, tex_ref, color_out, vid_out, row, k, n, px, py):
     # loop-invariant bilinear grid and channel selectors
     jj = jax.lax.broadcasted_iota(jnp.int32, (TEX * TEX, PIX), 0)
     gv = (jj // TEX).astype(jnp.float32)
@@ -98,13 +80,36 @@ def _blend_kernel(
         for c in range(4)
     ]
 
-    n = cnt_ref[row, 0]
-
+    # Per-slot setup happens INSIDE the occupancy loop from SMEM scalar field
+    # loads (~54 ns each): empty tiles — the common case — cost only the iota
+    # setup and output writes. (The earlier design vectorized setup over all K
+    # slots into (K, PIX) VMEM scratch per tile: ~2.6 MB of scratch writes per
+    # tile whether or not anything was drawn — 9.1 ms/frame at 1080p, trace.)
     def body(kk, carry):
         cr, cg, cb, ca, vid = carry  # (1, PIX) each
         sid = tl_ref[row, kk]
-        fu = fu_s[pl.ds(kk, 1), :]   # (1, PIX) — dynamic sublane ref slice
-        fv = fv_s[pl.ds(kk, 1), :]
+        # field order: p00x p00y e0x e0y e1x e1y idet cut_eff eid flip
+        p00x = fld_ref[row, 0 * k + kk]
+        p00y = fld_ref[row, 1 * k + kk]
+        e0x = fld_ref[row, 2 * k + kk]
+        e0y = fld_ref[row, 3 * k + kk]
+        e1x = fld_ref[row, 4 * k + kk]
+        e1y = fld_ref[row, 5 * k + kk]
+        idet = fld_ref[row, 6 * k + kk]
+        cut = fld_ref[row, 7 * k + kk]
+        eid = fld_ref[row, 8 * k + kk]
+        flip = fld_ref[row, 9 * k + kk]
+
+        rx = px - p00x  # (1, PIX)
+        ry = py - p00y
+        lu = (rx * e1y - ry * e1x) * idet
+        lv = (ry * e0x - rx * e0y) * idet
+        inside = (lu >= 0.0) & (lu <= 1.0) & (lv >= 0.0) & (lv <= 1.0)
+        u = lu + flip * (1.0 - 2.0 * lu)  # arithmetic flip (scalar-pred select)
+        v = 1.0 - lv
+        fu = jnp.clip(u, 0.0, 1.0) * (TEX - 1)
+        fv = jnp.clip(v, 0.0, 1.0) * (TEX - 1)
+
         wgt = jnp.maximum(1.0 - jnp.abs(fv - gv), 0.0) * jnp.maximum(
             1.0 - jnp.abs(fu - gu), 0.0
         )  # (256, PIX)
@@ -119,9 +124,7 @@ def _blend_kernel(
         tb = jnp.sum(texel * sel[2], axis=0, keepdims=True)
         ta = jnp.sum(texel * sel[3], axis=0, keepdims=True)
 
-        ins = ins_s[pl.ds(kk, 1), :]
-        cut = cut_s[pl.ds(kk, 1), :]
-        a = ta * ins
+        a = ta * inside.astype(jnp.float32)
         a = jnp.where(a < cut, 0.0, a)
 
         one_m = 1.0 - a
@@ -130,7 +133,7 @@ def _blend_kernel(
             cg * one_m + tg * a,
             cb * one_m + tb * a,
             ca * one_m + a,
-            jnp.where(a > 0.5, eid_s[pl.ds(kk, 1), :], vid),
+            jnp.where(a > 0.5, eid, vid),
         )
         return new
 
@@ -173,11 +176,9 @@ def blend_tiles_pallas(
     )  # (S, 10)
     n_fld = fmat.shape[1]
     ftile = fmat[tl_c]  # (T, K, C) — the one gather
-    # field-major with each field stripe padded to 128 lanes (in-kernel lane slices
-    # must start at 128-aligned offsets)
-    stripe = ((k_cap + 127) // 128) * 128
-    ftile = jnp.pad(ftile.transpose(0, 2, 1), ((0, 0), (0, 0), (0, stripe - k_cap)))
-    ftile = ftile.reshape(tile_list.shape[0], n_fld * stripe)
+    # field-major (T, C*K): the kernel reads each field as an SMEM scalar, so no
+    # lane-alignment padding is needed
+    ftile = ftile.transpose(0, 2, 1).reshape(tile_list.shape[0], n_fld * k_cap)
 
     # pre-tint texel planes: (V,16,16,4) → where(has_tex, tiles, 1) * tint,
     # channel-planar (V*8, 256) with rows s*8+c = channel c, cols j = v*16+u.
@@ -208,7 +209,7 @@ def blend_tiles_pallas(
             pl.BlockSpec((ROWG, k_cap), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((ROWG, 1), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((ROWG, n_fld * stripe), lambda t: (t // ROWG, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWG, n_fld * k_cap), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -219,7 +220,6 @@ def blend_tiles_pallas(
             jax.ShapeDtypeStruct((n_tiles * PIX, 4), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles * PIX, 1), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((stripe, PIX), jnp.float32)] * 5,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),

@@ -1,0 +1,57 @@
+"""2D frame per-op attribution: jax.profiler trace → parse trace.json.gz."""
+
+import glob
+import gzip
+import json
+import sys, os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from bench import _make_sprite_scene  # noqa
+from oxylus_tpu.runtime import SceneRunner  # noqa
+
+runner = SceneRunner(_make_sprite_scene(), width=1920, height=1080, render_mode="2d")
+img = runner.step(); jax.block_until_ready(img)
+img = runner.step(); jax.block_until_ready(img)
+
+trace_dir = "/tmp/jax_trace2d"
+os.system(f"rm -rf {trace_dir}")
+N = 5
+with jax.profiler.trace(trace_dir):
+    for _ in range(N):
+        img = runner.step()
+    jax.block_until_ready(img)
+
+files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+print("trace files:", files)
+agg = {}
+total = 0
+for f in files:
+    with gzip.open(f, "rt") as fh:
+        data = json.load(fh)
+    # find device pids (TensorFlow-style process names)
+    pid_names = {}
+    for ev in data.get("traceEvents", []):
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pid_names[ev["pid"]] = ev["args"].get("name", "")
+    dev_pids = {p for p, n in pid_names.items() if "TPU" in n or "/device" in n.lower()}
+    for ev in data.get("traceEvents", []):
+        if ev.get("ph") != "X":
+            continue
+        if dev_pids and ev.get("pid") not in dev_pids:
+            continue
+        name = ev.get("name", "")
+        dur = ev.get("dur", 0)
+        agg.setdefault(name, [0, 0])
+        agg[name][0] += dur
+        agg[name][1] += 1
+        total += dur
+
+top = sorted(agg.items(), key=lambda kv: -kv[1][0])[:60]
+print(f"total device time: {total/1e3/N:.2f} ms/frame")
+for name, (dur, cnt) in top:
+    print(f"{dur/1e3/N:9.3f} ms/frame  x{cnt//N:4d}  {name[:110]}")
