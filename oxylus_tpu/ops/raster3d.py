@@ -655,7 +655,14 @@ def gbuffer_from_raster(
     interpolating it in bf16 would cost ~0.2 units of error at scene scale."""
     hit = vid >= 0
     hitf = hit[..., None]
-    g = gb.astype(jnp.float32)
+    # slice channels BEFORE the f32 convert: a wholesale astype materializes a
+    # 132 MB (H, W, 16) f32 copy (0.3 ms — trace); per-channel converts fuse
+    # into the consumers
+    class _SliceConvert:
+        def __getitem__(self, idx):
+            return gb[idx].astype(jnp.float32)
+
+    g = _SliceConvert()
     nrm = g[..., 0:3]
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
     h, w = depth.shape

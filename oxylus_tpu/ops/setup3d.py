@@ -139,9 +139,15 @@ def setup_triangles(
     # kill invalid slots: e0 ≡ -1e30 never covers
     coeffs = coeffs.at[..., 0, 2].set(jnp.where(tri_valid, coeffs[..., 0, 2], -1e30))
 
-    # attribute planes (raw attribute values × edge forms; resolve divides by ss)
-    e_stack = jnp.stack([e0, e1, e2], axis=-2)  # (VM, 64, vert, coeff)
-    attr_planes = jnp.einsum("vtna,vtnc->vtac", attrs, e_stack)  # (VM, 64, 5, 3)
+    # attribute planes (raw attribute values × edge forms; resolve divides by ss).
+    # The 3-vertex contraction is expanded as broadcast multiply-adds: as an
+    # einsum XLA lowers it to batched MXU matmuls bracketed by ~1.5 ms of
+    # layout copies (trace), for 5 MFLOPs of work.
+    attr_planes = (
+        attrs[..., 0, :, None] * e0[..., None, :]
+        + attrs[..., 1, :, None] * e1[..., None, :]
+        + attrs[..., 2, :, None] * e2[..., None, :]
+    )  # (VM, 64, 5attr, 3coeff)
     attr_planes = jnp.concatenate([ss[..., None, :], attr_planes], axis=-2)  # (VM,64,6,3)
     attr_planes = jnp.where(tri_valid[..., None, None], attr_planes, 0.0)
 

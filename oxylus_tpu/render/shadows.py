@@ -110,23 +110,34 @@ def mark_visible_pages(
     buffer into light space and marks the page table). Dilated by one page so
     PCF taps at page borders stay inside the resident set."""
     n_lvls = light_vps.shape[0]
-    out = []
     wp = world_pos.reshape(-1, 3)
     ok = hit.reshape(-1)
-    for lvl in range(n_lvls):
-        clip = math3d.mat4_point_image(light_vps[lvl], wp[None])[0]
-        ndc = clip[..., :3] / jnp.maximum(jnp.abs(clip[..., 3:4]), 1e-9)
-        u = ndc[..., 0] * 0.5 + 0.5
-        v = ndc[..., 1] * 0.5 + 0.5
-        inside = ok & (u > 0.0) & (u < 1.0) & (v > 0.0) & (v < 1.0)
-        px = jnp.clip((u * PAGES).astype(jnp.int32), 0, PAGES - 1)
-        py = jnp.clip((v * PAGES).astype(jnp.int32), 0, PAGES - 1)
-        pid = jnp.where(inside, py * PAGES + px, PAGES * PAGES)
-        marks = jnp.zeros(PAGES * PAGES, jnp.bool_).at[pid].max(inside, mode="drop")
-        m2 = marks.reshape(PAGES, PAGES).astype(jnp.float32)
-        m2 = jax.lax.reduce_window(m2, 0.0, jax.lax.max, (3, 3), (1, 1), "SAME")
-        out.append(m2.reshape(-1) > 0.5)
-    return jnp.stack(out)
+    # all levels in one fused chain; the page marks come from a compare-reduce
+    # over the 256 page ids instead of a per-level pixel scatter (4 × 0.28 ms
+    # at 1080p — trace)
+    x, y, z = wp[:, 0], wp[:, 1], wp[:, 2]
+    m = light_vps  # (L, 4, 4)
+    def proj(r):
+        return (
+            m[:, r, 0, None] * x[None]
+            + m[:, r, 1, None] * y[None]
+            + m[:, r, 2, None] * z[None]
+            + m[:, r, 3, None]
+        )  # (L, NP)
+    cw = jnp.maximum(jnp.abs(proj(3)), 1e-9)
+    u = proj(0) / cw * 0.5 + 0.5
+    v = proj(1) / cw * 0.5 + 0.5
+    inside = ok[None] & (u > 0.0) & (u < 1.0) & (v > 0.0) & (v < 1.0)
+    px = jnp.clip((u * PAGES).astype(jnp.int32), 0, PAGES - 1)
+    py = jnp.clip((v * PAGES).astype(jnp.int32), 0, PAGES - 1)
+    pid = jnp.where(inside, py * PAGES + px, -1)  # (L, NP)
+    pages = jnp.arange(PAGES * PAGES, dtype=jnp.int32)
+    marks = jnp.sum(
+        (pid[:, :, None] == pages[None, None, :]).astype(jnp.int32), axis=1
+    )  # (L, 256)
+    m2 = (marks > 0).reshape(n_lvls, PAGES, PAGES).astype(jnp.float32)
+    m2 = jax.lax.reduce_window(m2, 0.0, jax.lax.max, (1, 3, 3), (1, 1, 1), "SAME")
+    return m2.reshape(n_lvls, -1) > 0.5
 
 
 def render_shadow_clipmaps_cached(
@@ -378,9 +389,14 @@ def contact_shadows(
     h, w = depth.shape
     to_light = -light_dir
 
-    # all `steps` march samples in ONE batched gather: the per-step table
-    # gathers were ~0.3 ms EACH at 1/8 res (trace: 8 separate fusions); the
-    # ndc math fuses either way, so batching the gather is a ~steps× win
+    # march sampling: gathers price per gathered ROW on this target, so a
+    # (steps, H, W) gather costs steps× a per-pixel one (2.5 ms at 1080p —
+    # trace). Contact rays are short: all step texels sit within a few texels
+    # of the ray midpoint, so ONE row gather fetches a packed 4×4 depth
+    # neighborhood around the mid-step texel and each step selects its texel
+    # from the window lanes (fused). Steps whose texel falls outside the
+    # window (rays spanning >4 texels at this resolution) clamp to its edge —
+    # a conservative nearby sample.
     ts = (jnp.arange(1, steps + 1, dtype=jnp.float32) * (length / steps))
     sample_ws = world_pos[None, ...] + to_light[None, None, None, :] * ts[:, None, None, None]
     clip = math3d.mat4_point_image(view_proj, sample_ws)  # (S, H, W, 4)
@@ -388,7 +404,25 @@ def contact_shadows(
     ndc = clip[..., :3] / wc[..., None]
     sx = jnp.clip(((ndc[..., 0] * 0.5 + 0.5) * w).astype(jnp.int32), 0, w - 1)
     sy = jnp.clip(((ndc[..., 1] * 0.5 + 0.5) * h).astype(jnp.int32), 0, h - 1)
-    scene_depth = depth[sy, sx]  # (S, H, W) — one gather for the whole march
+
+    WIN = 4
+    ox = jnp.clip(sx[steps // 2] - (WIN // 2 - 1), 0, w - WIN)  # (H, W)
+    oy = jnp.clip(sy[steps // 2] - (WIN // 2 - 1), 0, h - WIN)
+    padded = jnp.pad(depth, ((0, WIN - 1), (0, WIN - 1)), mode="edge")
+    win = jnp.stack(
+        [padded[dy : dy + h, dx : dx + w] for dy in range(WIN) for dx in range(WIN)],
+        axis=-1,
+    )  # (H, W, WIN²) — edge-clamped shifted copies (fused elementwise, ~free)
+    rows = win.reshape(h * w, WIN * WIN)[(oy * w + ox).reshape(-1)]
+    rows = rows.reshape(h, w, WIN * WIN)  # the ONE gather: one row per pixel
+    lane = (
+        jnp.clip(sy - oy[None], 0, WIN - 1) * WIN
+        + jnp.clip(sx - ox[None], 0, WIN - 1)
+    )  # (S, H, W)
+    lanes = jnp.arange(WIN * WIN, dtype=jnp.int32)
+    scene_depth = jnp.sum(
+        jnp.where(lane[..., None] == lanes, rows[None], 0.0), axis=-1
+    )  # (S, H, W)
     ray_depth = ndc[..., 2]
     # occluder: scene surface nearer than the ray point by less than `thickness`
     # (reverse-Z: nearer = larger)

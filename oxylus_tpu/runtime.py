@@ -117,19 +117,34 @@ class SceneRunner:
         self.bindings = bindings or default_bindings(scene.spec.padded_entities())
 
     # ------------------------------------------------------------------ camera
-    def active_camera(self) -> CameraMatrices | None:
-        """First alive camera entity. The index is resolved once on the host and
-        cached (a per-frame nonzero() would sync the device every frame over the
+    def _resolve_camera_idx(self) -> int:
+        """First alive camera entity index, resolved once on the host and cached
+        (a per-frame nonzero() would sync the device every frame over the
         accelerator tunnel); `invalidate_camera()` drops the cache on scene edits."""
         if not hasattr(self, "_camera_idx") or self._camera_idx is None:
             mask = np.asarray(self.state.mask["CameraComponent"] & self.state.alive)
             idx = np.nonzero(mask)[0]
             self._camera_idx = int(idx[0]) if len(idx) else -1
-        if self._camera_idx < 0:
+        return self._camera_idx
+
+    def active_camera(self) -> CameraMatrices | None:
+        if self._resolve_camera_idx() < 0:
             return None
         return camera_from_state(
-            self.state, self._camera_idx, jnp.float32(self.width / self.height)
+            self.state, self._camera_idx, self._scalar(self.width / self.height)
         )
+
+    def _scalar(self, v: float) -> jax.Array:
+        """Per-frame scalars (dt, aspect) as cached device arrays: a fresh
+        jnp.float32(v) every frame is an eager convert+transfer over the tunnel
+        (~1 ms of host time each — trace)."""
+        cache = getattr(self, "_scalar_cache", None)
+        if cache is None:
+            cache = self._scalar_cache = {}
+        out = cache.get(v)
+        if out is None:
+            out = cache[v] = jnp.float32(v)
+        return out
 
     def invalidate_camera(self) -> None:
         self._camera_idx = None
@@ -157,8 +172,7 @@ class SceneRunner:
             and self.gscene is not None
             and not self.use_megakernel
         ):
-            self.active_camera()  # resolve + cache the host-side camera index
-            if self._camera_idx >= 0:
+            if self._resolve_camera_idx() >= 0:
                 image = self._step_render3d_fused(dt)
                 self._post_step_events()
                 self.frame_index += 1
@@ -181,11 +195,11 @@ class SceneRunner:
                 self.ps = _dc.replace(self.ps, accumulator=jnp.asarray(float(acc) - max(nsub, 1) * h, jnp.float32))
                 state = _frame.sync_bodies_to_components(self.state, self.ps)
                 state = _frame.sync_characters_to_components(state, self.ps)
-                state = _frame.physics_interpolate(state, self.ps, jnp.float32(0.0))
+                state = _frame.physics_interpolate(state, self.ps, self._scalar(0.0))
                 from .scene.particles import particle_update
 
-                state = particle_update(state, self.scene.spec, jnp.float32(dt))
-                state = _frame.sprite_animation_update(state, jnp.float32(dt))
+                state = particle_update(state, self.scene.spec, self._scalar(dt))
+                state = _frame.sprite_animation_update(state, self._scalar(dt))
                 from .scene.state import propagate_transforms
 
                 new_world = propagate_transforms(state, self.scene.spec)
@@ -202,7 +216,7 @@ class SceneRunner:
                     # invalidates this if state is swapped in from outside.
                     self._has_bodies = bool(np.asarray(self.ps.active).any())
                 self.state, self.ps = frame_step(
-                    self.state, self.ps, self.physics_params, jnp.float32(dt),
+                    self.state, self.ps, self.physics_params, self._scalar(dt),
                     self.scene.spec, has_bodies=self._has_bodies,
                 )
         self._post_step_events()
@@ -309,7 +323,7 @@ class SceneRunner:
             self.state, self.ps, image, self.carry = self._full3d_jit(
                 self.state, self.ps, self.gscene,
                 self.bindings.materials, self.bindings.atlas, self.carry,
-                jnp.float32(dt),
+                self._scalar(dt),
             )
         return image
 

@@ -29,18 +29,27 @@ with jax.profiler.trace(trace_dir):
 files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
 print("trace files:", files)
 agg = {}
+total = 0
 for f in files:
     with gzip.open(f, "rt") as fh:
         data = json.load(fh)
+    pid_names = {}
+    for ev in data.get("traceEvents", []):
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pid_names[ev["pid"]] = ev["args"].get("name", "")
+    dev_pids = {p for p, n in pid_names.items() if "TPU" in n or "/device" in n.lower()}
     for ev in data.get("traceEvents", []):
         if ev.get("ph") != "X":
             continue
-        pid_name = ev.get("pid")
+        if dev_pids and ev.get("pid") not in dev_pids:
+            continue
         name = ev.get("name", "")
         dur = ev.get("dur", 0)
         agg.setdefault(name, [0, 0])
         agg[name][0] += dur
         agg[name][1] += 1
+        total += dur
+print(f"total device time: {total/1e3/3:.2f} ms/frame")
 
 top = sorted(agg.items(), key=lambda kv: -kv[1][0])[:60]
 for name, (dur, cnt) in top:
