@@ -283,6 +283,7 @@ def bench_frame_5(width=1920, height=1080, frames=12, calls=2, n_objects=150, n_
         s, width=width, height=height, render_mode="3d", meshes=meshes,
         render_spec=RenderSpec(width=width, height=height),
         atmosphere=AtmosphereParams(), enable_shadows=True,
+        use_megakernel=True,  # physics substeps via the Pallas throughput kernel
     )
     runner.config = dataclasses.replace(runner.config, ssr_enable=True)
     runner.run(2)

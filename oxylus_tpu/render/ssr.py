@@ -90,14 +90,20 @@ def apply_ssr(
     view_proj: Array,
     steps: int = 8,
     max_roughness: float = 0.5,
+    scale: int = 8,
 ) -> Array:
-    """Quarter-res SSR composited over the lit image. Smooth surfaces only;
-    Schlick Fresnel drives the mix (reference BRDF conventions, pbr.slang)."""
+    """Reduced-res SSR composited over the lit image. Smooth surfaces only;
+    Schlick Fresnel drives the mix (reference BRDF conventions, pbr.slang).
+
+    The march runs at 1/`scale` res: gathers price per gathered ROW on this
+    target, so each step costs march-pixels × ~10 ns (at 1/4 res the 8-step
+    march was 10 ms of a 37 ms frame — trace); 1/8 cuts it 4× and the Fresnel
+    composite keeps full-res edges."""
     h, w = depth.shape
-    q = lambda a: _pds(a, 4)
+    q = lambda a: _pds(a, scale)
     color4, conf4 = ssr_trace(
         q(depth), q(gbuffer["world_pos"]), q(gbuffer["normal"]), q(gbuffer["hit"]),
-        _pds(hdr, 4), camera_pos, view_proj, steps=steps,
+        _pds(hdr, scale), camera_pos, view_proj, steps=steps,
     )
     # premultiplied-confidence upsampling: texels where the march missed hold
     # hdr[0,0] (hit_x=hit_y=0) — weight them out of the bilinear average instead

@@ -163,14 +163,14 @@ class SceneRunner:
         # fused 3D path: simulate + camera + render in ONE jit dispatch.
         # Eagerly-glued stages each cost a pjit round trip over the accelerator
         # tunnel (~1 ms) plus host tracing glue (~4-7 ms/frame total measured);
-        # the fused graph pays one dispatch. The separate-stage path below stays
-        # for megakernel/2D/no-render modes and contact-event frames keep
-        # working off the returned ps.
+        # the fused graph pays one dispatch. With `use_megakernel` the physics
+        # substeps inside the fused graph run the Pallas mega-kernel when the
+        # scene is eligible. The separate-stage path below stays for 2D/no-render
+        # modes and contact-event frames keep working off the returned ps.
         if (
             render
             and self.render_mode == "3d"
             and self.gscene is not None
-            and not self.use_megakernel
         ):
             if self._resolve_camera_idx() >= 0:
                 image = self._step_render3d_fused(dt)
@@ -294,6 +294,21 @@ class SceneRunner:
                 for e in deact:
                     system.on_body_deactivated(self.scene, e)
 
+    def _fused_mega_eligible(self) -> bool:
+        """Can the fused frame's physics substeps run the Pallas mega-kernel?
+        Requires the throughput kernel's constraints (megakernel_compact.py):
+        single-collider bodies, 128-aligned capacity >= 256, no characters,
+        and a real TPU backend (the kernel interprets too slowly on CPU)."""
+        ps = self.ps
+        if ps.has_proxies:
+            return False
+        b = ps.num_slots
+        if b % 128 != 0 or b < 256:
+            return False
+        if bool(np.asarray(ps.is_character).any()):
+            return False
+        return jax.devices()[0].platform in ("tpu", "axon")
+
     def _step_render3d_fused(self, dt: float):
         """Simulate + camera + render as one compiled graph, one dispatch."""
         if getattr(self, "_has_bodies", None) is None:
@@ -303,11 +318,14 @@ class SceneRunner:
             cam_idx = self._camera_idx
             aspect = jnp.float32(self.width / self.height)
             has_bodies = self._has_bodies
+            physics_mega = (
+                self.use_megakernel and has_bodies and self._fused_mega_eligible()
+            )
 
             def _full3d(state, ps, gscene, materials, atlas, carry, dtv):
                 state, ps = frame_step(
                     state, ps, self.physics_params, dtv, spec,
-                    has_bodies=has_bodies,
+                    has_bodies=has_bodies, physics_mega=physics_mega,
                 )
                 camera = camera_from_state(state, cam_idx, aspect)
                 ctx = self.renderer3d.render(

@@ -148,17 +148,20 @@ def sprite_animation_update(state: SceneState, dt) -> SceneState:
 
 
 def step_physics_accumulated(
-    ps: PhysicsState, params: PhysicsParams, spec: SceneSpec, dt
+    ps: PhysicsState, params: PhysicsParams, spec: SceneSpec, dt, substep_fn=None
 ) -> tuple[PhysicsState, jax.Array]:
     """Fixed-interval accumulator driving up to `max_substeps` 1/60s substeps per frame
     (flecs `interval(physics_interval)` timer semantics, `Scene.cpp:720-729`).
-    Returns (state, alpha) where alpha is the interpolation fraction."""
+    Returns (state, alpha) where alpha is the interpolation fraction.
+    `substep_fn` overrides the per-substep integrator (the fused 3D frame swaps
+    in the Pallas mega-kernel on eligible scenes)."""
     h = spec.physics_interval
     acc = ps.accumulator + dt
     nsub = jnp.minimum(jnp.floor(acc / h).astype(jnp.int32), spec.max_substeps)
+    sub = substep_fn or (lambda q: physics_substep(q, params, h))
 
     def body(i, p):
-        return jax.lax.cond(i < nsub, lambda q: physics_substep(q, params, h), lambda q: q, p)
+        return jax.lax.cond(i < nsub, sub, lambda q: q, p)
 
     ps = jax.lax.fori_loop(0, spec.max_substeps, body, ps)
     acc = acc - nsub.astype(jnp.float32) * h
@@ -168,7 +171,11 @@ def step_physics_accumulated(
     return ps, alpha
 
 
-@partial(jax.jit, static_argnames=("spec", "has_bodies"), donate_argnums=(0, 1))
+@partial(
+    jax.jit,
+    static_argnames=("spec", "has_bodies", "physics_mega"),
+    donate_argnums=(0, 1),
+)
 def frame_step(
     state: SceneState,
     ps: PhysicsState,
@@ -176,6 +183,7 @@ def frame_step(
     dt: jax.Array,
     spec: SceneSpec,
     has_bodies: bool = True,
+    physics_mega: bool = False,
 ) -> tuple[SceneState, PhysicsState]:
     """Advance the whole scene by one frame. Buffers are donated: the previous frame's
     state is consumed in place (the reference's double-buffered frame model).
@@ -190,7 +198,18 @@ def frame_step(
     # --- OnUpdate: physics
     if has_bodies:
         ps = character_controller_update(state, ps, dt)
-        ps, alpha = step_physics_accumulated(ps, params, spec, dt)
+        substep_fn = None
+        if physics_mega:
+            # Pallas mega-kernel substep (the throughput solver of bench.py):
+            # ~50-70 µs/substep vs ~8 ms for the multi-kernel XLA chain on the
+            # tunnel target. Eligibility (shape support, capacity alignment,
+            # no compounds/characters) is decided by the caller.
+            from ..physics.megakernel_compact import megakernel_substeps_compact
+
+            substep_fn = lambda q: megakernel_substeps_compact(
+                q, params, spec.physics_interval, n_substeps=1
+            )
+        ps, alpha = step_physics_accumulated(ps, params, spec, dt, substep_fn)
         state = sync_bodies_to_components(state, ps)
         state = sync_characters_to_components(state, ps)
         state = physics_interpolate(state, ps, alpha)
