@@ -73,6 +73,7 @@ class SceneRunner:
         self.carry: dict[str, Any] = {}
         self.frame_index = 0
         self.last_frame = None
+        self._script_accum = 0.0  # host mirror of the 60 Hz tick for on_fixed_update
 
         self.gscene: GPUScene | None = None
         if render_mode == "3d":
@@ -157,9 +158,46 @@ class SceneRunner:
         self.ps = ps
         self._has_bodies = None
 
+    # ------------------------------------------------------------------ scripting
+    def _script_frame_begin(self, dt: float) -> None:
+        """Per-frame script dispatch, mirroring `Scene::runtime_update`
+        (`/root/reference/Oxylus/src/Scene/Scene.cpp:1139-1157`): deferred
+        functions → script `on_scene_update` → fixed-tick `on_fixed_update` →
+        registered ECS systems (`world.progress` analog). Scene-less scenes pay
+        nothing; when scripts exist, the host mirror is synced from the device
+        state first so scripts read live simulation results, and host edits are
+        merged back so scripts and the jit'd step act on one world."""
+        scene = self.scene
+        if scene.deferred_functions:
+            scene.run_deferred()
+        if not (scene.lua_systems or scene.script_ecs_systems):
+            return
+        scene.sync_from_device(self.state)
+        for system in scene.lua_systems.values():
+            system.on_scene_update(scene, dt)
+        h = scene.spec.physics_interval
+        self._script_accum += dt
+        nsub = 0
+        while self._script_accum >= h and nsub < scene.spec.max_substeps:
+            self._script_accum -= h
+            nsub += 1
+            for system in scene.lua_systems.values():
+                system.on_fixed_update(scene, h)
+        scene.progress(dt)
+        if scene._device_dirty:
+            self.state = scene.merge_host_edits(self.state)
+            self.invalidate_camera()
+
+    def _script_frame_end(self, image) -> None:
+        if image is None or not self.scene.lua_systems:
+            return
+        for system in self.scene.lua_systems.values():
+            system.on_scene_render(self.scene, (self.width, self.height))
+
     # ------------------------------------------------------------------ stepping
     def step(self, dt: float = 1.0 / 60.0, render: bool = True):
         """One frame: simulate (+render when enabled). Returns the final image or None."""
+        self._script_frame_begin(dt)
         # fused 3D path: simulate + camera + render in ONE jit dispatch.
         # Eagerly-glued stages each cost a pjit round trip over the accelerator
         # tunnel (~1 ms) plus host tracing glue (~4-7 ms/frame total measured);
@@ -175,6 +213,7 @@ class SceneRunner:
             if self._resolve_camera_idx() >= 0:
                 image = self._step_render3d_fused(dt)
                 self._post_step_events()
+                self._script_frame_end(image)
                 self.frame_index += 1
                 self.last_frame = image
                 PROFILER.frame_mark()
@@ -257,6 +296,7 @@ class SceneRunner:
                         )
                     image = out["final"]
                     self.carry = out["carry"]
+        self._script_frame_end(image)
         self.last_frame = image
         PROFILER.frame_mark()
         return image

@@ -13,6 +13,7 @@ host-side operations (rare); per-frame simulation is entirely on device.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Any, Callable, Iterator
 
 import jax
@@ -22,6 +23,8 @@ import numpy as np
 from ..core import uuid as uuidlib
 from . import components as C
 from .state import SceneSpec, SceneState, compute_levels, empty_state
+
+log = logging.getLogger("oxylus.scene")
 
 
 class Entity:
@@ -80,11 +83,20 @@ class Entity:
         return self.add(comp, **fields)
 
     def add_tag(self, tag: str) -> "Entity":
-        self.scene._tags[self.index].add(tag)
+        cdef = C.lookup(tag)
+        if cdef is not None and cdef.tag:
+            # known tag component: store its canonical path and fire observers
+            self.scene.add_component(self.index, cdef.name)
+        else:
+            self.scene._tags[self.index].add(tag)
         return self
 
     def has_tag(self, tag: str) -> bool:
-        return tag in self.scene._tags[self.index]
+        tags = self.scene._tags[self.index]
+        if tag in tags:
+            return True
+        cdef = C.lookup(tag)
+        return cdef is not None and cdef.tag and cdef.path in tags
 
     def destruct(self) -> None:
         self.scene.destroy_entity(self.index)
@@ -133,6 +145,12 @@ class Scene:
         self.renderer_config = RendererConfig()
         self.script_uuids: list[str] = []
         self.lua_systems: dict[str, Any] = {}
+        # script-defined ECS systems/observers (the reference lets Lua scripts
+        # define flecs systems/observers/queries — `LuaFlecsBindings.cpp`);
+        # handle → record, insertion-ordered within each phase
+        self.script_ecs_systems: dict[int, dict[str, Any]] = {}
+        self._observers: dict[int, tuple[str, str, Callable]] = {}
+        self._next_handle = 1
         self.running = False
         self.physics_state = None  # built at runtime_start
         self._device_dirty = True
@@ -227,7 +245,10 @@ class Scene:
         if cdef is None:
             raise KeyError(f"unknown component {comp!r}")
         if cdef.tag:
+            was_tagged = cdef.path in self._tags[index]
             self._tags[index].add(cdef.path)
+            if not was_tagged:
+                self._fire_observers(cdef.name, "add", index)
             return
         was_present = bool(self._comp_mask[cdef.name][index])
         self._comp_mask[cdef.name][index] = True
@@ -239,16 +260,23 @@ class Scene:
         for k, v in fields.items():
             self.set_field(index, cdef.name, k, v)
         self._device_dirty = True
+        if not was_present:
+            self._fire_observers(cdef.name, "add", index)
 
     def remove_component(self, index: int, comp: str) -> None:
         cdef = C.lookup(comp)
         if cdef is None:
             raise KeyError(f"unknown component {comp!r}")
         if cdef.tag:
-            self._tags[index].discard(cdef.path)
+            if cdef.path in self._tags[index]:
+                self._tags[index].discard(cdef.path)
+                self._fire_observers(cdef.name, "remove", index)
             return
+        was_present = bool(self._comp_mask[cdef.name][index])
         self._comp_mask[cdef.name][index] = False
         self._device_dirty = True
+        if was_present:
+            self._fire_observers(cdef.name, "remove", index)
 
     def has_component(self, index: int, comp: str) -> bool:
         cdef = C.lookup(comp)
@@ -306,6 +334,82 @@ class Scene:
         for i in np.nonzero(m)[0]:
             yield Entity(self, int(i))
 
+    # --------------------------------------------- script systems & observers
+    # Scripts (and engine code) can register host-side ECS systems and
+    # component add/remove observers, mirroring the reference's Lua flecs
+    # bindings (`/root/reference/Oxylus/src/Scripting/LuaFlecsBindings.cpp`:
+    # world:system / world:observer / world:query). Systems run in phase order
+    # at `progress()` — the analog of `flecs::world::progress()` driven from
+    # `Scene::runtime_update` (`Scene.cpp:1157`).
+
+    PHASES = ("pre_update", "update", "post_update")
+
+    def register_system(
+        self,
+        fn: Callable,
+        comps: tuple[str, ...] | list[str] = (),
+        phase: str = "update",
+        name: str | None = None,
+    ) -> int:
+        """Register a host-side system. With `comps`, `fn(entity, dt)` is called
+        for every matching entity (flecs `each`); without, `fn(scene, dt)` once
+        per progress. Returns a handle for `unregister_system`."""
+        if phase not in self.PHASES:
+            raise ValueError(f"unknown phase {phase!r}; one of {self.PHASES}")
+        h = self._next_handle
+        self._next_handle += 1
+        self.script_ecs_systems[h] = {
+            "fn": fn, "comps": tuple(comps), "phase": phase, "name": name or getattr(fn, "__name__", "system"),
+        }
+        return h
+
+    def unregister_system(self, handle: int) -> None:
+        self.script_ecs_systems.pop(handle, None)
+
+    def observe(self, comp: str, event: str, fn: Callable) -> int:
+        """Observer on component/tag add|remove: `fn(entity)` fires when the
+        component is added to / removed from an entity (flecs OnAdd/OnRemove)."""
+        if event not in ("add", "remove"):
+            raise ValueError("event must be 'add' or 'remove'")
+        cdef = C.lookup(comp)
+        if cdef is None:
+            raise KeyError(f"unknown component {comp!r}")
+        h = self._next_handle
+        self._next_handle += 1
+        self._observers[h] = (cdef.name, event, fn)
+        return h
+
+    def unobserve(self, handle: int) -> None:
+        self._observers.pop(handle, None)
+
+    def _fire_observers(self, comp_name: str, event: str, index: int) -> None:
+        if not self._observers:
+            return
+        for key, ev, fn in list(self._observers.values()):
+            if key != comp_name or ev != event:
+                continue
+            try:
+                fn(Entity(self, index))
+            except Exception:  # noqa: BLE001 — observer errors must not kill the engine
+                log.exception("observer error on %s %s", event, comp_name)
+
+    def progress(self, dt: float) -> None:
+        """Run registered host-side systems in phase order (flecs progress analog)."""
+        if not self.script_ecs_systems:
+            return
+        for phase in self.PHASES:
+            for rec in list(self.script_ecs_systems.values()):
+                if rec["phase"] != phase:
+                    continue
+                try:
+                    if rec["comps"]:
+                        for e in self.query(*rec["comps"]):
+                            rec["fn"](e, dt)
+                    else:
+                        rec["fn"](self, dt)
+                except Exception:  # noqa: BLE001
+                    log.exception("system %s error", rec["name"])
+
     # ------------------------------------------------------------------ device mirror
     def to_device_state(self) -> SceneState:
         """Build (or fetch cached) the jit-ready SceneState pytree."""
@@ -355,6 +459,38 @@ class Scene:
         # cached state stays valid: the device state IS the truth
         self._cached_device_state = state
         self._device_dirty = False
+
+    def merge_host_edits(self, state: SceneState) -> SceneState:
+        """Re-upload host-mirror component data into an existing device state,
+        preserving device-only simulation fields (particle pool, time/frame,
+        previous_world). Used after scripts mutate the host scene mid-run: the
+        runner pulls sim results with `sync_from_device`, lets scripts edit, then
+        merges edits back — the script-visible world and the device state stay
+        one world, as in the reference where scripts mutate the flecs world
+        directly. New entities get transforms; new physics bodies require a
+        `runtime_start` (bodies are fixed at start, as in `Scene.cpp:1040-1072`)."""
+        from .state import refresh_world_transforms
+
+        spec = self.spec
+        n = spec.padded_entities()
+        comp = {
+            name: {k: jnp.asarray(self._comp_data[name][k][:n]) for k in fields}
+            for name, fields in state.comp.items()
+        }
+        mask = {name: jnp.asarray(self._comp_mask[name][:n]) for name in state.mask}
+        level = compute_levels(self._parent[:n], self._alive[:n], spec.max_depth)
+        st = dataclasses.replace(
+            state,
+            alive=jnp.asarray(self._alive[:n]),
+            parent=jnp.asarray(self._parent[:n]),
+            level=jnp.asarray(level),
+            comp=comp,
+            mask=mask,
+        )
+        st = refresh_world_transforms(st, spec)
+        self._cached_device_state = st
+        self._device_dirty = False
+        return st
 
     # ------------------------------------------------------------------ lifecycle
     def defer(self, fn: Callable[["Scene"], None]) -> None:

@@ -157,3 +157,45 @@ def test_full_frame_band_sharded_matches_single_device(mesh):
     np.testing.assert_allclose(np.asarray(ldr_sh), np.asarray(ldr_ref), atol=2e-5)
     # the frame actually contains the lit cube (non-trivial coverage)
     assert float(jnp.mean((vid >= 0).astype(jnp.float32))) > 0.005
+
+
+def test_worlds_sharded_megakernel_matches_single(mesh):
+    """The throughput physics path (Pallas compact mega-kernel) sharded over the
+    worlds mesh axis: per-world results must match the unsharded kernel bit-for-bit
+    (each world is independent; the shard boundary must not perturb the math)."""
+    from functools import partial
+
+    from oxylus_tpu.physics.megakernel_compact import megakernel_substeps_compact
+    from oxylus_tpu.physics.state import PhysicsParams
+    from oxylus_tpu.scene.scene import Scene
+    from oxylus_tpu.scene.state import SceneSpec
+
+    s = Scene("wmk", spec=SceneSpec(max_entities=512, max_bodies=256))
+    floor = s.create_entity("floor")
+    floor.add("TransformComponent", position=(0.0, -1.0, 0.0))
+    floor.add("BoxColliderComponent", size=(20.0, 1.0, 20.0), friction=0.5)
+    rng = np.random.default_rng(2)
+    for i in range(12):
+        e = s.create_entity(f"b{i}")
+        j = rng.uniform(-0.03, 0.03, 3)
+        e.add("TransformComponent", position=(j[0], 1.0 + i * 1.1 + j[1], j[2]))
+        e.add("BoxColliderComponent", size=(0.5, 0.5, 0.5))
+        e.add("RigidBodyComponent", type="Dynamic", mass=1.0)
+    s.runtime_start()
+
+    params = PhysicsParams()
+    kern = partial(
+        megakernel_substeps_compact, params=params, dt=1 / 60,
+        n_substeps=4, iterations=3, warm=0.7, geom_every=2, interpret=True,
+    )
+
+    single = jax.jit(lambda p: kern(p))(s.physics_state)
+
+    batched = replicate_worlds(s.physics_state, 8, mesh)
+    stepped = worlds_step(lambda p: kern(p))(batched)
+
+    pos = np.asarray(stepped.pos)
+    vel = np.asarray(stepped.linvel)
+    for w in range(8):
+        np.testing.assert_array_equal(pos[w], np.asarray(single.pos))
+        np.testing.assert_array_equal(vel[w], np.asarray(single.linvel))
