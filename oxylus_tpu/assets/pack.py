@@ -81,8 +81,12 @@ def baked_mesh_to_arrays(baked) -> dict[str, np.ndarray]:
 def arrays_to_baked_mesh(arrays: dict[str, np.ndarray]):
     from .bake import BakedMesh, LODData, MeshletData
 
+    # npz round-trips scalars as 0-d or (1,) arrays depending on how they were
+    # saved; ravel-index before scalar conversion (ndim>0 → int() is a NumPy
+    # deprecation that will hard-error)
+    _scalar = lambda a: np.asarray(a).ravel()[0]
     lods = []
-    for i in range(int(arrays["lod_count"])):
+    for i in range(int(_scalar(arrays["lod_count"]))):
         p = f"lod{i}_"
         md = MeshletData(
             vertex_offset=arrays[p + "vertex_offset"],
@@ -100,7 +104,7 @@ def arrays_to_baked_mesh(arrays: dict[str, np.ndarray]):
             LODData(
                 meshlets=md,
                 index_count=int(md.triangle_count.sum()) * 3,
-                error=float(arrays[p + "error"]),
+                error=float(_scalar(arrays[p + "error"])),
             )
         )
     return BakedMesh(
@@ -110,7 +114,7 @@ def arrays_to_baked_mesh(arrays: dict[str, np.ndarray]):
         lods=lods,
         aabb_min=arrays["aabb_min"],
         aabb_max=arrays["aabb_max"],
-        material=int(arrays["material"]),
+        material=int(_scalar(arrays["material"])),
     )
 
 

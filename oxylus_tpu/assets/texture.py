@@ -150,7 +150,19 @@ def _load_ktx2(path):
         "<9I", data, 12
     )
     if vk_format not in (_VK_R8G8B8A8_UNORM, _VK_R8G8B8A8_SRGB, _VK_R8G8B8_UNORM, _VK_R8G8B8_SRGB):
-        raise ValueError(f"{path}: unsupported vkFormat {vk_format} (need RGBA8/RGB8)")
+        # name the family for the common shipped-asset case so the failure is
+        # actionable: VkFormat 131-152 are the BC1-BC7 block-compressed codes
+        kind = "BC block-compressed" if 131 <= vk_format <= 152 else "unsupported"
+        raise ValueError(
+            f"{path}: {kind} vkFormat {vk_format} is not supported — this loader "
+            f"handles uncompressed RGBA8/RGB8 (VkFormat 23/29/37/43) only; "
+            f"re-export the texture uncompressed (or as png) before packing"
+        )
+    if scheme == 1:
+        raise ValueError(
+            f"{path}: BasisLZ/ETC1S supercompression is not supported — "
+            f"re-export uncompressed or zstd-supercompressed"
+        )
     if scheme not in (0, 2):  # none | zstd
         raise ValueError(f"{path}: unsupported supercompression scheme {scheme}")
     # level index starts at byte 80 (after the two dfd/kvd/sgd offset blocks)

@@ -45,6 +45,8 @@ class SceneRunner:
         bindings: SpriteBatchBindings | None = None,
         atmosphere=None,
         enable_shadows: bool = False,
+        audio_engine=None,
+        asset_manager=None,
     ) -> None:
         self.scene = scene
         self.width = width
@@ -65,6 +67,26 @@ class SceneRunner:
         self.config: RendererConfig = scene.renderer_config
         self.atmosphere = atmosphere
         self.enable_shadows = enable_shadows
+
+        # audio: the reference runs audio_listener_update/audio_source_update
+        # every frame inside world.progress (`Scene.cpp:681-716`); here the
+        # runner drives the engine per frame when the scene carries audio
+        # components. Scenes without audio pay nothing (engine stays None).
+        self.asset_manager = asset_manager
+        self.audio_engine = audio_engine
+        self._audio_sources: dict[int, Any] = {}
+        self._audio_accum = 0.0
+        self.last_audio_block = None
+        if self.audio_engine is None:
+            has_audio = bool(
+                (scene._alive & scene._comp_mask["AudioSourceComponent"]).any()
+                or (scene._alive & scene._comp_mask["AudioListenerComponent"]).any()
+            )
+            if has_audio:
+                from .audio.engine import AudioEngine
+
+                self.audio_engine = AudioEngine()
+                self.audio_engine.init()
 
         if not scene.running:
             scene.runtime_start()
@@ -149,6 +171,10 @@ class SceneRunner:
 
     def invalidate_camera(self) -> None:
         self._camera_idx = None
+        # the fused 3D graph closed over the resolved camera index at trace
+        # time; if a script moved the camera to a different entity slot the
+        # compiled graph would keep rendering from the stale slot
+        self._full3d_jit = None
 
     def replace_physics_state(self, ps) -> None:
         """Swap in externally-built physics state (e.g. a loaded checkpoint or a
@@ -168,25 +194,49 @@ class SceneRunner:
         state first so scripts read live simulation results, and host edits are
         merged back so scripts and the jit'd step act on one world."""
         scene = self.scene
+        has_scripts = bool(scene.lua_systems or scene.script_ecs_systems)
+        if not (has_scripts or scene.deferred_functions):
+            return
+        # sync BEFORE running deferred functions: sync_from_device overwrites
+        # host component fields with device values, so host edits made by
+        # deferred fns (or scripts) must land after it or they'd be clobbered
+        scene.sync_from_device(self.state)
         if scene.deferred_functions:
             scene.run_deferred()
-        if not (scene.lua_systems or scene.script_ecs_systems):
-            return
-        scene.sync_from_device(self.state)
-        for system in scene.lua_systems.values():
-            system.on_scene_update(scene, dt)
-        h = scene.spec.physics_interval
-        self._script_accum += dt
-        nsub = 0
-        while self._script_accum >= h and nsub < scene.spec.max_substeps:
-            self._script_accum -= h
-            nsub += 1
+        if has_scripts:
             for system in scene.lua_systems.values():
-                system.on_fixed_update(scene, h)
-        scene.progress(dt)
+                system.on_scene_update(scene, dt)
+            h = scene.spec.physics_interval
+            self._script_accum += dt
+            nsub = 0
+            while self._script_accum >= h and nsub < scene.spec.max_substeps:
+                self._script_accum -= h
+                nsub += 1
+                for system in scene.lua_systems.values():
+                    system.on_fixed_update(scene, h)
+            # clamp the residual: if the cap was hit (one long frame, or dt
+            # persistently > max_substeps*h) an unclamped backlog would force
+            # max_substeps fixed updates every frame forever (spiral of death)
+            self._script_accum = min(self._script_accum, h)
+            scene.progress(dt)
         if scene._device_dirty:
+            old_n = int(self.state.alive.shape[0])
             self.state = scene.merge_host_edits(self.state)
             self.invalidate_camera()
+            self._audio_entity_idx = None  # audio entities may have changed
+            new_n = int(self.state.alive.shape[0])
+            if new_n != old_n:
+                # entity capacity grew mid-run: per-entity runner caches are
+                # sized for the old capacity — re-pad bindings (preserving
+                # material assignments) and drop the compiled frame graphs
+                b = self.bindings
+                pad = jnp.zeros((new_n - old_n,), b.entity_material_idx.dtype)
+                self.bindings = dataclasses.replace(
+                    b,
+                    entity_material_idx=jnp.concatenate([b.entity_material_idx, pad]),
+                )
+                self._render3d_jit = None
+                self._full3d_jit = None
 
     def _script_frame_end(self, image) -> None:
         if image is None or not self.scene.lua_systems:
@@ -213,6 +263,7 @@ class SceneRunner:
             if self._resolve_camera_idx() >= 0:
                 image = self._step_render3d_fused(dt)
                 self._post_step_events()
+                self._audio_frame(dt)
                 self._script_frame_end(image)
                 self.frame_index += 1
                 self.last_frame = image
@@ -228,13 +279,34 @@ class SceneRunner:
                 from .scene import frame as _frame
 
                 h = self.scene.spec.physics_interval
-                acc = self.ps.accumulator + dt
-                nsub = int(min(float(acc) // h, self.scene.spec.max_substeps)) if not hasattr(acc, "aval") else 1
-                self.ps = megakernel_substeps(self.ps, self.physics_params, h, n_substeps=max(nsub, 1))
-                self.ps = _dc.replace(self.ps, accumulator=jnp.asarray(float(acc) - max(nsub, 1) * h, jnp.float32))
+                # host-side fixed-60Hz accumulator (ps.accumulator is a device
+                # array — deriving nsub from it would need a sync per frame, and
+                # the old hasattr(aval) guard silently pinned nsub=1, running
+                # the sim in slow motion whenever dt > h)
+                acc = getattr(self, "_mega_accum", None)
+                if acc is None:
+                    acc = float(jax.device_get(self.ps.accumulator))
+                acc += dt
+                nsub = min(int(acc // h), self.scene.spec.max_substeps)
+                acc = min(acc - nsub * h, h)  # spiral-of-death clamp
+                self._mega_accum = acc
+                if nsub > 0:
+                    # interpret mode off-TPU so the path stays testable on the
+                    # CPU mesh (Mosaic lowering is TPU-only)
+                    interp = jax.devices()[0].platform not in ("tpu", "axon")
+                    self.ps = megakernel_substeps(
+                        self.ps, self.physics_params, h,
+                        n_substeps=nsub, interpret=interp,
+                    )
+                # rounding bounds the _scalar cache: acc ∈ [0,h], alpha ∈ [0,1]
+                self.ps = _dc.replace(
+                    self.ps, accumulator=self._scalar(round(acc, 4))
+                )
                 state = _frame.sync_bodies_to_components(self.state, self.ps)
                 state = _frame.sync_characters_to_components(state, self.ps)
-                state = _frame.physics_interpolate(state, self.ps, self._scalar(0.0))
+                state = _frame.physics_interpolate(
+                    state, self.ps, self._scalar(round(acc / h, 3))
+                )
                 from .scene.particles import particle_update
 
                 state = particle_update(state, self.scene.spec, self._scalar(dt))
@@ -259,6 +331,7 @@ class SceneRunner:
                     self.scene.spec, has_bodies=self._has_bodies,
                 )
         self._post_step_events()
+        self._audio_frame(dt)
         self.frame_index += 1
 
         image = None
@@ -300,6 +373,66 @@ class SceneRunner:
         self.last_frame = image
         PROFILER.frame_mark()
         return image
+
+    # ------------------------------------------------------------------ audio
+    def attach_audio_clip(self, entity_index: int, clip, play: bool = True):
+        """Bind an in-memory AudioClip to an AudioSourceComponent entity (the
+        asset-manager-less path: scenes loaded from JSON resolve clips by UUID
+        via `asset_manager` instead)."""
+        if self.audio_engine is None:
+            from .audio.engine import AudioEngine
+
+            self.audio_engine = AudioEngine()
+            self.audio_engine.init()
+        src = self.audio_engine.create_source(clip)
+        self._audio_sources[entity_index] = src
+        if play:
+            src.play()
+        return src
+
+    def _audio_frame(self, dt: float) -> None:
+        """Per-frame audio: pull live transforms for audio entities from the
+        device state (one small batched gather), push them into the engine via
+        `sync_sources_from_scene`, derive velocities for doppler, and advance
+        the mixer by the frame's worth of samples. Mirrors the reference's
+        PreUpdate audio systems (`Scene.cpp:681-716`)."""
+        if self.audio_engine is None:
+            return
+        from .audio.engine import SAMPLE_RATE, sync_sources_from_scene
+
+        scene = self.scene
+        idxs = getattr(self, "_audio_entity_idx", None)
+        if idxs is None:
+            m = scene._alive & (
+                scene._comp_mask["AudioSourceComponent"]
+                | scene._comp_mask["AudioListenerComponent"]
+            )
+            idxs = self._audio_entity_idx = np.nonzero(m)[0].astype(np.int32)
+        if len(idxs):
+            # world-space positions of just the audio entities (translation
+            # column — matrices are column-translation, math3d.trs_to_mat4)
+            pos = np.asarray(
+                jax.device_get(self.state.world[jnp.asarray(idxs), :3, 3])
+            )
+            scene._comp_data["TransformComponent"]["position"][idxs] = pos
+        old_src_pos = {i: np.array(s.position) for i, s in self._audio_sources.items()}
+        old_lst_pos = [np.array(l.position) for l in self.audio_engine.listeners]
+        sync_sources_from_scene(
+            self.audio_engine, scene, self._audio_sources, self.asset_manager
+        )
+        if dt > 0:
+            for i, src in self._audio_sources.items():
+                prev = old_src_pos.get(i)
+                if prev is not None:
+                    src.velocity = (np.asarray(src.position) - prev) / dt
+            for j, lst in enumerate(self.audio_engine.listeners):
+                if j < len(old_lst_pos):
+                    lst.velocity = (np.asarray(lst.position) - old_lst_pos[j]) / dt
+        self._audio_accum += dt * SAMPLE_RATE
+        frames = int(self._audio_accum)
+        self._audio_accum -= frames
+        if frames > 0:
+            self.last_audio_block = self.audio_engine.render_block(frames)
 
     def _post_step_events(self) -> None:
         """Contact/activation script callbacks off the post-step physics state."""

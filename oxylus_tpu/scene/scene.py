@@ -179,6 +179,16 @@ class Scene:
     def destroy_entity(self, index: int) -> None:
         for child in list(Entity(self, index).children()):
             self.destroy_entity(child.index)
+        # fire remove observers before clearing state (flecs OnRemove fires on
+        # entity destruction too — `Scene.cpp` observers see the dying entity)
+        if self._observers:
+            for name, m in self._comp_mask.items():
+                if m[index]:
+                    self._fire_observers(name, "remove", index)
+            for path in list(self._tags[index]):
+                cdef = C.lookup(path)
+                if cdef is not None:
+                    self._fire_observers(cdef.name, "remove", index)
         self._alive[index] = False
         self._names[index] = None
         self._tags[index] = set()
@@ -473,6 +483,18 @@ class Scene:
 
         spec = self.spec
         n = spec.padded_entities()
+        old_n = int(state.alive.shape[0])
+        if n != old_n:
+            # a script-created entity triggered _grow(): re-pad the device-only
+            # per-entity arrays to the new capacity so the pytree stays
+            # shape-consistent (new rows get identity transforms; previous_world
+            # for them is fixed up after the refresh below)
+            ident = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (n - old_n, 4, 4))
+            state = dataclasses.replace(
+                state,
+                world=jnp.concatenate([state.world, ident]),
+                previous_world=jnp.concatenate([state.previous_world, ident]),
+            )
         comp = {
             name: {k: jnp.asarray(self._comp_data[name][k][:n]) for k in fields}
             for name, fields in state.comp.items()
@@ -488,6 +510,10 @@ class Scene:
             mask=mask,
         )
         st = refresh_world_transforms(st, spec)
+        if n != old_n:
+            st = dataclasses.replace(
+                st, previous_world=st.previous_world.at[old_n:].set(st.world[old_n:])
+            )
         self._cached_device_state = st
         self._device_dirty = False
         return st
