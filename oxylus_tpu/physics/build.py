@@ -103,10 +103,14 @@ def build_physics_state(scene) -> PhysicsState:
         def shape_of(cname, col):
             """(shape_type, half_extent|None, radius, radius2, half_length,
             inertia_unit_mass) — mirrors the Jolt shapes the reference builds at
-            `Scene.cpp:1717-1850` (Box/Sphere/Capsule/TaperedCapsule/Cylinder)."""
+            `Scene.cpp:1717-1850` (Box/Sphere/Capsule/TaperedCapsule/Cylinder).
+            Inertias computed in numpy: an eager jnp call per body is ~ms of
+            dispatch over the accelerator tunnel — at 10k bodies that is minutes
+            of scene-build time."""
             if cname == "BoxColliderComponent":
                 size = np.asarray(col["size"], np.float32)
-                inert = np.asarray(box_inertia(jnp.float32(1.0), jnp.asarray(size, jnp.float32)))
+                hx2, hy2, hz2 = (size ** 2).tolist()
+                inert = np.array([hy2 + hz2, hx2 + hz2, hx2 + hy2], np.float32) / 3.0
                 return SHAPE_BOX, size, 0.0, 0.0, 0.0, inert
             if cname == "SphereColliderComponent":
                 r, r2, hl = float(col["radius"]), float(col["radius"]), 0.0
@@ -124,11 +128,15 @@ def build_physics_state(scene) -> PhysicsState:
                 r, r2, hl = float(col["radius"]), float(col["radius"]), float(col["height"]) / 2.0
                 st = SHAPE_CAPSULE
             if st == SHAPE_CYLINDER:
-                inert = np.asarray(cylinder_inertia(jnp.float32(1.0), jnp.float32(r), jnp.float32(hl)))
+                inert = cylinder_inertia(
+                    np.float32(1.0), np.float32(r), np.float32(hl)
+                )
             else:
                 r_mean = 0.5 * (r + r2)
-                inert = np.asarray(capsule_inertia(jnp.float32(1.0), jnp.float32(r_mean), jnp.float32(hl)))
-            return st, None, r, r2, hl, inert
+                inert = capsule_inertia(
+                    np.float32(1.0), np.float32(r_mean), np.float32(hl)
+                )
+            return st, None, r, r2, hl, np.asarray(inert)
 
         # mass distribution over sub-colliders ∝ rough shape volume (the reference's
         # Jolt StaticCompoundShape computes exact composite mass properties;

@@ -84,7 +84,7 @@ class PhysicsParams:
         "inv_mass", "inv_inertia",
         "half_extent", "radius", "radius2", "half_length", "offset",
         "friction", "restitution", "gravity_factor",
-        "linear_drag", "angular_drag", "dof_mask_lin", "dof_mask_ang", "is_sensor",
+        "linear_drag", "angular_drag", "dof_mask_lin", "dof_mask_ang", "is_sensor", "apply_gyro",
         "is_character", "ground_normal_y", "parent",
         "asleep", "sleep_timer",
         "accumulator",
@@ -124,6 +124,10 @@ class PhysicsState:
     dof_mask_lin: Array    # (B, 3) 1.0 where translation DOF allowed
     dof_mask_ang: Array    # (B, 3) 1.0 where rotation DOF allowed
     is_sensor: Array       # (B,) bool
+    # gyroscopic integration (Jolt `Body::SetApplyGyroscopicForce`, exposed to
+    # scripts at `/root/reference/Oxylus/src/Scripting/LuaPhysicsBindings.cpp:175`;
+    # off by default exactly like Jolt's BodyCreationSettings)
+    apply_gyro: Array      # (B,) bool
     is_character: Array    # (B,) bool — capsule driven by CharacterControllerComponent
     ground_normal_y: Array # (B,) f32 — support-normal y from last substep (grounding)
     # compound shapes: sub-collider slots are contact PROXIES of a root body —
@@ -180,6 +184,7 @@ def empty_physics_state(max_bodies: int) -> PhysicsState:
         dof_mask_lin=jnp.ones((b, 3), jnp.float32),
         dof_mask_ang=jnp.ones((b, 3), jnp.float32),
         is_sensor=jnp.zeros((b,), jnp.bool_),
+        apply_gyro=jnp.zeros((b,), jnp.bool_),
         is_character=jnp.zeros((b,), jnp.bool_),
         ground_normal_y=jnp.zeros((b,), jnp.float32),
         parent=jnp.full((b,), -1, jnp.int32),
@@ -190,26 +195,41 @@ def empty_physics_state(max_bodies: int) -> PhysicsState:
 
 
 def box_inertia(mass: Array, half: Array) -> Array:
-    """Solid-box diagonal inertia: (1/3) m (h_j² + h_k²)."""
+    """Solid-box diagonal inertia: (1/3) m (h_j² + h_k²).
+
+    Host-construction helpers (this and the two below) run in numpy: they are
+    called per body during scene build, and an eager jnp dispatch per body is
+    ~ms over the accelerator tunnel (minutes at 10k bodies)."""
+    import numpy as np
+
+    half = np.asarray(half)
     hx2, hy2, hz2 = half[..., 0] ** 2, half[..., 1] ** 2, half[..., 2] ** 2
-    return (mass[..., None] / 3.0) * jnp.stack([hy2 + hz2, hx2 + hz2, hx2 + hy2], axis=-1)
+    return (np.asarray(mass)[..., None] / 3.0) * np.stack(
+        [hy2 + hz2, hx2 + hz2, hx2 + hy2], axis=-1
+    )
 
 
 def cylinder_inertia(mass: Array, radius: Array, half_length: Array) -> Array:
     """Solid cylinder, axis local Y: Iy = ½mr², Ix = Iz = m(3r² + h²)/12."""
-    r, h = radius, half_length * 2.0
+    import numpy as np
+
+    r, h = np.asarray(radius), np.asarray(half_length) * 2.0
+    mass = np.asarray(mass)
     iy = 0.5 * mass * r**2
     ix = mass * (3.0 * r**2 + h**2) / 12.0
-    return jnp.stack([ix, iy, ix], axis=-1)
+    return np.stack([ix, iy, ix], axis=-1)
 
 
 def capsule_inertia(mass: Array, radius: Array, half_length: Array) -> Array:
     """Capsule (axis Y) inertia: cylinder + two hemispheres composite."""
-    r, h = radius, half_length * 2.0
+    import numpy as np
+
+    r, h = np.asarray(radius), np.asarray(half_length) * 2.0
+    mass = np.asarray(mass)
     # volume split
-    v_cyl = jnp.pi * r**2 * h
-    v_sph = (4.0 / 3.0) * jnp.pi * r**3
-    v_tot = jnp.maximum(v_cyl + v_sph, 1e-12)
+    v_cyl = np.pi * r**2 * h
+    v_sph = (4.0 / 3.0) * np.pi * r**3
+    v_tot = np.maximum(v_cyl + v_sph, 1e-12)
     m_cyl = mass * v_cyl / v_tot
     m_sph = mass * v_sph / v_tot
     # cylinder about its center
@@ -221,4 +241,4 @@ def capsule_inertia(mass: Array, radius: Array, half_length: Array) -> Array:
     i_sph_x = 0.4 * m_sph * r**2 + m_sph * d**2
     ix = i_cyl_x + i_sph_x
     iy = i_cyl_y + i_sph_y
-    return jnp.stack([ix, iy, ix], axis=-1)
+    return np.stack([ix, iy, ix], axis=-1)

@@ -156,6 +156,8 @@ class Scene:
         self._device_dirty = True
         self._cached_device_state: SceneState | None = None
         self.deferred_functions: list[Callable[["Scene"], None]] = []
+        # queued body-dynamics ops (AddForce/AddTorque/..., see body_add_force)
+        self._pending_body_ops: list[tuple] = []
 
     # ------------------------------------------------------------------ entities
     def create_entity(self, name: str = "") -> Entity:
@@ -526,6 +528,81 @@ class Scene:
         fns, self.deferred_functions = self.deferred_functions, []
         for fn in fns:
             fn(self)
+
+    # ---- script-facing body dynamics API -----------------------------------
+    # Mirrors the Jolt body methods the reference binds to Lua
+    # (`/root/reference/Oxylus/src/Scripting/LuaPhysicsBindings.cpp:175,248-273`):
+    # AddForce/AddTorque/AddImpulse/AddAngularImpulse/SetApplyGyroscopicForce.
+    # Ops accumulate host-side and are folded into the device PhysicsState by
+    # `apply_pending_body_ops` right before the next physics dispatch — forces
+    # apply over one 60 Hz tick (Jolt clears force accumulators each Update).
+
+    def body_add_force(self, entity_index: int, force) -> None:
+        self._pending_body_ops.append(("force", int(entity_index), tuple(force), None))
+
+    def body_add_torque(self, entity_index: int, torque) -> None:
+        self._pending_body_ops.append(("torque", int(entity_index), tuple(torque), None))
+
+    def body_add_impulse(self, entity_index: int, impulse, point=None) -> None:
+        pt = None if point is None else tuple(point)
+        self._pending_body_ops.append(("impulse", int(entity_index), tuple(impulse), pt))
+
+    def body_add_angular_impulse(self, entity_index: int, impulse) -> None:
+        self._pending_body_ops.append(("ang_impulse", int(entity_index), tuple(impulse), None))
+
+    def body_set_apply_gyroscopic(self, entity_index: int, flag: bool = True) -> None:
+        self._pending_body_ops.append(("gyro", int(entity_index), bool(flag), None))
+
+    def apply_pending_body_ops(self, ps, h: float = 1.0 / 60.0):
+        """Fold queued body ops into a PhysicsState. Forces/torques convert to
+        velocity deltas over one fixed tick `h`; impulses apply directly."""
+        import numpy as np
+
+        from ..utils import math3d as _m3
+
+        ops, self._pending_body_ops = self._pending_body_ops, []
+        if not ops or ps is None:
+            return ps
+        ent = np.asarray(ps.entity)
+        slot_of = {int(e): s for s, e in enumerate(ent) if e >= 0}
+        linvel = np.asarray(ps.linvel).copy()
+        angvel = np.asarray(ps.angvel).copy()
+        gyro = np.asarray(ps.apply_gyro).copy()
+        inv_mass = np.asarray(ps.inv_mass)
+        pos = np.asarray(ps.pos)
+        quat = np.asarray(ps.quat)
+        inv_inertia = np.asarray(ps.inv_inertia)
+        touched_vel = touched_gyro = False
+        for kind, e, v, point in ops:
+            s = slot_of.get(e)
+            if s is None:
+                continue
+            if kind == "gyro":
+                gyro[s] = v
+                touched_gyro = True
+                continue
+            rot = np.asarray(_m3.quat_to_mat3(jnp.asarray(quat[s][None])))[0]
+            inv_iw = rot @ np.diag(inv_inertia[s]) @ rot.T
+            v = np.asarray(v, np.float32)
+            if kind == "force":
+                linvel[s] += v * inv_mass[s] * h
+            elif kind == "torque":
+                angvel[s] += inv_iw @ v * h
+            elif kind == "impulse":
+                linvel[s] += v * inv_mass[s]
+                if point is not None:
+                    angvel[s] += inv_iw @ np.cross(np.asarray(point, np.float32) - pos[s], v)
+            elif kind == "ang_impulse":
+                angvel[s] += inv_iw @ v
+            touched_vel = True
+        import dataclasses as _dc
+
+        rep = {}
+        if touched_vel:
+            rep.update(linvel=jnp.asarray(linvel), angvel=jnp.asarray(angvel))
+        if touched_gyro:
+            rep.update(apply_gyro=jnp.asarray(gyro))
+        return _dc.replace(ps, **rep) if rep else ps
 
     def set_collision_meshes(self, meshes: dict) -> None:
         """Register raw triangle geometry for MeshColliderComponent entities:
