@@ -1156,7 +1156,7 @@ def slab_rank_key(ps: PhysicsState, exclude: Array | None = None) -> Array:
     return jnp.where(act, key, big)
 
 
-def band_coverage_report(ps: PhysicsState, margin: float = 0.1) -> dict:
+def band_coverage_report(ps: PhysicsState, margin: float = 0.1, band: int | None = None) -> dict:
     """Debug diagnostic: how well does the ±BAND rank window cover the actual
     AABB-overlap pair set for this scene shape? Dense O(B²) — offline use only
     (bench/tuning scripts, tests), not for the hot path.
@@ -1178,7 +1178,7 @@ def band_coverage_report(ps: PhysicsState, margin: float = 0.1) -> dict:
     pair = overlap & valid
     dist = jnp.abs(rank[:, None] - rank[None, :])
     n_pairs = int(jnp.sum(pair))
-    outside = int(jnp.sum(pair & (dist > BAND)))
+    outside = int(jnp.sum(pair & (dist > (BAND if band is None else band))))
     max_dist = int(jnp.max(jnp.where(pair, dist, 0)))
     return {"pairs": n_pairs, "outside_band": outside, "max_rank_dist": max_dist}
 

@@ -94,7 +94,20 @@ def _compact_kernel(
     warm: float = 0.7,
     geom_every: int = 2,
     sleep: bool = False,
+    resident_m: bool = True,
+    band: int = BAND,
+    r_slots: int = R,
 ):
+    # shadow the module constants: every use below binds to these locals, so a
+    # launch can widen the rank band (scenes whose slab population exceeds 128,
+    # e.g. the single-pile flagship at rest) or narrow the neighbor-slot count
+    # (10k-body capacity mode: R=8 halves the (R, b) scratch AND the SAT's
+    # live-temporary footprint — the 10240-body compile was VMEM-bound on
+    # register-allocator spill slots, not on FLOPs)
+    R = r_slots            # noqa: F841 — intentional shadow
+    BAND = band            # noqa: F841
+    SLAB = BCHUNK + band   # noqa: F841
+
     dt = scalars_ref[0]
     g = (scalars_ref[1], scalars_ref[2], scalars_ref[3])
     baumgarte = scalars_ref[4]
@@ -112,8 +125,15 @@ def _compact_kernel(
     it = iter(scratch)
     d_cur = next(it)            # (R, b) i32 partner deltas (0 = empty slot)
     d_new = next(it)            # (R, b) i32 rebuild staging (remap needs both)
-    m_ref = next(it)            # (nc*SLAB, R*BCHUNK) bf16 gather one-hots (Mbig)
-    mt_ref = next(it)           # (R*nc*BCHUNK, SLAB) bf16 scatter one-hots
+    if resident_m:
+        m_ref = next(it)        # (nc*SLAB, R*BCHUNK) bf16 gather one-hots (Mbig)
+        mt_ref = next(it)       # (R*nc*BCHUNK, SLAB) bf16 scatter one-hots
+    else:
+        # large-capacity mode (10k bodies): the resident one-hots cost 16 KB of
+        # VMEM per body (the round-2 ~2k-body ceiling) — instead each chunk's
+        # gather/scatter one-hot block is rebuilt on the fly from d_cur at its
+        # use site (~R broadcast-compares per chunk, VPU-cheap)
+        m_ref = mt_ref = None
     tri_ref = next(it)          # (SLAB, SLAB) bf16 strict-lower prefix matmul
     g3 = next(it)               # (GROWS, R, b) f32 gathered col-state pages
     s_ghl = next(it)            # (GSTG, b) bf16 gather source (hi rows, lo rows)
@@ -179,13 +199,66 @@ def _compact_kernel(
     jj1 = jax.lax.broadcasted_iota(jnp.int32, (SLAB, SLAB), 1)
     tri_ref[:, :] = (jj0 < jj1).astype(jnp.bfloat16)
 
+    # ---- chunk iteration ------------------------------------------------------
+    # Resident path (b <= 4096): Python-unrolled chunks with STATIC slice offsets
+    # (best MXU scheduling). Large-capacity path (10k bodies): the same bodies run
+    # under ONE lax.fori_loop with dynamic 128-aligned lane slices — unrolling 80
+    # chunks exploded the register allocator (241 MB VMEM: 180 MB of spill slots
+    # at b=10240), while dynamic-trip loops pipeline fine (PERF_NOTES Mosaic
+    # table; alignment probe: scripts/probe_dynslice.py).
+    def ws_of(c):
+        if resident_m:
+            return max(0, min(c * BCHUNK, b - SLAB))  # python int → static slices
+        return pl.multiple_of(
+            jnp.maximum(0, jnp.minimum(c * BCHUNK, b - SLAB)), 128
+        )
+
+    def cs_of(c):
+        if resident_m:
+            return c * BCHUNK
+        return pl.multiple_of(c * BCHUNK, 128)
+
+    def chunk_loop(body):
+        if resident_m:
+            for c in range(nc):
+                body(c)
+        else:
+            def _it(c, _):
+                body(c)
+                return 0
+            jax.lax.fori_loop(0, nc, _it, 0)
+
     def rowT(ref, start):
-        return jnp.swapaxes(ref[0:1, start : start + BCHUNK], 0, 1)
+        return jnp.swapaxes(ref[0:1, pl.ds(start, BCHUNK)], 0, 1)
 
     def colS(ref, cs):
-        return ref[0:1, cs : cs + SLAB]
+        return ref[0:1, pl.ds(cs, SLAB)]
 
     # ---- one-hot matmul gather / scatter helpers -----------------------------
+    def m_block(c):
+        """Chunk c's (SLAB, R*BCHUNK) gather one-hot, built from d_cur."""
+        ws = ws_of(c)
+        off = cs_of(c) - ws
+        li = jax.lax.broadcasted_iota(jnp.int32, (1, BCHUNK), 1)
+        jjm = jax.lax.broadcasted_iota(jnp.int32, (SLAB, BCHUNK), 0)
+        parts = []
+        for r in range(R):
+            dr = d_cur[r : r + 1, pl.ds(cs_of(c), BCHUNK)]
+            parts.append((jjm == li + off + dr).astype(jnp.bfloat16))
+        return jnp.concatenate(parts, axis=1)
+
+    def mt_block(c, r):
+        """(c, r)'s (BCHUNK, SLAB) scatter one-hot, built from d_cur."""
+        ws = ws_of(c)
+        off = cs_of(c) - ws
+        dr = d_cur[r : r + 1, pl.ds(cs_of(c), BCHUNK)]
+        drt = jnp.swapaxes(dr, 0, 1)
+        jjt = jax.lax.broadcasted_iota(jnp.int32, (BCHUNK, SLAB), 1)
+        lit = jax.lax.broadcasted_iota(jnp.int32, (BCHUNK, SLAB), 0)
+        # empty slots must not scatter onto rank i+0 = self
+        tgt_t = lit + off + drt + jnp.where(drt == 0, 2 * SLAB, 0)
+        return (jjt == tgt_t).astype(jnp.bfloat16)
+
     def gather_phase(fields, row0):
         """Gather partner values of `fields` ((1,b) f32 values) into g3 pages
         [row0 .. row0+n); one Mbig matmul per chunk, hi/lo rows stacked."""
@@ -194,11 +267,12 @@ def _compact_kernel(
             hi = v.astype(jnp.bfloat16)
             s_ghl[k : k + 1, :] = hi
             s_ghl[n + k : n + k + 1, :] = (v - hi.astype(f32)).astype(jnp.bfloat16)
-        for c in range(nc):
-            ws = _ws(c, b)
+
+        def gather_chunk(c):
+            ws = ws_of(c)
             mm = jnp.dot(
-                s_ghl[0 : 2 * n, ws : ws + SLAB],
-                m_ref[c * SLAB : (c + 1) * SLAB, :],
+                s_ghl[0 : 2 * n, pl.ds(ws, SLAB)],
+                m_ref[c * SLAB : (c + 1) * SLAB, :] if resident_m else m_block(c),
                 preferred_element_type=f32,
             )  # (2n, R*BCHUNK)
             for r in range(R):
@@ -206,7 +280,9 @@ def _compact_kernel(
                     mm[0:n, r * BCHUNK : (r + 1) * BCHUNK]
                     + mm[n : 2 * n, r * BCHUNK : (r + 1) * BCHUNK]
                 )
-                g3[row0 : row0 + n, r, c * BCHUNK : (c + 1) * BCHUNK] = gm
+                g3[row0 : row0 + n, r, pl.ds(cs_of(c), BCHUNK)] = gm
+
+        chunk_loop(gather_chunk)
 
     def stage_scatter_pages(rows):
         """Stage (R, b) f32 values as hi/lo bf16 pages for scatter_phase."""
@@ -219,17 +295,21 @@ def _compact_kernel(
     def scatter_phase(nrows):
         """Scatter-add staged pages into acc8[0:nrows]."""
         acc8[0:nrows, :] = jnp.zeros((nrows, b), f32)
-        for c in range(nc):
-            ws = _ws(c, b)
+
+        def scatter_chunk(c):
+            ws = ws_of(c)
             tot = jnp.zeros((nrows, SLAB), f32)
             for r in range(R):
                 mm = jnp.dot(
-                    sc_hl[0 : 2 * nrows, r, c * BCHUNK : (c + 1) * BCHUNK],
-                    mt_ref[(c * R + r) * BCHUNK : (c * R + r + 1) * BCHUNK, :],
+                    sc_hl[0 : 2 * nrows, r, pl.ds(cs_of(c), BCHUNK)],
+                    mt_ref[(c * R + r) * BCHUNK : (c * R + r + 1) * BCHUNK, :]
+                    if resident_m else mt_block(c, r),
                     preferred_element_type=f32,
                 )  # (2*nrows, SLAB)
                 tot = tot + mm[0:nrows] + mm[nrows : 2 * nrows]
-            acc8[0:nrows, ws : ws + SLAB] = acc8[0:nrows, ws : ws + SLAB] + tot
+            acc8[0:nrows, pl.ds(ws, SLAB)] = acc8[0:nrows, pl.ds(ws, SLAB)] + tot
+
+        chunk_loop(scatter_chunk)
 
     def body_substep(step_i, carry):
       def _active_substep():
@@ -264,13 +344,16 @@ def _compact_kernel(
             # ========== rebuild: discovery -> compact -> M/MT -> SAT ==========
             def rebuild_pairs():
                 # --- banded discovery + per-row compaction to delta slots ------
+                # row-side counts/overflow write straight to their (1, b) pages;
+                # col-side counts ACCUMULATE into acc8 row 0 (windows of adjacent
+                # chunks overlap by BAND, so this must be sequential
+                # read-modify-write — which both chunk_loop modes are)
                 rows_ch = jax.lax.broadcasted_iota(jnp.int32, (R, BCHUNK), 0)
-                col_cnt = jnp.zeros((1, b), jnp.float32)
-                row_cnt_parts = []
-                ovf_parts = []
-                for c in range(nc):
-                    start = c * BCHUNK
-                    cs = _ws(c, b)
+                acc8[0:1, :] = jnp.zeros((1, b), jnp.float32)
+
+                def discover_chunk(c):
+                    start = cs_of(c)
+                    cs = ws_of(c)
                     dxc = colS(s_px, cs) - rowT(s_px, start)
                     dyc = colS(s_py, cs) - rowT(s_py, start)
                     dzc = colS(s_pz, cs) - rowT(s_pz, start)
@@ -299,38 +382,26 @@ def _compact_kernel(
                         dr = jnp.sum(delta.astype(jnp.float32) * sel, axis=1, keepdims=True)
                         drT = jnp.swapaxes(dr, 0, 1).astype(jnp.int32)  # (1, BCHUNK)
                         ndc = jnp.where(rows_ch == r, drT, ndc)
-                    d_new[:, start : start + BCHUNK] = ndc
+                    d_new[:, pl.ds(start, BCHUNK)] = ndc
 
-                    row_cnt_parts.append(
-                        jnp.swapaxes(jnp.sum(kept, axis=1, keepdims=True), 0, 1)
+                    s_paircnt[0:1, pl.ds(start, BCHUNK)] = jnp.swapaxes(
+                        jnp.sum(kept, axis=1, keepdims=True), 0, 1
                     )
-                    ovf_parts.append(
-                        jnp.swapaxes(jnp.sum(af - kept, axis=1, keepdims=True), 0, 1)
+                    s_ovf[0:1, pl.ds(start, BCHUNK)] = jnp.swapaxes(
+                        jnp.sum(af - kept, axis=1, keepdims=True), 0, 1
                     )
                     cpart = jnp.sum(kept, axis=0, keepdims=True)
-                    upd = col_cnt[0:1, cs : cs + SLAB] + cpart
-                    pieces = []
-                    if cs > 0:
-                        pieces.append(col_cnt[0:1, 0:cs])
-                    pieces.append(upd)
-                    if cs + SLAB < b:
-                        pieces.append(col_cnt[0:1, cs + SLAB : b])
-                    col_cnt = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+                    acc8[0:1, pl.ds(cs, SLAB)] = acc8[0:1, pl.ds(cs, SLAB)] + cpart
 
-                s_paircnt[:] = (
-                    row_cnt_parts[0] if nc == 1 else jnp.concatenate(row_cnt_parts, axis=1)
-                ) + col_cnt
-                s_ovf[:] = (
-                    ovf_parts[0] if nc == 1 else jnp.concatenate(ovf_parts, axis=1)
-                )
+                chunk_loop(discover_chunk)
+                s_paircnt[:] = s_paircnt[:] + acc8[0:1, :]
 
                 # --- remap lambda caches old slots -> new slots -----------------
                 # match on partner delta; unmatched new slots start cold at 0.
                 # vectorized: per new slot rn, an (R, BCHUNK) match matrix against
                 # ALL old slots at once, sublane-reduced, rowmask-accumulated.
-                for c in range(nc):
-                    start = c * BCHUNK
-                    sl = slice(start, start + BCHUNK)
+                def remap_chunk(c):
+                    sl = pl.ds(cs_of(c), BCHUNK)
                     d_old = d_cur[:, sl]                       # (R, BCHUNK)
                     lam_old = [a[:, sl].astype(jnp.float32) for a in lam]
                     lam_new = [jnp.zeros((R, BCHUNK), jnp.float32) for _ in lam]
@@ -342,10 +413,13 @@ def _compact_kernel(
                             lam_new[a] = jnp.where(rows_ch == rn, red, lam_new[a])
                     for a in range(len(lam)):
                         lam[a][:, sl] = lam_new[a].astype(LAM_DT)
+
+                chunk_loop(remap_chunk)
                 d_cur[:, :] = d_new[:, :]
 
                 # --- build M (Mbig layout) / MT one-hot blocks ------------------
-                for r in range(R):
+                # (resident mode only; large-capacity mode rebuilds per use)
+                for r in range(R if resident_m else 0):
                     for c in range(nc):
                         ws = _ws(c, b)
                         off = c * BCHUNK - ws
@@ -1123,7 +1197,7 @@ def _compact_kernel(
     jax.jit,
     static_argnames=(
         "iterations", "n_substeps", "interpret", "warm", "geom_every", "sleep",
-        "with_overflow",
+        "with_overflow", "resident_m", "band", "r_slots",
     ),
 )
 def megakernel_substeps_compact(
@@ -1137,6 +1211,9 @@ def megakernel_substeps_compact(
     geom_every: int = 2,
     sleep: bool = False,
     with_overflow: bool = False,
+    resident_m: bool | None = None,
+    band: int = BAND,
+    r_slots: int | None = None,
 ):
     """Compacted-neighbor throughput path: slab-rank sort once per launch, run
     the compact kernel for `n_substeps`, permute results back to slot order.
@@ -1145,8 +1222,25 @@ def megakernel_substeps_compact(
     `(state, dropped)` where `dropped` is the total number of in-band AABB
     candidates that did not fit the R=16 neighbor slots at the last rebuild
     (the compaction analog of the banded kernel's out-of-band diagnostic).
-    """
+
+    `resident_m` keeps the gather/scatter one-hot matrices VMEM-resident across
+    substeps (fastest; ~16 KB VMEM per body). Default: resident up to 4096
+    bodies, on-the-fly per-chunk rebuild above (10k-body capacity mode — the
+    reference caps at MAX_BODIES=1024, `Physics.hpp:20-22`; BASELINE config 5
+    asks for 10k)."""
     b = ps.num_slots
+    if resident_m is None:
+        resident_m = b <= 4096
+    # `band` widens the rank window for scenes whose slab population exceeds
+    # 128 (must stay a multiple of 128 — dynamic lane slices align to 128);
+    # `r_slots` narrows the neighbor-slot capacity (default 16; the 10k-body
+    # mode runs 12 to shrink the (R, b) scratch + SAT temporary footprint —
+    # 8 overflowed 902 pairs on the 10k rubble piles, 12 covers them; honesty
+    # is preserved by the `dropped` overflow diagnostic).
+    assert band % 128 == 0 and band >= 128
+    R = r_slots if r_slots is not None else (16 if resident_m else 12)
+    BAND = band            # noqa: F841 — shadow the module constants below
+    SLAB = BCHUNK + band
     assert b % BCHUNK == 0 and b >= SLAB, (
         f"compact kernel needs capacity a multiple of {BCHUNK} and >= {SLAB}"
     )
@@ -1214,8 +1308,11 @@ def megakernel_substeps_compact(
     out_shapes = [jax.ShapeDtypeStruct((1, b), jnp.float32)] * 16
     scratch = (
         [pltpu.VMEM((R, b), jnp.int32)] * 2                    # d_cur, d_new
-        + [pltpu.VMEM((nc * SLAB, R * BCHUNK), jnp.bfloat16)]  # M (Mbig layout)
-        + [pltpu.VMEM((R * nc * BCHUNK, SLAB), jnp.bfloat16)]  # MT
+        + (
+            [pltpu.VMEM((nc * SLAB, R * BCHUNK), jnp.bfloat16)]  # M (Mbig layout)
+            + [pltpu.VMEM((R * nc * BCHUNK, SLAB), jnp.bfloat16)]  # MT
+            if resident_m else []
+        )
         + [pltpu.VMEM((SLAB, SLAB), jnp.bfloat16)]             # tri
         + [pltpu.VMEM((GROWS, R, b), jnp.float32)]             # g3 col-state pages
         + [pltpu.VMEM((GSTG, b), jnp.bfloat16)]                # s_ghl
@@ -1232,7 +1329,7 @@ def megakernel_substeps_compact(
         partial(
             _compact_kernel,
             iterations=iterations, n_bodies=b, warm=warm, geom_every=geom_every,
-            sleep=sleep,
+            sleep=sleep, resident_m=resident_m, band=band, r_slots=R,
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),

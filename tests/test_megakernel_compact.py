@@ -67,3 +67,44 @@ def test_compact_sleeping_and_overflow_diag():
     pos = np.asarray(out.pos)[1 : 1 + n_dyn]
     assert np.all(pos[:, 1] > -0.5)
     assert R == 16  # capacity documented in the kernel module
+
+
+def test_compact_nonresident_matches_resident():
+    """Large-capacity mode (resident_m=False: fori_loop chunk iteration +
+    on-the-fly one-hot blocks — the 10k-body path) must produce the SAME
+    trajectories as the resident unrolled path on an identical scene."""
+    ps = _falling_boxes(n_boxes=40, max_bodies=256)
+    params = PhysicsParams()
+    res, d_res = megakernel_substeps_compact(
+        ps, params, DT, n_substeps=8, iterations=3, warm=0.7, geom_every=2,
+        interpret=True, with_overflow=True, resident_m=True,
+    )
+    non, d_non = megakernel_substeps_compact(
+        ps, params, DT, n_substeps=8, iterations=3, warm=0.7, geom_every=2,
+        interpret=True, with_overflow=True, resident_m=False,
+    )
+    assert float(d_res) == float(d_non) == 0.0
+    np.testing.assert_allclose(np.asarray(non.pos), np.asarray(res.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(non.quat), np.asarray(res.quat), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(non.linvel), np.asarray(res.linvel), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(non.angvel), np.asarray(res.angvel), atol=1e-4)
+
+
+def test_compact_band_and_rslots_params():
+    """Widened rank band (256) + narrowed neighbor slots (r_slots=8) — the
+    knobs the flagship/10k benches use — must not change trajectories when
+    neither window overflows. (band=256 needs capacity >= SLAB=384.)"""
+    ps = _falling_boxes(n_boxes=40, max_bodies=512)
+    params = PhysicsParams()
+    base, d0 = megakernel_substeps_compact(
+        ps, params, DT, n_substeps=8, iterations=3, warm=0.7, geom_every=2,
+        interpret=True, with_overflow=True,
+    )
+    wide, d1 = megakernel_substeps_compact(
+        ps, params, DT, n_substeps=8, iterations=3, warm=0.7, geom_every=2,
+        interpret=True, with_overflow=True, band=256, r_slots=8,
+        resident_m=False,
+    )
+    assert float(d0) == float(d1) == 0.0
+    np.testing.assert_allclose(np.asarray(wide.pos), np.asarray(base.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wide.linvel), np.asarray(base.linvel), atol=1e-4)
