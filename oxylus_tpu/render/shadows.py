@@ -27,7 +27,11 @@ from ..utils import math3d
 Array = jax.Array
 
 SHADOW_MAP_SIZE = 1024
-NUM_CLIPMAPS = 4
+# 6 levels (reference runs an 8K-virtual RMVSM, RendererInstance.hpp:209-215):
+# on this target raster cost scales with map AREA (per-tile kernel floor) while
+# clipmap levels buy exponential coverage per linear cost, so scale comes from
+# MORE LEVELS (10 m → 320 m at constant texel density) rather than bigger maps
+NUM_CLIPMAPS = 6
 
 
 def clipmap_matrices(
@@ -112,9 +116,10 @@ def mark_visible_pages(
     n_lvls = light_vps.shape[0]
     wp = world_pos.reshape(-1, 3)
     ok = hit.reshape(-1)
-    # all levels in one fused chain; the page marks come from a compare-reduce
-    # over the 256 page ids instead of a per-level pixel scatter (4 × 0.28 ms
-    # at 1080p — trace)
+    # all levels in one fused chain; the page marks come from TWO separable
+    # one-hot factors contracted on the MXU — marks[y, x] = Σ_p 1[py_p = y]·
+    # 1[px_p = x] — instead of a per-level pixel scatter (4 × 0.28 ms at 1080p)
+    # or a (NP, PAGES²) compare-reduce (quadratic in the page count)
     x, y, z = wp[:, 0], wp[:, 1], wp[:, 2]
     m = light_vps  # (L, 4, 4)
     def proj(r):
@@ -130,12 +135,13 @@ def mark_visible_pages(
     inside = ok[None] & (u > 0.0) & (u < 1.0) & (v > 0.0) & (v < 1.0)
     px = jnp.clip((u * PAGES).astype(jnp.int32), 0, PAGES - 1)
     py = jnp.clip((v * PAGES).astype(jnp.int32), 0, PAGES - 1)
-    pid = jnp.where(inside, py * PAGES + px, -1)  # (L, NP)
-    pages = jnp.arange(PAGES * PAGES, dtype=jnp.int32)
-    marks = jnp.sum(
-        (pid[:, :, None] == pages[None, None, :]).astype(jnp.int32), axis=1
-    )  # (L, 256)
-    m2 = (marks > 0).reshape(n_lvls, PAGES, PAGES).astype(jnp.float32)
+    lanes = jnp.arange(PAGES, dtype=jnp.int32)
+    oh_x = ((px[:, :, None] == lanes) & inside[:, :, None]).astype(jnp.bfloat16)
+    oh_y = ((py[:, :, None] == lanes) & inside[:, :, None]).astype(jnp.bfloat16)
+    marks = jnp.einsum(
+        "lpy,lpx->lyx", oh_y, oh_x, preferred_element_type=jnp.float32
+    )  # (L, PAGES, PAGES)
+    m2 = (marks > 0.5).astype(jnp.float32)
     m2 = jax.lax.reduce_window(m2, 0.0, jax.lax.max, (1, 3, 3), (1, 1, 1), "SAME")
     return m2.reshape(n_lvls, -1) > 0.5
 

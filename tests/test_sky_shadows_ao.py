@@ -100,6 +100,36 @@ class TestShadows:
         assert float(factor[0, 0]) < 0.5  # under the cube
         assert float(factor[0, 1]) > 0.5  # open ground
 
+    def test_clipmap_coverage_at_sponza_extents(self):
+        """Shadow scale (VERDICT round-2 item 8): casters across a Sponza-class
+        extent — 4 m, 35 m, and 140 m from the focus — must ALL resolve shadowed
+        under themselves and lit beside themselves. 140 m needs the level-5
+        clipmap (320 m span); the old 4-level stack (80 m max) left it unshadowed."""
+        from oxylus_tpu.assets.bake import bake_mesh
+        from oxylus_tpu.render.scene3d import upload_meshes
+        from tests.test_render3d import cube_mesh
+
+        baked = bake_mesh(*cube_mesh())
+        dists = (4.0, 35.0, 140.0)
+        gscene = upload_meshes([baked], [(0, i, 0) for i in range(len(dists))])
+        world = np.broadcast_to(np.eye(4, dtype=np.float32), (3, 4, 4)).copy()
+        for i, d in enumerate(dists):
+            world[i, 0, 3] = d
+            world[i, 1, 3] = 0.0
+        world = jnp.asarray(world)
+        light = jnp.array([0.0, -1.0, 0.0])
+        vps = clipmap_matrices(light, jnp.zeros(3))  # default NUM_CLIPMAPS stack
+        maps = render_shadow_clipmaps(gscene, world, vps, capacity=256, k_per_tile=16)
+        # ground points directly under each caster vs 3 m beside it
+        under = [[d, -1.0, 0.0] for d in dists]
+        beside = [[d, -1.0, 3.0] for d in dists]
+        wp = jnp.asarray([under + beside], jnp.float32)
+        factor = np.asarray(resolve_shadows(
+            wp, jnp.ones((1, 6), bool), vps, maps))
+        for k, d in enumerate(dists):
+            assert factor[0, k] < 0.5, f"caster at {d} m casts no shadow: {factor}"
+            assert factor[0, k + 3] > 0.5, f"open ground at {d} m shadowed: {factor}"
+
     def test_contact_shadows_flat_scene_unshadowed(self):
         h, w = 16, 16
         depth = jnp.full((h, w), 0.5)
