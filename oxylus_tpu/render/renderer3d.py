@@ -103,6 +103,8 @@ class RendererInstance:
         enable_gtao: bool | None = None,
         sun_intensity: Array | float = 10.0,
         first_clipmap_width: float = 10.0,
+        textured: bool = False,  # static: enables albedo texture modulation on
+        # the Pallas G-buffer path (the XLA decode path always samples textures)
     ) -> dict:
         """Run the frame graph. Returns the resource dict (final image in "final",
         carry-over state under "carry" — feed it back as `prev` next frame)."""
@@ -264,6 +266,39 @@ class RendererInstance:
             gbuffer = gbuffer_from_raster(
                 gb_img, vid, depth, jnp.linalg.inv(camera.view_projection)
             )
+            if textured:
+                # albedo texture modulation for the Pallas path: the G-buffer
+                # raster interpolates material CONSTANTS in-kernel; texture
+                # detail multiplies in here at half res (gathers price per
+                # gathered row — PERF_NOTES.md — so full-res sampling would be
+                # ~10 ms at 1080p) then bilinearly upsamples. The reference
+                # samples in visbuffer_decode at full rate on HW TMUs; on this
+                # target textures are low-frequency relative to geometry and
+                # the half-rate trade is the TPU-shaped equivalent.
+                from ..ops.sampling import (
+                    pack_albedo_tables,
+                    pack_atlas_taps,
+                    sample_albedo_modulation,
+                )
+
+                stride = 2
+                uv_h = _pds(gbuffer["uv"], stride)
+                vid_h = _pds(vid, stride)
+                vm_h = jnp.clip(vid_h // 256, 0, gscene.inst_material.shape[0] - 1)
+                # fold material fields through the meshlet table host-side-free:
+                # (VM, 16) rows indexed by the pixel's winning meshlet — ONE
+                # per-pixel row gather instead of mat-id + 5 field gathers
+                vm_rows = pack_albedo_tables(materials)[
+                    gscene.inst_material[vm_inst]
+                ]
+                mat_rows = vm_rows[vm_h]
+                mod = sample_albedo_modulation(
+                    mat_rows, pack_atlas_taps(atlas), atlas.shape[0], uv_h
+                )
+                mod = jnp.where((vid_h >= 0)[..., None], mod, 1.0)
+                mod_full = jax.image.resize(mod, (h, w, 3), method="linear")
+                gbuffer = dict(gbuffer)
+                gbuffer["albedo"] = gbuffer["albedo"] * mod_full
         else:
             gbuffer = decode_visbuffer(
                 vid, setup, vm_inst, gscene, world, materials, atlas, width=w, height=h

@@ -47,6 +47,7 @@ class SceneRunner:
         enable_shadows: bool = False,
         audio_engine=None,
         asset_manager=None,
+        material_slots: dict | None = None,
     ) -> None:
         self.scene = scene
         self.width = width
@@ -103,10 +104,22 @@ class SceneRunner:
             instances = []
             mesh_mask = scene._comp_mask["MeshComponent"]
             mesh_idx_field = scene._comp_data["MeshComponent"]["mesh_index"]
+            # per-instance material slot from MeshComponent.material_uuid
+            # (the reference resolves material_uuid into the global materials
+            # buffer index the same way, `Scene.cpp:1175-1213`)
+            mat_uuid_field = scene._comp_data["MeshComponent"]["material_uuid"]
+            from .core import uuid as _uuidlib
+
             for i in np.nonzero(scene._alive & mesh_mask)[0]:
                 mi = int(mesh_idx_field[int(i)]) if len(meshes) > 1 else 0
                 mi = min(mi, max(len(meshes) - 1, 0))
-                instances.append((mi, int(i), 0))
+                mat_slot = 0
+                if material_slots:
+                    hi, lo = (int(v) for v in mat_uuid_field[int(i)])
+                    mat_slot = material_slots.get(
+                        _uuidlib.u64_pair_to_uuid(hi, lo), 0
+                    )
+                instances.append((mi, int(i), mat_slot))
             self.gscene = upload_meshes(meshes, instances) if meshes else None
             spec = render_spec or RenderSpec(width=width, height=height)
             if meshes:
@@ -138,6 +151,12 @@ class SceneRunner:
         self._render3d_jit = None
         self._full3d_jit = None
         self.bindings = bindings or default_bindings(scene.spec.padded_entities())
+        # static texturing flag for the Pallas G-buffer path: scenes whose bound
+        # material table carries no albedo textures skip the modulation pass
+        # entirely (FLAG_HAS_ALBEDO bit — assets/material.py)
+        self._textured = bool(
+            np.any(np.asarray(self.bindings.materials.flags) & 1)
+        )
 
     # ------------------------------------------------------------------ camera
     def _resolve_camera_idx(self) -> int:
@@ -248,6 +267,12 @@ class SceneRunner:
     def step(self, dt: float = 1.0 / 60.0, render: bool = True):
         """One frame: simulate (+render when enabled). Returns the final image or None."""
         self._script_frame_begin(dt)
+        if self.scene._pending_body_ops and self.ps is not None:
+            # scripted AddForce/AddTorque/AddImpulse ops fold in just before
+            # the physics dispatch (LuaPhysicsBindings.cpp:248-273 parity)
+            self.ps = self.scene.apply_pending_body_ops(
+                self.ps, self.scene.spec.physics_interval
+            )
         # fused 3D path: simulate + camera + render in ONE jit dispatch.
         # Eagerly-glued stages each cost a pjit round trip over the accelerator
         # tunnel (~1 ms) plus host tracing glue (~4-7 ms/frame total measured);
@@ -359,6 +384,7 @@ class SceneRunner:
                                     self.config, prev=prev,
                                     atmosphere=self.atmosphere,
                                     enable_shadows=self.enable_shadows,
+                                    textured=self._textured,
                                 )
                                 return {"final": ctx["final"], "carry": ctx.get("carry", {})}
 
@@ -506,6 +532,7 @@ class SceneRunner:
                     self.config, prev=carry,
                     atmosphere=self.atmosphere,
                     enable_shadows=self.enable_shadows,
+                    textured=self._textured,
                 )
                 return state, ps, ctx["final"], ctx.get("carry", {})
 
