@@ -56,6 +56,9 @@ def bench_physics(n_boxes=1022, worlds=64, steps_per_call=60, calls=16, warmup=2
         rep = band_coverage_report(ps, band=band)
     print(f"band coverage on bench scene (band={band}): {rep}", file=sys.stderr)
     assert rep["outside_band"] == 0, f"bench scene breaks band coverage: {rep}"
+    from oxylus_tpu.physics.megakernel_banded import count_hub_planes
+
+    n_planes = count_hub_planes(ps)
     comm = "scatter" if worlds > 4 else "matmul"
     params = PhysicsParams(comm=comm)
     n_bodies = int(jax.device_get(jnp.sum(ps.active.astype(jnp.int32))))
@@ -94,7 +97,7 @@ def bench_physics(n_boxes=1022, worlds=64, steps_per_call=60, calls=16, warmup=2
                 _mk, iterations=3, warm=0.7,
                 geom_every=int(os.environ.get("OX_BENCH_GE", "2")),
                 sleep=os.environ.get("OX_BENCH_SLEEP", "0") == "1",
-                **({"band": band} if kern == "compact" else {}),
+                **({"band": band, "n_planes": n_planes} if kern == "compact" else {}),
             )
         else:
             from oxylus_tpu.physics.megakernel import megakernel_substeps as mega_fn
@@ -137,7 +140,7 @@ def bench_physics(n_boxes=1022, worlds=64, steps_per_call=60, calls=16, warmup=2
         _, dropped = megakernel_substeps_compact(
             ps, params, dt, n_substeps=steps_per_call, iterations=3, warm=0.7,
             geom_every=int(os.environ.get("OX_BENCH_GE", "2")), with_overflow=True,
-            band=band,
+            band=band, n_planes=n_planes,
         )
         dropped = float(jax.device_get(dropped))
         print(f"slot-overflow dropped pairs: {dropped}", file=sys.stderr)
@@ -501,7 +504,9 @@ def _run_physics10k():
     # 1024+ (side 11) put 121/slab and overflow BAND=128 at the pile edges
     rate, n_bodies, worlds, _ = bench_physics(
         n_boxes=10000, n_piles=10, worlds=1, mega=True, calls=8,
-        spec_kw=dict(max_entities=16384, max_bodies=10240, max_particles=1024),
+        # 10112 = 79 chunks: the tightest 128-multiple over 10,001 bodies —
+        # every scratch page and the spill pool scale with the slot count
+        spec_kw=dict(max_entities=16384, max_bodies=10112, max_particles=1024),
     )
     target = 10e6
     return {

@@ -1379,3 +1379,22 @@ def megakernel_substeps_banded(
         asleep=take(nsl > 0.5),
         sleep_timer=take(ntm),
     )
+
+
+def count_hub_planes(ps: PhysicsState) -> int:
+    """Host-side count of the hub planes extract_hub_planes would emit (≤ N_PLANE)
+    — lets callers size the compact kernel's plane-contact pages to the scene
+    (`megakernel_substeps_compact(n_planes=...)`). Numpy: runs at bench/scene
+    setup, not in the hot path."""
+    import numpy as np
+
+    he = np.asarray(ps.half_extent)
+    ext = np.sort(he, axis=1)
+    area = 4.0 * ext[:, 1] * ext[:, 2]
+    is_hub = (
+        (np.asarray(ps.body_type) == BODY_STATIC)
+        & (np.asarray(ps.shape_type) == SHAPE_BOX)
+        & np.asarray(ps.active)
+        & (area > HUB_MIN_FACE_AREA)
+    )
+    return max(1, min(int(is_hub.sum()), N_PLANE))

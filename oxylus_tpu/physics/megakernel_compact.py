@@ -97,6 +97,7 @@ def _compact_kernel(
     resident_m: bool = True,
     band: int = BAND,
     r_slots: int = R,
+    n_planes: int = N_PLANE,
 ):
     # shadow the module constants: every use below binds to these locals, so a
     # launch can widen the rank band (scenes whose slab population exceeds 128,
@@ -107,6 +108,7 @@ def _compact_kernel(
     R = r_slots            # noqa: F841 — intentional shadow
     BAND = band            # noqa: F841
     SLAB = BCHUNK + band   # noqa: F841
+    NPK = n_planes * N_SLOT  # noqa: F841 — plane pages sized to the live count
 
     dt = scalars_ref[0]
     g = (scalars_ref[1], scalars_ref[2], scalars_ref[3])
@@ -453,288 +455,305 @@ def _compact_kernel(
                     16,
                 )
 
-                # --- SAT manifolds, all R neighbor slots at once ----------------
-                pair_valid = d_cur[:, :] > 0                     # (R, b)
-                dxc = g3[16] - s_px[:]
-                dyc = g3[17] - s_py[:]
-                dzc = g3[18] - s_pz[:]
-                g_dx0[:, :] = dxc; g_dy0[:, :] = dyc; g_dz0[:, :] = dzc
-                g_dxc[:, :] = dxc; g_dyc[:, :] = dyc; g_dzc[:, :] = dzc
-                g_mu[:, :] = jnp.sqrt(fric[:] * g3[19])
+                # --- SAT manifolds over neighbor-slot row blocks ----------------
+                # Row-blocking bounds the register allocator's live set: the SAT
+                # holds ~100 live (rows, b) f32 temporaries, and at b=10112 the
+                # full-R block spilled 74 MB of VMEM (the 10k-body compile
+                # failed at 128.38M/128.00M). Resident mode keeps one full-R
+                # block (identical code to round 2); large-capacity mode runs
+                # R in blocks of 4 rows — same math per row, ~3x smaller spill
+                # region, bit-identical results (all ops are row-elementwise).
+                def sat_rows(rs, rbn):
+                    pair_valid = d_cur[rs, :] > 0                     # (R, b)
+                    dxc = g3[16, rs, :] - s_px[:]
+                    dyc = g3[17, rs, :] - s_py[:]
+                    dzc = g3[18, rs, :] - s_pz[:]
+                    g_dx0[rs, :] = dxc; g_dy0[rs, :] = dyc; g_dz0[rs, :] = dzc
+                    g_dxc[rs, :] = dxc; g_dyc[rs, :] = dyc; g_dzc[rs, :] = dzc
+                    g_mu[rs, :] = jnp.sqrt(fric[:] * g3[19, rs, :])
 
-                r_box = is_box[:]                                # (1, b)
-                c_box = g3[20]                                   # (R, b)
-                both_round = (r_box < 0.5) & (c_box < 0.5)
-                a_box = r_box > 0.5
-                b_box = c_box > 0.5
-                r_rad = rad[:]; c_rad = g3[12]
-                r_hx = hx[:]; r_hy = hy[:]; r_hz = hz[:]
-                c_hx = g3[9]; c_hy = g3[10]; c_hz = g3[11]
-                rr = [
-                    [s_r00[:], s_r01[:], s_r02[:]],
-                    [s_r10[:], s_r11[:], s_r12[:]],
-                    [s_r20[:], s_r21[:], s_r22[:]],
-                ]
-                cr = [
-                    [g3[0], g3[1], g3[2]],
-                    [g3[3], g3[4], g3[5]],
-                    [g3[6], g3[7], g3[8]],
-                ]
+                    r_box = is_box[:]                                # (1, b)
+                    c_box = g3[20, rs, :]                                   # (R, b)
+                    both_round = (r_box < 0.5) & (c_box < 0.5)
+                    a_box = r_box > 0.5
+                    b_box = c_box > 0.5
+                    r_rad = rad[:]; c_rad = g3[12, rs, :]
+                    r_hx = hx[:]; r_hy = hy[:]; r_hz = hz[:]
+                    c_hx = g3[9, rs, :]; c_hy = g3[10, rs, :]; c_hz = g3[11, rs, :]
+                    rr = [
+                        [s_r00[:], s_r01[:], s_r02[:]],
+                        [s_r10[:], s_r11[:], s_r12[:]],
+                        [s_r20[:], s_r21[:], s_r22[:]],
+                    ]
+                    cr = [
+                        [g3[0, rs, :], g3[1, rs, :], g3[2, rs, :]],
+                        [g3[3, rs, :], g3[4, rs, :], g3[5, rs, :]],
+                        [g3[6, rs, :], g3[7, rs, :], g3[8, rs, :]],
+                    ]
 
-                # capsule-capsule closest points
-                adx = s_cax[:]; ady = s_cay[:]; adz = s_caz[:]
-                bdx = g3[13]; bdy = g3[14]; bdz = g3[15]
-                relx = dxc; rely = dyc; relz = dzc
-                bd2 = bdx * bdx + bdy * bdy + bdz * bdz + 1e-9
-                tb = jnp.clip(-(relx * bdx + rely * bdy + relz * bdz) / bd2, -1.0, 1.0)
-                bxp = -relx + tb * bdx
-                byp = -rely + tb * bdy
-                bzp = -relz + tb * bdz
-                ad2 = adx * adx + ady * ady + adz * adz + 1e-9
-                ta = jnp.clip((bxp * adx + byp * ady + bzp * adz) / ad2, -1.0, 1.0)
-                sxp = bxp - ta * adx
-                syp = byp - ta * ady
-                szp = bzp - ta * adz
-                dist_cc = jnp.sqrt(sxp * sxp + syp * syp + szp * szp) + 1e-9
-                ncc_x = -sxp / dist_cc
-                ncc_y = -syp / dist_cc
-                ncc_z = -szp / dist_cc
-                depth_cc = r_rad + c_rad - dist_cc
-                pcc_x = ta * adx + ncc_x * (r_rad + depth_cc * 0.5)
-                pcc_y = ta * ady + ncc_y * (r_rad + depth_cc * 0.5)
-                pcc_z = ta * adz + ncc_z * (r_rad + depth_cc * 0.5)
+                    # capsule-capsule closest points
+                    adx = s_cax[:]; ady = s_cay[:]; adz = s_caz[:]
+                    bdx = g3[13, rs, :]; bdy = g3[14, rs, :]; bdz = g3[15, rs, :]
+                    relx = dxc; rely = dyc; relz = dzc
+                    bd2 = bdx * bdx + bdy * bdy + bdz * bdz + 1e-9
+                    tb = jnp.clip(-(relx * bdx + rely * bdy + relz * bdz) / bd2, -1.0, 1.0)
+                    bxp = -relx + tb * bdx
+                    byp = -rely + tb * bdy
+                    bzp = -relz + tb * bdz
+                    ad2 = adx * adx + ady * ady + adz * adz + 1e-9
+                    ta = jnp.clip((bxp * adx + byp * ady + bzp * adz) / ad2, -1.0, 1.0)
+                    sxp = bxp - ta * adx
+                    syp = byp - ta * ady
+                    szp = bzp - ta * adz
+                    dist_cc = jnp.sqrt(sxp * sxp + syp * syp + szp * szp) + 1e-9
+                    ncc_x = -sxp / dist_cc
+                    ncc_y = -syp / dist_cc
+                    ncc_z = -szp / dist_cc
+                    depth_cc = r_rad + c_rad - dist_cc
+                    pcc_x = ta * adx + ncc_x * (r_rad + depth_cc * 0.5)
+                    pcc_y = ta * ady + ncc_y * (r_rad + depth_cc * 0.5)
+                    pcc_z = ta * adz + ncc_z * (r_rad + depth_cc * 0.5)
 
-                # box(A)-capsule/sphere(B)
-                lax_ = rr[0][0] * dxc + rr[1][0] * dyc + rr[2][0] * dzc
-                lay = rr[0][1] * dxc + rr[1][1] * dyc + rr[2][1] * dzc
-                laz = rr[0][2] * dxc + rr[1][2] * dyc + rr[2][2] * dzc
-                clx = jnp.clip(lax_, -r_hx, r_hx)
-                cly = jnp.clip(lay, -r_hy, r_hy)
-                clz = jnp.clip(laz, -r_hz, r_hz)
-                ddx = lax_ - clx; ddy = lay - cly; ddz = laz - clz
-                out_d = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
-                outside = out_d > 1e-6
-                fdx = r_hx - jnp.abs(lax_)
-                fdy = r_hy - jnp.abs(lay)
-                fdz = r_hz - jnp.abs(laz)
-                fmin = jnp.minimum(fdx, jnp.minimum(fdy, fdz))
-                nin_x = jnp.where(fdx <= fmin + 1e-9, jnp.sign(lax_), 0.0)
-                nin_y = jnp.where((fdy <= fmin + 1e-9) & (fdx > fmin + 1e-9), jnp.sign(lay), 0.0)
-                nin_z = jnp.where(
-                    (fdz <= fmin + 1e-9) & (fdy > fmin + 1e-9) & (fdx > fmin + 1e-9),
-                    jnp.sign(laz), 0.0,
-                )
-                nl_x = jnp.where(outside, ddx / (out_d + 1e-9), nin_x)
-                nl_y = jnp.where(outside, ddy / (out_d + 1e-9), nin_y)
-                nl_z = jnp.where(outside, ddz / (out_d + 1e-9), nin_z)
-                sd = jnp.where(outside, -out_d, fmin)
-                depth_bc = sd + c_rad
-                nbc_x = rr[0][0] * nl_x + rr[0][1] * nl_y + rr[0][2] * nl_z
-                nbc_y = rr[1][0] * nl_x + rr[1][1] * nl_y + rr[1][2] * nl_z
-                nbc_z = rr[2][0] * nl_x + rr[2][1] * nl_y + rr[2][2] * nl_z
-                pbc_x = dxc - nbc_x * c_rad
-                pbc_y = dyc - nbc_y * c_rad
-                pbc_z = dzc - nbc_z * c_rad
-
-                # capsule/sphere(A)-box(B)
-                lbx = cr[0][0] * -dxc + cr[1][0] * -dyc + cr[2][0] * -dzc
-                lby = cr[0][1] * -dxc + cr[1][1] * -dyc + cr[2][1] * -dzc
-                lbz = cr[0][2] * -dxc + cr[1][2] * -dyc + cr[2][2] * -dzc
-                cbx = jnp.clip(lbx, -c_hx, c_hx)
-                cby = jnp.clip(lby, -c_hy, c_hy)
-                cbz = jnp.clip(lbz, -c_hz, c_hz)
-                edx = lbx - cbx; edy = lby - cby; edz = lbz - cbz
-                eod = jnp.sqrt(edx * edx + edy * edy + edz * edz)
-                eoutside = eod > 1e-6
-                gdx = c_hx - jnp.abs(lbx)
-                gdy = c_hy - jnp.abs(lby)
-                gdz = c_hz - jnp.abs(lbz)
-                gmin = jnp.minimum(gdx, jnp.minimum(gdy, gdz))
-                min_x = jnp.where(gdx <= gmin + 1e-9, jnp.sign(lbx), 0.0)
-                min_y = jnp.where((gdy <= gmin + 1e-9) & (gdx > gmin + 1e-9), jnp.sign(lby), 0.0)
-                min_z = jnp.where(
-                    (gdz <= gmin + 1e-9) & (gdy > gmin + 1e-9) & (gdx > gmin + 1e-9),
-                    jnp.sign(lbz), 0.0,
-                )
-                ml_x = jnp.where(eoutside, edx / (eod + 1e-9), min_x)
-                ml_y = jnp.where(eoutside, edy / (eod + 1e-9), min_y)
-                ml_z = jnp.where(eoutside, edz / (eod + 1e-9), min_z)
-                esd = jnp.where(eoutside, -eod, gmin)
-                depth_cb = esd + r_rad
-                ncb_x = -(cr[0][0] * ml_x + cr[0][1] * ml_y + cr[0][2] * ml_z)
-                ncb_y = -(cr[1][0] * ml_x + cr[1][1] * ml_y + cr[1][2] * ml_z)
-                ncb_z = -(cr[2][0] * ml_x + cr[2][1] * ml_y + cr[2][2] * ml_z)
-                pcb_x = ncb_x * r_rad
-                pcb_y = ncb_y * r_rad
-                pcb_z = ncb_z * r_rad
-
-                # box-box SAT over the 6 face axes
-                def proj_pair(ax, ay, az):
-                    pa = (
-                        jnp.abs(ax * rr[0][0] + ay * rr[1][0] + az * rr[2][0]) * r_hx
-                        + jnp.abs(ax * rr[0][1] + ay * rr[1][1] + az * rr[2][1]) * r_hy
-                        + jnp.abs(ax * rr[0][2] + ay * rr[1][2] + az * rr[2][2]) * r_hz
+                    # box(A)-capsule/sphere(B)
+                    lax_ = rr[0][0] * dxc + rr[1][0] * dyc + rr[2][0] * dzc
+                    lay = rr[0][1] * dxc + rr[1][1] * dyc + rr[2][1] * dzc
+                    laz = rr[0][2] * dxc + rr[1][2] * dyc + rr[2][2] * dzc
+                    clx = jnp.clip(lax_, -r_hx, r_hx)
+                    cly = jnp.clip(lay, -r_hy, r_hy)
+                    clz = jnp.clip(laz, -r_hz, r_hz)
+                    ddx = lax_ - clx; ddy = lay - cly; ddz = laz - clz
+                    out_d = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+                    outside = out_d > 1e-6
+                    fdx = r_hx - jnp.abs(lax_)
+                    fdy = r_hy - jnp.abs(lay)
+                    fdz = r_hz - jnp.abs(laz)
+                    fmin = jnp.minimum(fdx, jnp.minimum(fdy, fdz))
+                    nin_x = jnp.where(fdx <= fmin + 1e-9, jnp.sign(lax_), 0.0)
+                    nin_y = jnp.where((fdy <= fmin + 1e-9) & (fdx > fmin + 1e-9), jnp.sign(lay), 0.0)
+                    nin_z = jnp.where(
+                        (fdz <= fmin + 1e-9) & (fdy > fmin + 1e-9) & (fdx > fmin + 1e-9),
+                        jnp.sign(laz), 0.0,
                     )
-                    pb = (
-                        jnp.abs(ax * cr[0][0] + ay * cr[1][0] + az * cr[2][0]) * c_hx
-                        + jnp.abs(ax * cr[0][1] + ay * cr[1][1] + az * cr[2][1]) * c_hy
-                        + jnp.abs(ax * cr[0][2] + ay * cr[1][2] + az * cr[2][2]) * c_hz
+                    nl_x = jnp.where(outside, ddx / (out_d + 1e-9), nin_x)
+                    nl_y = jnp.where(outside, ddy / (out_d + 1e-9), nin_y)
+                    nl_z = jnp.where(outside, ddz / (out_d + 1e-9), nin_z)
+                    sd = jnp.where(outside, -out_d, fmin)
+                    depth_bc = sd + c_rad
+                    nbc_x = rr[0][0] * nl_x + rr[0][1] * nl_y + rr[0][2] * nl_z
+                    nbc_y = rr[1][0] * nl_x + rr[1][1] * nl_y + rr[1][2] * nl_z
+                    nbc_z = rr[2][0] * nl_x + rr[2][1] * nl_y + rr[2][2] * nl_z
+                    pbc_x = dxc - nbc_x * c_rad
+                    pbc_y = dyc - nbc_y * c_rad
+                    pbc_z = dzc - nbc_z * c_rad
+
+                    # capsule/sphere(A)-box(B)
+                    lbx = cr[0][0] * -dxc + cr[1][0] * -dyc + cr[2][0] * -dzc
+                    lby = cr[0][1] * -dxc + cr[1][1] * -dyc + cr[2][1] * -dzc
+                    lbz = cr[0][2] * -dxc + cr[1][2] * -dyc + cr[2][2] * -dzc
+                    cbx = jnp.clip(lbx, -c_hx, c_hx)
+                    cby = jnp.clip(lby, -c_hy, c_hy)
+                    cbz = jnp.clip(lbz, -c_hz, c_hz)
+                    edx = lbx - cbx; edy = lby - cby; edz = lbz - cbz
+                    eod = jnp.sqrt(edx * edx + edy * edy + edz * edz)
+                    eoutside = eod > 1e-6
+                    gdx = c_hx - jnp.abs(lbx)
+                    gdy = c_hy - jnp.abs(lby)
+                    gdz = c_hz - jnp.abs(lbz)
+                    gmin = jnp.minimum(gdx, jnp.minimum(gdy, gdz))
+                    min_x = jnp.where(gdx <= gmin + 1e-9, jnp.sign(lbx), 0.0)
+                    min_y = jnp.where((gdy <= gmin + 1e-9) & (gdx > gmin + 1e-9), jnp.sign(lby), 0.0)
+                    min_z = jnp.where(
+                        (gdz <= gmin + 1e-9) & (gdy > gmin + 1e-9) & (gdx > gmin + 1e-9),
+                        jnp.sign(lbz), 0.0,
                     )
-                    dist = jnp.abs(ax * dxc + ay * dyc + az * dzc)
-                    return pa + pb - dist
+                    ml_x = jnp.where(eoutside, edx / (eod + 1e-9), min_x)
+                    ml_y = jnp.where(eoutside, edy / (eod + 1e-9), min_y)
+                    ml_z = jnp.where(eoutside, edz / (eod + 1e-9), min_z)
+                    esd = jnp.where(eoutside, -eod, gmin)
+                    depth_cb = esd + r_rad
+                    ncb_x = -(cr[0][0] * ml_x + cr[0][1] * ml_y + cr[0][2] * ml_z)
+                    ncb_y = -(cr[1][0] * ml_x + cr[1][1] * ml_y + cr[1][2] * ml_z)
+                    ncb_z = -(cr[2][0] * ml_x + cr[2][1] * ml_y + cr[2][2] * ml_z)
+                    pcb_x = ncb_x * r_rad
+                    pcb_y = ncb_y * r_rad
+                    pcb_z = ncb_z * r_rad
 
-                best_depth = jnp.full((R, b), 1e30)
-                nbb_x = jnp.zeros((R, b)); nbb_y = jnp.zeros((R, b))
-                nbb_z = jnp.zeros((R, b))
-                ref_is_a = jnp.ones((R, b), jnp.float32)
-                axes = [
-                    (rr[0][0], rr[1][0], rr[2][0], 1.0),
-                    (rr[0][1], rr[1][1], rr[2][1], 1.0),
-                    (rr[0][2], rr[1][2], rr[2][2], 1.0),
-                    (cr[0][0], cr[1][0], cr[2][0], 0.0),
-                    (cr[0][1], cr[1][1], cr[2][1], 0.0),
-                    (cr[0][2], cr[1][2], cr[2][2], 0.0),
-                ]
-                for ax, ay, az, from_a in axes:
-                    ov = proj_pair(ax, ay, az)
-                    better = ov < best_depth
-                    best_depth = jnp.where(better, ov, best_depth)
-                    one = jnp.ones_like(best_depth)
-                    nbb_x = jnp.where(better, ax * one, nbb_x)
-                    nbb_y = jnp.where(better, ay * one, nbb_y)
-                    nbb_z = jnp.where(better, az * one, nbb_z)
-                    ref_is_a = jnp.where(better, from_a * one, ref_is_a)
-                sgn = jnp.sign(nbb_x * dxc + nbb_y * dyc + nbb_z * dzc + 1e-12)
-                nbb_x = nbb_x * sgn; nbb_y = nbb_y * sgn; nbb_z = nbb_z * sgn
-                depth_bb = best_depth
-
-                a_axes = (
-                    (rr[0][0], rr[1][0], rr[2][0], r_hx),
-                    (rr[0][1], rr[1][1], rr[2][1], r_hy),
-                    (rr[0][2], rr[1][2], rr[2][2], r_hz),
-                )
-                b_axes = (
-                    (cr[0][0], cr[1][0], cr[2][0], c_hx),
-                    (cr[0][1], cr[1][1], cr[2][1], c_hy),
-                    (cr[0][2], cr[1][2], cr[2][2], c_hz),
-                )
-
-                def incident_face(axes3, toward_n_sign):
-                    dots = [axk[0] * nbb_x + axk[1] * nbb_y + axk[2] * nbb_z for axk in axes3]
-                    absd = [jnp.abs(dv) for dv in dots]
-                    k0 = (absd[0] >= absd[1]) & (absd[0] >= absd[2])
-                    k1 = (~k0) & (absd[1] >= absd[2])
-                    k2 = (~k0) & (~k1)
-                    masks = [k0.astype(jnp.float32), k1.astype(jnp.float32), k2.astype(jnp.float32)]
-                    fx = fy = fz = 0.0
-                    ux = uy = uz = 0.0
-                    vx_ = vy_ = vz_ = 0.0
-                    for k in range(3):
-                        m = masks[k]
-                        sgn_k = -jnp.sign(dots[k] + 1e-12) * toward_n_sign
-                        akx, aky, akz, hk = axes3[k]
-                        fx = fx + m * sgn_k * akx * hk
-                        fy = fy + m * sgn_k * aky * hk
-                        fz = fz + m * sgn_k * akz * hk
-                        iux, iuy, iuz, hu = axes3[(k + 1) % 3]
-                        ivx, ivy, ivz, hv = axes3[(k + 2) % 3]
-                        ux = ux + m * iux * hu
-                        uy = uy + m * iuy * hu
-                        uz = uz + m * iuz * hu
-                        vx_ = vx_ + m * ivx * hv
-                        vy_ = vy_ + m * ivy * hv
-                        vz_ = vz_ + m * ivz * hv
-                    return (fx, fy, fz), (ux, uy, uz), (vx_, vy_, vz_)
-
-                fb, ub, vb_ = incident_face(b_axes, 1.0)
-                fa, ua, va_ = incident_face(a_axes, -1.0)
-                ra_mask = ref_is_a
-
-                pa_n = (
-                    jnp.abs(nbb_x * rr[0][0] + nbb_y * rr[1][0] + nbb_z * rr[2][0]) * r_hx
-                    + jnp.abs(nbb_x * rr[0][1] + nbb_y * rr[1][1] + nbb_z * rr[2][1]) * r_hy
-                    + jnp.abs(nbb_x * rr[0][2] + nbb_y * rr[1][2] + nbb_z * rr[2][2]) * r_hz
-                )
-                pb_n = (
-                    jnp.abs(nbb_x * cr[0][0] + nbb_y * cr[1][0] + nbb_z * cr[2][0]) * c_hx
-                    + jnp.abs(nbb_x * cr[0][1] + nbb_y * cr[1][1] + nbb_z * cr[2][1]) * c_hy
-                    + jnp.abs(nbb_x * cr[0][2] + nbb_y * cr[1][2] + nbb_z * cr[2][2]) * c_hz
-                )
-
-                bb_pts = []
-                for su, sv in ((1.0, 1.0), (1.0, -1.0), (-1.0, 1.0), (-1.0, -1.0)):
-                    cbx_ = dxc + fb[0] + su * ub[0] + sv * vb_[0]
-                    cby_ = dyc + fb[1] + su * ub[1] + sv * vb_[1]
-                    cbz_ = dzc + fb[2] + su * ub[2] + sv * vb_[2]
-                    dep_b = pa_n - (cbx_ * nbb_x + cby_ * nbb_y + cbz_ * nbb_z)
-                    lxa = jnp.clip(rr[0][0] * cbx_ + rr[1][0] * cby_ + rr[2][0] * cbz_, -r_hx, r_hx)
-                    lya = jnp.clip(rr[0][1] * cbx_ + rr[1][1] * cby_ + rr[2][1] * cbz_, -r_hy, r_hy)
-                    lza = jnp.clip(rr[0][2] * cbx_ + rr[1][2] * cby_ + rr[2][2] * cbz_, -r_hz, r_hz)
-                    cbx_c = rr[0][0] * lxa + rr[0][1] * lya + rr[0][2] * lza
-                    cby_c = rr[1][0] * lxa + rr[1][1] * lya + rr[1][2] * lza
-                    cbz_c = rr[2][0] * lxa + rr[2][1] * lya + rr[2][2] * lza
-                    cax_ = fa[0] + su * ua[0] + sv * va_[0]
-                    cay_ = fa[1] + su * ua[1] + sv * va_[1]
-                    caz_ = fa[2] + su * ua[2] + sv * va_[2]
-                    dep_a = pb_n + ((cax_ - dxc) * nbb_x + (cay_ - dyc) * nbb_y + (caz_ - dzc) * nbb_z)
-                    lxb = jnp.clip(cr[0][0] * (cax_ - dxc) + cr[1][0] * (cay_ - dyc) + cr[2][0] * (caz_ - dzc), -c_hx, c_hx)
-                    lyb = jnp.clip(cr[0][1] * (cax_ - dxc) + cr[1][1] * (cay_ - dyc) + cr[2][1] * (caz_ - dzc), -c_hy, c_hy)
-                    lzb = jnp.clip(cr[0][2] * (cax_ - dxc) + cr[1][2] * (cay_ - dyc) + cr[2][2] * (caz_ - dzc), -c_hz, c_hz)
-                    cax_c = dxc + cr[0][0] * lxb + cr[0][1] * lyb + cr[0][2] * lzb
-                    cay_c = dyc + cr[1][0] * lxb + cr[1][1] * lyb + cr[1][2] * lzb
-                    caz_c = dzc + cr[2][0] * lxb + cr[2][1] * lyb + cr[2][2] * lzb
-                    px_k = jnp.where(ra_mask > 0.5, cbx_c, cax_c)
-                    py_k = jnp.where(ra_mask > 0.5, cby_c, cay_c)
-                    pz_k = jnp.where(ra_mask > 0.5, cbz_c, caz_c)
-                    dep_k = jnp.where(ra_mask > 0.5, dep_b, dep_a)
-                    dep_k = jnp.where(depth_bb > 0.0, dep_k, -1e9)
-                    bb_pts.append((px_k, py_k, pz_k, dep_k))
-
-                def sel(cc, bc, cb2, bb):
-                    out = jnp.where(both_round, cc, bb)
-                    out = jnp.where(a_box & ~b_box, bc, out)
-                    out = jnp.where(~a_box & b_box, cb2, out)
-                    return out
-
-                nx = sel(ncc_x, nbc_x, ncb_x, nbb_x)
-                ny = sel(ncc_y, nbc_y, ncb_y, nbb_y)
-                nz = sel(ncc_z, nbc_z, ncb_z, nbb_z)
-                is_bb = a_box & b_box
-                neg = jnp.full_like(depth_cc, -1e9)
-                slots = [
-                    (
-                        sel(pcc_x, pbc_x, pcb_x, bb_pts[0][0]),
-                        sel(pcc_y, pbc_y, pcb_y, bb_pts[0][1]),
-                        sel(pcc_z, pbc_z, pcb_z, bb_pts[0][2]),
-                        sel(depth_cc, depth_bc, depth_cb, bb_pts[0][3]),
-                    )
-                ]
-                for k in range(1, N_SLOT):
-                    slots.append(
-                        (
-                            bb_pts[k][0],
-                            bb_pts[k][1],
-                            bb_pts[k][2],
-                            jnp.where(is_bb, bb_pts[k][3], neg),
+                    # box-box SAT over the 6 face axes
+                    def proj_pair(ax, ay, az):
+                        pa = (
+                            jnp.abs(ax * rr[0][0] + ay * rr[1][0] + az * rr[2][0]) * r_hx
+                            + jnp.abs(ax * rr[0][1] + ay * rr[1][1] + az * rr[2][1]) * r_hy
+                            + jnp.abs(ax * rr[0][2] + ay * rr[1][2] + az * rr[2][2]) * r_hz
                         )
+                        pb = (
+                            jnp.abs(ax * cr[0][0] + ay * cr[1][0] + az * cr[2][0]) * c_hx
+                            + jnp.abs(ax * cr[0][1] + ay * cr[1][1] + az * cr[2][1]) * c_hy
+                            + jnp.abs(ax * cr[0][2] + ay * cr[1][2] + az * cr[2][2]) * c_hz
+                        )
+                        dist = jnp.abs(ax * dxc + ay * dyc + az * dzc)
+                        return pa + pb - dist
+
+                    best_depth = jnp.full((rbn, b), 1e30)
+                    nbb_x = jnp.zeros((rbn, b)); nbb_y = jnp.zeros((rbn, b))
+                    nbb_z = jnp.zeros((rbn, b))
+                    ref_is_a = jnp.ones((rbn, b), jnp.float32)
+                    axes = [
+                        (rr[0][0], rr[1][0], rr[2][0], 1.0),
+                        (rr[0][1], rr[1][1], rr[2][1], 1.0),
+                        (rr[0][2], rr[1][2], rr[2][2], 1.0),
+                        (cr[0][0], cr[1][0], cr[2][0], 0.0),
+                        (cr[0][1], cr[1][1], cr[2][1], 0.0),
+                        (cr[0][2], cr[1][2], cr[2][2], 0.0),
+                    ]
+                    for ax, ay, az, from_a in axes:
+                        ov = proj_pair(ax, ay, az)
+                        better = ov < best_depth
+                        best_depth = jnp.where(better, ov, best_depth)
+                        one = jnp.ones_like(best_depth)
+                        nbb_x = jnp.where(better, ax * one, nbb_x)
+                        nbb_y = jnp.where(better, ay * one, nbb_y)
+                        nbb_z = jnp.where(better, az * one, nbb_z)
+                        ref_is_a = jnp.where(better, from_a * one, ref_is_a)
+                    sgn = jnp.sign(nbb_x * dxc + nbb_y * dyc + nbb_z * dzc + 1e-12)
+                    nbb_x = nbb_x * sgn; nbb_y = nbb_y * sgn; nbb_z = nbb_z * sgn
+                    depth_bb = best_depth
+
+                    a_axes = (
+                        (rr[0][0], rr[1][0], rr[2][0], r_hx),
+                        (rr[0][1], rr[1][1], rr[2][1], r_hy),
+                        (rr[0][2], rr[1][2], rr[2][2], r_hz),
+                    )
+                    b_axes = (
+                        (cr[0][0], cr[1][0], cr[2][0], c_hx),
+                        (cr[0][1], cr[1][1], cr[2][1], c_hy),
+                        (cr[0][2], cr[1][2], cr[2][2], c_hz),
                     )
 
-                g_nx[:, :] = nx
-                g_ny[:, :] = ny
-                g_nz[:, :] = nz
-                for k in range(N_SLOT):
-                    rpx, rpy, rpz, depth = slots[k]
-                    s_rax, s_ray, s_raz, _s_ikn, s_bias, s_d0 = g_ra[k]
-                    s_rax[:, :] = rpx
-                    s_ray[:, :] = rpy
-                    s_raz[:, :] = rpz
-                    d0v = jnp.where(pair_valid, depth, -1e30)
-                    s_d0[:, :] = d0v
-                    s_bias[:, :] = jnp.where(
-                        d0v > 0.0,
-                        baumgarte / dt * jnp.maximum(d0v - slop, 0.0),
-                        -1e30,
+                    def incident_face(axes3, toward_n_sign):
+                        dots = [axk[0] * nbb_x + axk[1] * nbb_y + axk[2] * nbb_z for axk in axes3]
+                        absd = [jnp.abs(dv) for dv in dots]
+                        k0 = (absd[0] >= absd[1]) & (absd[0] >= absd[2])
+                        k1 = (~k0) & (absd[1] >= absd[2])
+                        k2 = (~k0) & (~k1)
+                        masks = [k0.astype(jnp.float32), k1.astype(jnp.float32), k2.astype(jnp.float32)]
+                        fx = fy = fz = 0.0
+                        ux = uy = uz = 0.0
+                        vx_ = vy_ = vz_ = 0.0
+                        for k in range(3):
+                            m = masks[k]
+                            sgn_k = -jnp.sign(dots[k] + 1e-12) * toward_n_sign
+                            akx, aky, akz, hk = axes3[k]
+                            fx = fx + m * sgn_k * akx * hk
+                            fy = fy + m * sgn_k * aky * hk
+                            fz = fz + m * sgn_k * akz * hk
+                            iux, iuy, iuz, hu = axes3[(k + 1) % 3]
+                            ivx, ivy, ivz, hv = axes3[(k + 2) % 3]
+                            ux = ux + m * iux * hu
+                            uy = uy + m * iuy * hu
+                            uz = uz + m * iuz * hu
+                            vx_ = vx_ + m * ivx * hv
+                            vy_ = vy_ + m * ivy * hv
+                            vz_ = vz_ + m * ivz * hv
+                        return (fx, fy, fz), (ux, uy, uz), (vx_, vy_, vz_)
+
+                    fb, ub, vb_ = incident_face(b_axes, 1.0)
+                    fa, ua, va_ = incident_face(a_axes, -1.0)
+                    ra_mask = ref_is_a
+
+                    pa_n = (
+                        jnp.abs(nbb_x * rr[0][0] + nbb_y * rr[1][0] + nbb_z * rr[2][0]) * r_hx
+                        + jnp.abs(nbb_x * rr[0][1] + nbb_y * rr[1][1] + nbb_z * rr[2][1]) * r_hy
+                        + jnp.abs(nbb_x * rr[0][2] + nbb_y * rr[1][2] + nbb_z * rr[2][2]) * r_hz
                     )
+                    pb_n = (
+                        jnp.abs(nbb_x * cr[0][0] + nbb_y * cr[1][0] + nbb_z * cr[2][0]) * c_hx
+                        + jnp.abs(nbb_x * cr[0][1] + nbb_y * cr[1][1] + nbb_z * cr[2][1]) * c_hy
+                        + jnp.abs(nbb_x * cr[0][2] + nbb_y * cr[1][2] + nbb_z * cr[2][2]) * c_hz
+                    )
+
+                    bb_pts = []
+                    for su, sv in ((1.0, 1.0), (1.0, -1.0), (-1.0, 1.0), (-1.0, -1.0)):
+                        cbx_ = dxc + fb[0] + su * ub[0] + sv * vb_[0]
+                        cby_ = dyc + fb[1] + su * ub[1] + sv * vb_[1]
+                        cbz_ = dzc + fb[2] + su * ub[2] + sv * vb_[2]
+                        dep_b = pa_n - (cbx_ * nbb_x + cby_ * nbb_y + cbz_ * nbb_z)
+                        lxa = jnp.clip(rr[0][0] * cbx_ + rr[1][0] * cby_ + rr[2][0] * cbz_, -r_hx, r_hx)
+                        lya = jnp.clip(rr[0][1] * cbx_ + rr[1][1] * cby_ + rr[2][1] * cbz_, -r_hy, r_hy)
+                        lza = jnp.clip(rr[0][2] * cbx_ + rr[1][2] * cby_ + rr[2][2] * cbz_, -r_hz, r_hz)
+                        cbx_c = rr[0][0] * lxa + rr[0][1] * lya + rr[0][2] * lza
+                        cby_c = rr[1][0] * lxa + rr[1][1] * lya + rr[1][2] * lza
+                        cbz_c = rr[2][0] * lxa + rr[2][1] * lya + rr[2][2] * lza
+                        cax_ = fa[0] + su * ua[0] + sv * va_[0]
+                        cay_ = fa[1] + su * ua[1] + sv * va_[1]
+                        caz_ = fa[2] + su * ua[2] + sv * va_[2]
+                        dep_a = pb_n + ((cax_ - dxc) * nbb_x + (cay_ - dyc) * nbb_y + (caz_ - dzc) * nbb_z)
+                        lxb = jnp.clip(cr[0][0] * (cax_ - dxc) + cr[1][0] * (cay_ - dyc) + cr[2][0] * (caz_ - dzc), -c_hx, c_hx)
+                        lyb = jnp.clip(cr[0][1] * (cax_ - dxc) + cr[1][1] * (cay_ - dyc) + cr[2][1] * (caz_ - dzc), -c_hy, c_hy)
+                        lzb = jnp.clip(cr[0][2] * (cax_ - dxc) + cr[1][2] * (cay_ - dyc) + cr[2][2] * (caz_ - dzc), -c_hz, c_hz)
+                        cax_c = dxc + cr[0][0] * lxb + cr[0][1] * lyb + cr[0][2] * lzb
+                        cay_c = dyc + cr[1][0] * lxb + cr[1][1] * lyb + cr[1][2] * lzb
+                        caz_c = dzc + cr[2][0] * lxb + cr[2][1] * lyb + cr[2][2] * lzb
+                        px_k = jnp.where(ra_mask > 0.5, cbx_c, cax_c)
+                        py_k = jnp.where(ra_mask > 0.5, cby_c, cay_c)
+                        pz_k = jnp.where(ra_mask > 0.5, cbz_c, caz_c)
+                        dep_k = jnp.where(ra_mask > 0.5, dep_b, dep_a)
+                        dep_k = jnp.where(depth_bb > 0.0, dep_k, -1e9)
+                        bb_pts.append((px_k, py_k, pz_k, dep_k))
+
+                    def sel(cc, bc, cb2, bb):
+                        out = jnp.where(both_round, cc, bb)
+                        out = jnp.where(a_box & ~b_box, bc, out)
+                        out = jnp.where(~a_box & b_box, cb2, out)
+                        return out
+
+                    nx = sel(ncc_x, nbc_x, ncb_x, nbb_x)
+                    ny = sel(ncc_y, nbc_y, ncb_y, nbb_y)
+                    nz = sel(ncc_z, nbc_z, ncb_z, nbb_z)
+                    is_bb = a_box & b_box
+                    neg = jnp.full_like(depth_cc, -1e9)
+                    slots = [
+                        (
+                            sel(pcc_x, pbc_x, pcb_x, bb_pts[0][0]),
+                            sel(pcc_y, pbc_y, pcb_y, bb_pts[0][1]),
+                            sel(pcc_z, pbc_z, pcb_z, bb_pts[0][2]),
+                            sel(depth_cc, depth_bc, depth_cb, bb_pts[0][3]),
+                        )
+                    ]
+                    for k in range(1, N_SLOT):
+                        slots.append(
+                            (
+                                bb_pts[k][0],
+                                bb_pts[k][1],
+                                bb_pts[k][2],
+                                jnp.where(is_bb, bb_pts[k][3], neg),
+                            )
+                        )
+
+                    g_nx[rs, :] = nx
+                    g_ny[rs, :] = ny
+                    g_nz[rs, :] = nz
+                    for k in range(N_SLOT):
+                        rpx, rpy, rpz, depth = slots[k]
+                        s_rax, s_ray, s_raz, _s_ikn, s_bias, s_d0 = g_ra[k]
+                        s_rax[rs, :] = rpx
+                        s_ray[rs, :] = rpy
+                        s_raz[rs, :] = rpz
+                        d0v = jnp.where(pair_valid, depth, -1e30)
+                        s_d0[rs, :] = d0v
+                        s_bias[rs, :] = jnp.where(
+                            d0v > 0.0,
+                            baumgarte / dt * jnp.maximum(d0v - slop, 0.0),
+                            -1e30,
+                        )
+
+                if resident_m:
+                    sat_rows(slice(0, R), R)
+                else:
+                    for _r0 in range(0, R, 4):
+                        _rbn = min(4, R - _r0)
+                        sat_rows(slice(_r0, _r0 + _rbn), _rbn)
+
+
 
             def refresh_pairs():
                 # gather current partner positions -> fresh dxc + bias refresh
@@ -793,7 +812,7 @@ def _compact_kernel(
                     rows4 == 1, (box_b | (hlenv > 1e-6)).astype(jnp.float32), 1.0
                 ),
             ) > 0.5
-            for p in range(N_PLANE):
+            for p in range(n_planes):
                 P = plane_scalars(p)
                 p_act = P["hu"] > 0.0
                 dpx = s_px[:] - P["cx"]; dpy = s_py[:] - P["cy"]; dpz = s_pz[:] - P["cz"]
@@ -1197,7 +1216,7 @@ def _compact_kernel(
     jax.jit,
     static_argnames=(
         "iterations", "n_substeps", "interpret", "warm", "geom_every", "sleep",
-        "with_overflow", "resident_m", "band", "r_slots",
+        "with_overflow", "resident_m", "band", "r_slots", "n_planes",
     ),
 )
 def megakernel_substeps_compact(
@@ -1214,6 +1233,7 @@ def megakernel_substeps_compact(
     resident_m: bool | None = None,
     band: int = BAND,
     r_slots: int | None = None,
+    n_planes: int = N_PLANE,
 ):
     """Compacted-neighbor throughput path: slab-rank sort once per launch, run
     the compact kernel for `n_substeps`, permute results back to slot order.
@@ -1233,12 +1253,16 @@ def megakernel_substeps_compact(
         resident_m = b <= 4096
     # `band` widens the rank window for scenes whose slab population exceeds
     # 128 (must stay a multiple of 128 — dynamic lane slices align to 128);
-    # `r_slots` narrows the neighbor-slot capacity (default 16; the 10k-body
-    # mode runs 12 to shrink the (R, b) scratch + SAT temporary footprint —
-    # 8 overflowed 902 pairs on the 10k rubble piles, 12 covers them; honesty
-    # is preserved by the `dropped` overflow diagnostic).
+    # `r_slots` sets the neighbor-slot capacity (default 16 in both modes:
+    # sublane tiling pads any 8<R<16 to 16 in every (R, b) VMEM page, so 12
+    # costs exactly as much as 16 while dropping 10 pairs on the 10k rubble
+    # piles; honesty is preserved by the `dropped` overflow diagnostic).
     assert band % 128 == 0 and band >= 128
-    R = r_slots if r_slots is not None else (16 if resident_m else 12)
+    # `n_planes` sizes the hub-plane contact pages to the scene's LIVE plane
+    # count (count_hub_planes) — a one-plane 10k scene pays 1/4 the plane VMEM
+    assert 1 <= n_planes <= N_PLANE
+    NPK = n_planes * N_SLOT  # noqa: F841 — shadows the module constant below
+    R = r_slots if r_slots is not None else 16
     BAND = band            # noqa: F841 — shadow the module constants below
     SLAB = BCHUNK + band
     assert b % BCHUNK == 0 and b >= SLAB, (
@@ -1330,6 +1354,7 @@ def megakernel_substeps_compact(
             _compact_kernel,
             iterations=iterations, n_bodies=b, warm=warm, geom_every=geom_every,
             sleep=sleep, resident_m=resident_m, band=band, r_slots=R,
+            n_planes=n_planes,
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),

@@ -100,10 +100,14 @@ def test_compact_band_and_rslots_params():
         ps, params, DT, n_substeps=8, iterations=3, warm=0.7, geom_every=2,
         interpret=True, with_overflow=True,
     )
+    from oxylus_tpu.physics.megakernel_banded import count_hub_planes
+
+    n_planes = count_hub_planes(ps)
+    assert n_planes >= 1  # the falling-boxes floor is a hub plane
     wide, d1 = megakernel_substeps_compact(
         ps, params, DT, n_substeps=8, iterations=3, warm=0.7, geom_every=2,
         interpret=True, with_overflow=True, band=256, r_slots=8,
-        resident_m=False,
+        resident_m=False, n_planes=n_planes,
     )
     assert float(d0) == float(d1) == 0.0
     np.testing.assert_allclose(np.asarray(wide.pos), np.asarray(base.pos), atol=1e-5)
