@@ -46,13 +46,13 @@ def bench_physics(n_boxes=1022, worlds=64, steps_per_call=60, calls=16, warmup=2
     from oxylus_tpu.physics.megakernel_banded import band_coverage_report
 
     # adaptive rank band: the window must cover the scene's worst pair rank
-    # distance WITH headroom (slab populations grow as piles collapse); the
-    # single-pile flagship needs 256 at rest (max dist ~138 — round-2's 128
-    # silently dropped those pairs; caught when this gate became always-on)
+    # distance WITH settle headroom — rank distances GROW as piles collapse
+    # (flagship: 138 at t=0 -> 187 settled; 10k rubble: 115 -> 133+). +96
+    # headroom rounded up to the 128-lane granularity covers both observed
+    # drifts ~2x over; the end-state re-check below still gates the run.
     rep = band_coverage_report(ps)
-    band = 128
-    if rep["max_rank_dist"] > 120:
-        band = ((rep["max_rank_dist"] + 192) // 128) * 128
+    band = max(128, -(-(rep["max_rank_dist"] + 96) // 128) * 128)
+    if band > 128:
         rep = band_coverage_report(ps, band=band)
     print(f"band coverage on bench scene (band={band}): {rep}", file=sys.stderr)
     assert rep["outside_band"] == 0, f"bench scene breaks band coverage: {rep}"

@@ -98,6 +98,7 @@ def _compact_kernel(
     band: int = BAND,
     r_slots: int = R,
     n_planes: int = N_PLANE,
+    ablate: tuple = (),  # DEBUG ONLY: skip named phases for timing attribution
 ):
     # shadow the module constants: every use below binds to these locals, so a
     # launch can widen the rank band (scenes whose slab population exceeds 128,
@@ -782,7 +783,8 @@ def _compact_kernel(
             if geom_every > 1:
                 is_rebuild = (step_i % geom_every) == 0
                 pl.when(is_rebuild)(rebuild_pairs)
-                pl.when(jnp.logical_not(is_rebuild))(refresh_pairs)
+                if "refresh" not in ablate:  # DEBUG ablation
+                    pl.when(jnp.logical_not(is_rebuild))(refresh_pairs)
             else:
                 rebuild_pairs()
 
@@ -812,7 +814,7 @@ def _compact_kernel(
                     rows4 == 1, (box_b | (hlenv > 1e-6)).astype(jnp.float32), 1.0
                 ),
             ) > 0.5
-            for p in range(n_planes):
+            for p in (range(n_planes) if "planes" not in ablate else ()):
                 P = plane_scalars(p)
                 p_act = P["hu"] > 0.0
                 dpx = s_px[:] - P["cx"]; dpy = s_py[:] - P["cy"]; dpz = s_pz[:] - P["cz"]
@@ -931,7 +933,7 @@ def _compact_kernel(
 
             # ============== solver sweeps over cached geometry =================
             def solve_iter(_, icarry, is_warm=False):
-                if not is_warm:
+                if not is_warm and "sweep_gather" not in ablate:  # DEBUG ablation
                     gather_phase(
                         [s_vx[:], s_vy[:], s_vz[:], s_wx[:], s_wy[:], s_wz[:]], 26
                     )
@@ -1054,8 +1056,9 @@ def _compact_kernel(
                 tqy = -jnp.sum(ta_y, axis=0, keepdims=True)
                 tqz = -jnp.sum(ta_z, axis=0, keepdims=True)
                 # col side: +j / +torque_b through the matmul scatter
-                stage_scatter_pages([jx_t, jy_t, jz_t, tb_x, tb_y, tb_z])
-                scatter_phase(6)
+                if "sweep_scatter" not in ablate:  # DEBUG ablation
+                    stage_scatter_pages([jx_t, jy_t, jz_t, tb_x, tb_y, tb_z])
+                    scatter_phase(6)
                 accx = accx + acc8[0:1, :]
                 accy = accy + acc8[1:2, :]
                 accz = accz + acc8[2:3, :]
@@ -1123,7 +1126,8 @@ def _compact_kernel(
                 s_wz[:] = s_wz[:] + tqz * im3z[:] * mov_f
                 return icarry
 
-            solve_iter(0, 0, is_warm=True)
+            if "warm" not in ablate:  # DEBUG ablation
+                solve_iter(0, 0, is_warm=True)
             jax.lax.fori_loop(0, iterations, solve_iter, 0, unroll=False)
 
             # --- sleeping: wake propagation + deactivation timers --------------
@@ -1216,7 +1220,7 @@ def _compact_kernel(
     jax.jit,
     static_argnames=(
         "iterations", "n_substeps", "interpret", "warm", "geom_every", "sleep",
-        "with_overflow", "resident_m", "band", "r_slots", "n_planes",
+        "with_overflow", "resident_m", "band", "r_slots", "n_planes", "ablate",
     ),
 )
 def megakernel_substeps_compact(
@@ -1234,6 +1238,7 @@ def megakernel_substeps_compact(
     band: int = BAND,
     r_slots: int | None = None,
     n_planes: int = N_PLANE,
+    ablate: tuple = (),  # DEBUG ONLY (scripts/scan_10k.py): phase ablation
 ):
     """Compacted-neighbor throughput path: slab-rank sort once per launch, run
     the compact kernel for `n_substeps`, permute results back to slot order.
@@ -1354,7 +1359,7 @@ def megakernel_substeps_compact(
             _compact_kernel,
             iterations=iterations, n_bodies=b, warm=warm, geom_every=geom_every,
             sleep=sleep, resident_m=resident_m, band=band, r_slots=R,
-            n_planes=n_planes,
+            n_planes=n_planes, ablate=tuple(ablate),
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
