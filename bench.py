@@ -360,6 +360,7 @@ def _build_sponza_runner(width=1920, height=1080, regen=False):
     The bake result is cached on disk (deterministic seed) so repeat benches skip the
     ~minutes of host-side QEM; `OX_BENCH_REBAKE=1` forces a full re-import."""
     import pickle
+    import sys
     from pathlib import Path
 
     import numpy as np
@@ -370,7 +371,6 @@ def _build_sponza_runner(width=1920, height=1080, regen=False):
     from oxylus_tpu.assets.texture import Texture, TextureAtlas
     from oxylus_tpu.render.renderer2d import SpriteBatchBindings
     from oxylus_tpu.render.renderer3d import RenderSpec
-    from oxylus_tpu.render.scene3d import worst_case_meshlet_instances
     from oxylus_tpu.render.sky import AtmosphereParams
     from oxylus_tpu.runtime import SceneRunner
     from oxylus_tpu.scene.scene import Scene
@@ -456,14 +456,55 @@ def _build_sponza_runner(width=1920, height=1080, regen=False):
               scale=tuple(sc))
         e.add("MeshComponent", mesh_index=mi, material_uuid=mat_uuid[mesh_mat[mi]])
 
-    wc = worst_case_meshlet_instances(
-        meshes, [(mi, 0, 0) for (mi, *_rest) in nodes])
-    cap = 1 << max(13, int(np.ceil(np.log2(max(wc, 1)))))
+    # steady-state-informed capacities (VERDICT r2 weak #5 / PERF_NOTES sponza
+    # lead): the compaction sorts and the triangle-setup arrays scale with the
+    # static caps, so size them from a CULL PREPASS at the bench camera (4x
+    # headroom, floor 4096/1024) instead of the all-LOD0 worst case (47k for a
+    # ~1k steady state). The always-on expand/bin overflow assertions below
+    # keep this honest — an under-sized cap fails the run, never drops work.
+    from oxylus_tpu.ops.cull import (
+        cull_instances, cull_meshlets, expand_meshlet_instances,
+    )
+    from oxylus_tpu.render.camera import camera_matrices
+    from oxylus_tpu.render.scene3d import upload_meshes
+
+    pre_gscene = upload_meshes(
+        meshes, [(mi, ni, 0) for ni, (mi, *_r) in enumerate(nodes)])
+    pre_world = np.tile(np.eye(4, dtype=np.float32), (len(nodes), 1, 1))
+    for ni, (_mi, t, q, sc) in enumerate(nodes):
+        x, y, z, w = q
+        rot = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ], np.float32)
+        pre_world[ni, :3, :3] = rot * np.asarray(sc, np.float32)[None, :]
+        pre_world[ni, :3, 3] = t
+    pre_cam = camera_matrices(
+        position=jnp.array([0.0, 4.0, 9.0]), yaw=jnp.float32(-np.pi / 2),
+        pitch=jnp.float32(-0.14), tilt=jnp.float32(0.0), fov_deg=jnp.float32(65.0),
+        near=jnp.float32(0.05), far=jnp.float32(1000.0), zoom=jnp.float32(1.0),
+        projection_kind=jnp.int32(0), aspect=jnp.float32(width / height))
+    proj_scale = height / (2.0 * np.tan(np.radians(60.0) / 2))
+    pv, plod = cull_instances(
+        pre_gscene, jnp.asarray(pre_world), pre_cam.frustum_planes,
+        pre_cam.position, proj_scale)
+    pmi, pml, pmv, _ovf = expand_meshlet_instances(
+        pre_gscene, pv, plod, 1 << 17, with_overflow=True)
+    _, _, _, pcnt = cull_meshlets(
+        pre_gscene, jnp.asarray(pre_world), pmi, pml, pmv,
+        pre_cam.frustum_planes, pre_cam.position, capacity=1 << 16)
+    n_exp = int(jax.device_get(jnp.sum(pmv)))
+    n_vis = int(jax.device_get(pcnt))
+    cap = 1 << max(12, int(np.ceil(np.log2(max(4 * n_exp, 1)))))
+    vm_cap = 1 << max(10, int(np.ceil(np.log2(max(4 * n_vis, 1)))))
+    print(f"sponza prepass: expanded={n_exp} visible_meshlets={n_vis} "
+          f"-> caps mi={cap} vm={vm_cap}", file=sys.stderr)
     runner = SceneRunner(
         s, width=width, height=height, render_mode="3d", meshes=meshes,
         render_spec=RenderSpec(width=width, height=height,
                                max_meshlet_instances=cap,
-                               max_visible_meshlets=8192),
+                               max_visible_meshlets=vm_cap),
         atmosphere=AtmosphereParams(), enable_shadows=True,
         material_slots=material_slots,
         bindings=SpriteBatchBindings(
@@ -479,6 +520,12 @@ def bench_frame_sponza(width=1920, height=1080, frames=12, calls=2):
     """Frame-steps/s on BASELINE config 4 at spec (Sponza-class atrium)."""
     runner = _build_sponza_runner(width, height)
     runner.run(2)
+    # integrity gate (always on): the prepass-sized compaction capacities must
+    # not have dropped meshlets or tile entries in the measured frame
+    for key in ("expand_overflow", "bin_overflow"):
+        if key in runner.carry:
+            n = int(jax.device_get(runner.carry[key]))
+            assert n == 0, f"sponza frame dropped work ({key}={n}); raise the caps"
     return _median_fps(runner, frames)
 
 

@@ -33,7 +33,7 @@ def cull_instances(
     frustum_planes: Array,   # (6, 4)
     camera_pos: Array,       # (3,)
     proj_scale_px: Array,    # () — viewport_height / (2 tan(fov/2)) in pixels
-    acceptable_lod_error: Array = 1.0,  # px, CameraData.acceptable_lod_error
+    acceptable_lod_error: Array = 2.0,  # px — reference default, SceneGPU.hpp:218
     frustum_enabled: bool | Array = True,
 ) -> tuple[Array, Array]:
     """Returns (visible (I,) bool, lod (I,) i32)."""
@@ -91,8 +91,15 @@ def cull_meshlets(
     cone_enabled: bool | Array = True,
     frustum_enabled: bool | Array = True,
     occlusion_mask: Array | None = None,  # (C,) extra visibility (HiZ result)
+    depth_sort: bool = False,  # order survivors nearest-first (raster early-out)
 ) -> tuple[Array, Array, Array, Array]:
-    """Returns compacted (vm_instance, vm_meshlet, vm_valid, count)."""
+    """Returns compacted (vm_instance, vm_meshlet, vm_valid, count).
+
+    With `depth_sort`, survivors are ordered by ascending camera distance so
+    downstream tile lists are front-to-back — the Pallas raster's coverage
+    early-out (occlusion culling at tile granularity, the TPU analog of the
+    reference's per-pixel early-Z) then terminates each tile at first full
+    coverage."""
     world = entity_world[gscene.inst_mesh.shape[0] * 0 + gscene.inst_entity[mi_instance]]
     ml = mi_meshlet
     center_l = gscene.ml_center[ml]
@@ -118,4 +125,8 @@ def cull_meshlets(
         mask = mask & occlusion_mask
 
     idx, valid, count = masked_compact(mask, capacity)
+    if depth_sort:
+        key = jnp.where(valid, dlen[idx], jnp.inf)  # invalid slots sink to the tail
+        order = jnp.argsort(key)
+        idx, valid = idx[order], valid[order]
     return mi_instance[idx], mi_meshlet[idx], valid, count

@@ -330,8 +330,8 @@ def pack_attrB_hilo(attrB128: Array) -> Array:
 
 
 def _gbuffer_kernel(
-    tile_list_ref, cnt_ref, tx_ref, cm6_vmem, attr_hbm, depth_out, vid_out, gb_out,
-    bbuf, bsem
+    tile_list_ref, cnt_ref, tx_ref, near_ref, cm6_vmem, attr_hbm,
+    depth_out, vid_out, gb_out, bbuf, bsem
 ):
     """Two-phase G-buffer raster (per tile):
 
@@ -378,8 +378,15 @@ def _gbuffer_kernel(
     # every mostly-empty tile costs far more)
     jax.lax.cond(n > 0, lambda: bfetch(0, 0), lambda: None)
 
-    def loop_a(k, carry):
-        depth, vid, ssb = carry
+    def cond_a(carry):
+        k, depth, vid, ssb = carry
+        vmn = tile_list_ref[row, jnp.minimum(k, k_cap - 1)]
+        # coverage early-out (front-to-back lists): stop once no pixel can be
+        # beaten by the next (hence any later) meshlet's nearest z
+        return (k < n) & (jnp.min(depth) < near_ref[vmn, 0])
+
+    def loop_a(carry):
+        k, depth, vid, ssb = carry
         vm = tile_list_ref[row, k]
         blk = _local_hilo16(cm6_vmem[pl.ds(vm * 8, 8), :], x0, y0)  # (16, 6R) bf16
         e = jax.lax.dot_general(
@@ -404,6 +411,7 @@ def _gbuffer_kernel(
         better = best > depth
         pid = vm * 256 + arg
         return (
+            k + 1,
             jnp.where(better, best, depth),
             jnp.where(better, pid, vid),
             jnp.where(better, ssw, ssb),
@@ -412,7 +420,9 @@ def _gbuffer_kernel(
     depth0 = jnp.zeros((1, PIX), jnp.float32)
     vid0 = jnp.full((1, PIX), -1, jnp.int32)
     ss0 = jnp.zeros((1, PIX), jnp.float32)
-    depth, vid, ssb = jax.lax.fori_loop(0, n, loop_a, (depth0, vid0, ss0))
+    kstop, depth, vid, ssb = jax.lax.while_loop(
+        cond_a, loop_a, (jnp.int32(0), depth0, vid0, ss0)
+    )
 
     def loop_b(k, gb):
         par = k % 2
@@ -446,15 +456,17 @@ def _gbuffer_kernel(
         mine = (key >= 0) & (key < n_slots)
         return jnp.where(mine, attrs, gb)
 
-    gb = jax.lax.fori_loop(0, n, loop_b, jnp.zeros((N_GB_ATTR, PIX), jnp.float32))
-    # drain the one outstanding prefetch (issued for slot n, parity n % 2);
-    # nothing was ever fetched for empty tiles
+    # only the k that rasterized can have won pixels — skip the tail
+    gb = jax.lax.fori_loop(0, kstop, loop_b, jnp.zeros((N_GB_ATTR, PIX), jnp.float32))
+    # drain the one outstanding prefetch (issued for slot kstop, parity
+    # kstop % 2 — also covers the early-out kstop==0 case where only the
+    # pre-issued k=0 fetch is in flight); nothing was fetched for empty tiles
     jax.lax.cond(
         n > 0,
         lambda: pltpu.make_async_copy(
             attr_hbm.at[pl.ds(0, n_slots), :],
-            bbuf.at[pl.ds((n % 2) * n_slots, n_slots), :],
-            bsem.at[n % 2],
+            bbuf.at[pl.ds((kstop % 2) * n_slots, n_slots), :],
+            bsem.at[kstop % 2],
         ).wait(),
         lambda: None,
     )
@@ -474,17 +486,26 @@ def _gbuffer_kernel(
 
 
 def _gbuffer_kernel_resident(
-    tile_list_ref, cnt_ref, tx_ref, cm6_vmem, attr_vmem, depth_out, vid_out, gb_out
+    tile_list_ref, cnt_ref, tx_ref, near_ref, cm6_vmem, attr_vmem,
+    depth_out, vid_out, gb_out
 ):
     """Resident-attribute G-buffer raster: identical to `_gbuffer_kernel` except
     phase B reads the winner's attribute coefficients from a VMEM-resident
     bf16 hi/lo matrix (pack_attrB_hilo) — no per-hit DMA, no semaphores, and
     ONE (R,128)·(R,PIX) matmul per hit whose result carries hi rows 0:48 and
     lo rows 64:112. Chosen by rasterize_gbuffer_pallas when the matrix fits
-    the VMEM budget; the HBM double-buffered variant handles larger scenes."""
+    the VMEM budget; the HBM double-buffered variant handles larger scenes.
+
+    Coverage early-out: with front-to-back tile lists (cull_meshlets
+    depth_sort) phase A is a while loop that stops once every pixel's resolved
+    reverse-Z depth ≥ the next meshlet's conservative nearest z (`near_ref`) —
+    it cannot win anywhere, and neither can anything behind it. Phase B then
+    walks only the k that actually rasterized. This is the TPU analog of
+    early-Z + the reference's two-pass occlusion inside one tile."""
     t = pl.program_id(0)
     row = t % ROWG
     n_slots = cm6_vmem.shape[-1] // N_GB_PLANES
+    k_cap = tile_list_ref.shape[1]
 
     tx = tx_ref[0]
     x0 = ((t % tx) * TILE).astype(jnp.float32)
@@ -496,8 +517,15 @@ def _gbuffer_kernel_resident(
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (n_slots, PIX), 0)
     n = cnt_ref[row, 0]
 
-    def loop_a(k, carry):
-        depth, vid, ssb = carry
+    def cond_a(carry):
+        k, depth, vid, ssb = carry
+        vmn = tile_list_ref[row, jnp.minimum(k, k_cap - 1)]
+        # `depth > near` anywhere ⇔ the meshlet could still win a pixel
+        # (ties lose: the resolve keeps the earlier = nearer winner)
+        return (k < n) & (jnp.min(depth) < near_ref[vmn, 0])
+
+    def loop_a(carry):
+        k, depth, vid, ssb = carry
         vm = tile_list_ref[row, k]
         blk = _local_hilo16(cm6_vmem[pl.ds(vm * 8, 8), :], x0, y0)  # (16, 6R) bf16
         e = jax.lax.dot_general(
@@ -522,6 +550,7 @@ def _gbuffer_kernel_resident(
         better = best > depth
         pid = vm * 256 + arg
         return (
+            k + 1,
             jnp.where(better, best, depth),
             jnp.where(better, pid, vid),
             jnp.where(better, ssw, ssb),
@@ -530,7 +559,9 @@ def _gbuffer_kernel_resident(
     depth0 = jnp.zeros((1, PIX), jnp.float32)
     vid0 = jnp.full((1, PIX), -1, jnp.int32)
     ss0 = jnp.zeros((1, PIX), jnp.float32)
-    depth, vid, ssb = jax.lax.fori_loop(0, n, loop_a, (depth0, vid0, ss0))
+    kstop, depth, vid, ssb = jax.lax.while_loop(
+        cond_a, loop_a, (jnp.int32(0), depth0, vid0, ss0)
+    )
 
     def loop_b(k, gb):
         vm = tile_list_ref[row, k]
@@ -549,7 +580,8 @@ def _gbuffer_kernel_resident(
         mine = (key >= 0) & (key < n_slots)
         return jnp.where(mine, attrs, gb)
 
-    gb = jax.lax.fori_loop(0, n, loop_b, jnp.zeros((N_GB_ATTR, PIX), jnp.float32))
+    # only the k that rasterized can have won pixels — skip the tail
+    gb = jax.lax.fori_loop(0, kstop, loop_b, jnp.zeros((N_GB_ATTR, PIX), jnp.float32))
 
     rw = 1.0 / jnp.where(jnp.abs(ssb) > 1e-12, ssb, 1.0)
     depth_out[pl.ds(row, 1), :] = depth
@@ -564,11 +596,15 @@ def _gbuffer_kernel_resident(
 @partial(jax.jit, static_argnames=("width", "height", "interpret"))
 def rasterize_gbuffer_pallas(
     coeff_mat: Array, attr_mat: Array, tile_list: Array, width: int, height: int,
-    interpret: bool = False
+    interpret: bool = False, ml_near: Array | None = None
 ):
     """Returns (depth (H,W), vid (H,W) i32, gbuffer (H,W,16)) — lanes
     [wpos xyz, wnrm xyz, uv, alb rgb, metallic, roughness, emissive rgb].
-    coeff_mat (VM, 3, 6R) + attr_mat (VM·R, 48) from pack_gbuffer_coeff_matrix."""
+    coeff_mat (VM, 3, 6R) + attr_mat (VM·R, 48) from pack_gbuffer_coeff_matrix.
+
+    `ml_near` (VM,) f32 — conservative nearest reverse-Z depth per meshlet.
+    With front-to-back tile lists (cull_meshlets depth_sort) it drives the
+    kernels' coverage early-out; None disables the exit (near = +inf)."""
     tx, ty = _tile_grid(width, height)
     n_tiles = tx * ty
     k_cap = tile_list.shape[1]
@@ -578,6 +614,11 @@ def rasterize_gbuffer_pallas(
     coeff_pad = jnp.pad(coeff_mat, ((0, 0), (0, 5), (0, 0))).reshape(vm * 8, -1)
     cnt = jnp.sum((tile_list >= 0).astype(jnp.int32), axis=1, keepdims=True)
     tl_c = jnp.maximum(tile_list, 0)
+    near_col = (
+        jnp.full((vm, 1), jnp.inf, jnp.float32)
+        if ml_near is None
+        else ml_near.astype(jnp.float32).reshape(vm, 1)
+    )
 
     def pad_rows(a, fill):
         if a.shape[0] % ROWG != 0:
@@ -600,9 +641,11 @@ def rasterize_gbuffer_pallas(
         pl.BlockSpec((ROWG, k_cap), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((ROWG, 1), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # per-meshlet nearest z (early-out)
         pl.BlockSpec(memory_space=pltpu.VMEM),  # 6-plane matrix resident in VMEM
     ]
-    args = (pad_rows(tl_c, 0), pad_rows(cnt, 0), jnp.array([tx], jnp.int32), coeff_pad)
+    args = (pad_rows(tl_c, 0), pad_rows(cnt, 0), jnp.array([tx], jnp.int32),
+            near_col, coeff_pad)
     if attr_mat.shape[0] * 256 <= ATTR_VMEM_BYTES:
         # resident phase B: the bf16 hi/lo attribute matrix lives in VMEM —
         # no per-hit DMA latency (dominant on ~1-hit tiles), no drain conds

@@ -129,18 +129,17 @@ def _compact_kernel(
     d_cur = next(it)            # (R, b) i32 partner deltas (0 = empty slot)
     d_new = next(it)            # (R, b) i32 rebuild staging (remap needs both)
     if resident_m:
-        m_ref = next(it)        # (nc*SLAB, R*BCHUNK) bf16 gather one-hots (Mbig)
-        mt_ref = next(it)       # (R*nc*BCHUNK, SLAB) bf16 scatter one-hots
+        m_ref = next(it)        # (nc*SLAB, R*BCHUNK) bf16 gather/scatter one-hots
     else:
         # large-capacity mode (10k bodies): the resident one-hots cost 16 KB of
         # VMEM per body (the round-2 ~2k-body ceiling) — instead each chunk's
         # gather/scatter one-hot block is rebuilt on the fly from d_cur at its
         # use site (~R broadcast-compares per chunk, VPU-cheap)
-        m_ref = mt_ref = None
+        m_ref = None
     tri_ref = next(it)          # (SLAB, SLAB) bf16 strict-lower prefix matmul
     g3 = next(it)               # (GROWS, R, b) f32 gathered col-state pages
     s_ghl = next(it)            # (GSTG, b) bf16 gather source (hi rows, lo rows)
-    sc_hl = next(it)            # (SSTG, R, b) bf16 scatter staging pages
+    sc_hl = next(it)            # (SSTG, R*b) bf16 scatter staging (slot-major lanes)
     acc8 = next(it)             # (8, b) f32 scatter accumulator
     pgeo = [next(it) for _ in range(N_PGEO)]   # (R, b) f32 geometry caches
     lam = [next(it) for _ in range(N_LAM)]     # (R, b) bf16 lambda caches
@@ -250,18 +249,6 @@ def _compact_kernel(
             parts.append((jjm == li + off + dr).astype(jnp.bfloat16))
         return jnp.concatenate(parts, axis=1)
 
-    def mt_block(c, r):
-        """(c, r)'s (BCHUNK, SLAB) scatter one-hot, built from d_cur."""
-        ws = ws_of(c)
-        off = cs_of(c) - ws
-        dr = d_cur[r : r + 1, pl.ds(cs_of(c), BCHUNK)]
-        drt = jnp.swapaxes(dr, 0, 1)
-        jjt = jax.lax.broadcasted_iota(jnp.int32, (BCHUNK, SLAB), 1)
-        lit = jax.lax.broadcasted_iota(jnp.int32, (BCHUNK, SLAB), 0)
-        # empty slots must not scatter onto rank i+0 = self
-        tgt_t = lit + off + drt + jnp.where(drt == 0, 2 * SLAB, 0)
-        return (jjt == tgt_t).astype(jnp.bfloat16)
-
     def gather_phase(fields, row0):
         """Gather partner values of `fields` ((1,b) f32 values) into g3 pages
         [row0 .. row0+n); one Mbig matmul per chunk, hi/lo rows stacked."""
@@ -288,29 +275,46 @@ def _compact_kernel(
         chunk_loop(gather_chunk)
 
     def stage_scatter_pages(rows):
-        """Stage (R, b) f32 values as hi/lo bf16 pages for scatter_phase."""
+        """Stage (R, b) f32 values as hi/lo bf16 rows of the 2D (SSTG, R*b)
+        staging ref (slot-major columns: slot r occupies lanes [r*b, (r+1)*b)).
+        Values MUST be exactly zero at empty slots (d_cur == 0): the scatter
+        reuses the GATHER one-hot, whose empty-slot column targets self."""
         n = len(rows)
         for k, v in enumerate(rows):
-            hi = v.astype(jnp.bfloat16)
-            sc_hl[k] = hi
-            sc_hl[n + k] = (v - hi.astype(f32)).astype(jnp.bfloat16)
+            for r in range(R):
+                vr = v[r : r + 1, :]
+                hi = vr.astype(jnp.bfloat16)
+                sc_hl[k : k + 1, pl.ds(r * b, b)] = hi
+                sc_hl[n + k : n + k + 1, pl.ds(r * b, b)] = (
+                    vr - hi.astype(f32)
+                ).astype(jnp.bfloat16)
 
     def scatter_phase(nrows):
-        """Scatter-add staged pages into acc8[0:nrows]."""
+        """Scatter-add staged pages into acc8[0:nrows].
+
+        Scatter is the exact transpose of gather, so each chunk rides ONE
+        rhs-transposed MXU matmul against the SAME one-hot block the gathers
+        use: (2n, R*BCHUNK) · (SLAB, R*BCHUNK)^T -> (2n, SLAB). This replaced
+        R separate (2n, BCHUNK)·(BCHUNK, SLAB) matmuls (M=12 wastes ~90% of
+        the systolic rows; measured ~580 us of 1855 us/substep at 10k bodies,
+        scripts/scan_10k.py) and retired the dedicated mt_ref one-hots."""
         acc8[0:nrows, :] = jnp.zeros((nrows, b), f32)
 
         def scatter_chunk(c):
             ws = ws_of(c)
-            tot = jnp.zeros((nrows, SLAB), f32)
-            for r in range(R):
-                mm = jnp.dot(
-                    sc_hl[0 : 2 * nrows, r, pl.ds(cs_of(c), BCHUNK)],
-                    mt_ref[(c * R + r) * BCHUNK : (c * R + r + 1) * BCHUNK, :]
-                    if resident_m else mt_block(c, r),
-                    preferred_element_type=f32,
-                )  # (2*nrows, SLAB)
-                tot = tot + mm[0:nrows] + mm[nrows : 2 * nrows]
-            acc8[0:nrows, pl.ds(ws, SLAB)] = acc8[0:nrows, pl.ds(ws, SLAB)] + tot
+            vals = jnp.concatenate(
+                [sc_hl[0 : 2 * nrows, pl.ds(r * b + cs_of(c), BCHUNK)] for r in range(R)],
+                axis=1,
+            )  # (2n, R*BCHUNK)
+            mm = jax.lax.dot_general(
+                vals,
+                m_ref[c * SLAB : (c + 1) * SLAB, :] if resident_m else m_block(c),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )  # (2n, SLAB)
+            acc8[0:nrows, pl.ds(ws, SLAB)] = (
+                acc8[0:nrows, pl.ds(ws, SLAB)] + mm[0:nrows] + mm[nrows : 2 * nrows]
+            )
 
         chunk_loop(scatter_chunk)
 
@@ -420,8 +424,10 @@ def _compact_kernel(
                 chunk_loop(remap_chunk)
                 d_cur[:, :] = d_new[:, :]
 
-                # --- build M (Mbig layout) / MT one-hot blocks ------------------
+                # --- build M (Mbig layout) one-hot blocks -----------------------
                 # (resident mode only; large-capacity mode rebuilds per use)
+                # gathers AND scatters both ride this block now (scatter
+                # contracts its transpose via rhs-transposed dot_general)
                 for r in range(R if resident_m else 0):
                     for c in range(nc):
                         ws = _ws(c, b)
@@ -432,16 +438,6 @@ def _compact_kernel(
                         jjm = jax.lax.broadcasted_iota(jnp.int32, (SLAB, BCHUNK), 0)
                         m_ref[c * SLAB : (c + 1) * SLAB,
                               r * BCHUNK : (r + 1) * BCHUNK] = (jjm == tgt).astype(jnp.bfloat16)
-                        jjt = jax.lax.broadcasted_iota(jnp.int32, (BCHUNK, SLAB), 1)
-                        lit = jax.lax.broadcasted_iota(jnp.int32, (BCHUNK, SLAB), 0)
-                        drt = jnp.swapaxes(dr, 0, 1)
-                        # empty slots must not scatter onto rank i+0 = self
-                        tgt_t = lit + off + drt + jnp.where(drt == 0, 2 * SLAB, 0)
-                        # chunk-major MT layout: scatter_phase walks a chunk's
-                        # R blocks as one contiguous (R*BCHUNK, SLAB) K window
-                        mt_ref[(c * R + r) * BCHUNK : (c * R + r + 1) * BCHUNK, :] = (
-                            jjt == tgt_t
-                        ).astype(jnp.bfloat16)
 
                 # --- gather col-side geometry (pages 0..15, 16..20) -------------
                 gather_phase(
@@ -1339,13 +1335,12 @@ def megakernel_substeps_compact(
         [pltpu.VMEM((R, b), jnp.int32)] * 2                    # d_cur, d_new
         + (
             [pltpu.VMEM((nc * SLAB, R * BCHUNK), jnp.bfloat16)]  # M (Mbig layout)
-            + [pltpu.VMEM((R * nc * BCHUNK, SLAB), jnp.bfloat16)]  # MT
             if resident_m else []
         )
         + [pltpu.VMEM((SLAB, SLAB), jnp.bfloat16)]             # tri
         + [pltpu.VMEM((GROWS, R, b), jnp.float32)]             # g3 col-state pages
         + [pltpu.VMEM((GSTG, b), jnp.bfloat16)]                # s_ghl
-        + [pltpu.VMEM((SSTG, R, b), jnp.bfloat16)]             # sc_hl
+        + [pltpu.VMEM((SSTG, R * b), jnp.bfloat16)]            # sc_hl
         + [pltpu.VMEM((8, b), jnp.float32)]                    # acc8
         + [pltpu.VMEM((R, b), jnp.float32)] * N_PGEO
         + [pltpu.VMEM((R, b), LAM_DT)] * N_LAM

@@ -142,6 +142,7 @@ class RendererInstance:
             camera.frustum_planes, camera.position,
             capacity=spec.max_visible_meshlets,
             frustum_enabled=config.culling_frustum,
+            depth_sort=True,  # front-to-back tile lists → raster coverage early-out
         )
         ctx.update(vm_instance=vm_inst, vm_meshlet=vm_ml, vm_valid=vm_valid, vm_count=vm_count)
         ctx["vm_meshlet"] = vm_ml
@@ -183,7 +184,9 @@ class RendererInstance:
         def raster_full(tile_list):
             """One raster pass → (depth, vid, gbuffer-or-None)."""
             if use_gbuffer_raster:
-                d, v, gb = rasterize_gbuffer_pallas(cm_gb, attr_gb, tile_list, w, h)
+                d, v, gb = rasterize_gbuffer_pallas(
+                    cm_gb, attr_gb, tile_list, w, h, ml_near=ml_near
+                )
                 return d, v, gb
             fn = (
                 rasterize_pallas
@@ -259,6 +262,10 @@ class RendererInstance:
             depth=depth, visbuffer=vid, setup=setup, bin_overflow=overflow,
             expand_overflow=expand_overflow,
         )
+        # surfaced through the frame carry so callers (bench integrity gates,
+        # editor stats) can assert no fixed-capacity compaction dropped work
+        carry["expand_overflow"] = expand_overflow
+        carry["bin_overflow"] = overflow
         ctx = self._run_cbs(RenderStage.VISBUFFER_ENCODE, "after", ctx)
 
         # ---- Decode → GBuffer --------------------------------------------

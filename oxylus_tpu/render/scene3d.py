@@ -112,7 +112,15 @@ def upload_meshes(meshes: list[BakedMesh], instances: list[tuple[int, int, int]]
             md = lod.meshlets
             lod_off[mi, li] = len(mvo)
             lod_cnt[mi, li] = md.count
-            lod_err[mi, li] = lod.error
+            # bake stores error RELATIVE to the mesh AABB diagonal (scale-stable,
+            # like meshopt's simplify result before meshopt_simplifyScale —
+            # AssetManager_GLTF.cpp:746-793); the LOD select projects mesh-local
+            # units through the instance scale, so convert here. Without this a
+            # 20-unit wall's 0.006-relative LOD error read as 6 mm and the
+            # selector collapsed Sponza-class scenes to their coarsest LODs.
+            lod_err[mi, li] = lod.error * max(
+                float(np.linalg.norm(mesh.aabb_max - mesh.aabb_min)), 1e-9
+            )
             iv_base = sum(len(x) for x in indirect_l)
             lt_base = sum(len(x) for x in local_l)
             mvo.extend((md.vertex_offset + iv_base).tolist())
