@@ -485,7 +485,9 @@ def _build_sponza_runner(width=1920, height=1080, regen=False):
         pitch=jnp.float32(-0.14), tilt=jnp.float32(0.0), fov_deg=jnp.float32(65.0),
         near=jnp.float32(0.05), far=jnp.float32(1000.0), zoom=jnp.float32(1.0),
         projection_kind=jnp.int32(0), aspect=jnp.float32(width / height))
-    proj_scale = height / (2.0 * np.tan(np.radians(60.0) / 2))
+    # match the frame graph: proj scale from the ACTUAL camera projection
+    # (fov 65 here — the old hardcoded 60° under-sized the prepass capacities)
+    proj_scale = height * float(jax.device_get(jnp.abs(pre_cam.projection[1, 1]))) / 2.0
     pv, plod = cull_instances(
         pre_gscene, jnp.asarray(pre_world), pre_cam.frustum_planes,
         pre_cam.position, proj_scale)

@@ -126,7 +126,12 @@ def cull_meshlets(
 
     idx, valid, count = masked_compact(mask, capacity)
     if depth_sort:
-        key = jnp.where(valid, dlen[idx], jnp.inf)  # invalid slots sink to the tail
+        # conservative NEAREST distance (center minus bounding radius), not
+        # center distance: floors/walls at glancing angles have near vertices
+        # far nearer than their centers, and the raster early-out needs near
+        # depth as monotone as possible along the list (exactness is then
+        # guaranteed by the suffix-max of ml_near in renderer3d).
+        key = jnp.where(valid, (dlen - radius)[idx], jnp.inf)
         order = jnp.argsort(key)
         idx, valid = idx[order], valid[order]
     return mi_instance[idx], mi_meshlet[idx], valid, count

@@ -91,6 +91,27 @@ def decode_visbuffer(
     world_nrm = jnp.einsum("hwij,hwj->hwi", world[..., :3, :3], normal_obj)
     world_nrm = world_nrm / jnp.maximum(jnp.linalg.norm(world_nrm, axis=-1, keepdims=True), 1e-9)
 
+    # per-triangle world tangent frame for normal mapping — the same edge/UV
+    # algebra as setup3d.setup_triangles (the reference derives it per pixel
+    # from screen-space derivatives, visbuffer_decode.slang:128-178; per-tri
+    # algebra is that frame computed exactly)
+    wv = jnp.einsum("hwij,hwkj->hwki", world[..., :3, :3], pos_v) + world[..., None, :3, 3]
+    e1w = wv[..., 1, :] - wv[..., 0, :]
+    e2w = wv[..., 2, :] - wv[..., 0, :]
+    duv1 = uv_v[..., 1, :] - uv_v[..., 0, :]
+    duv2 = uv_v[..., 2, :] - uv_v[..., 0, :]
+    detuv = duv1[..., 0] * duv2[..., 1] - duv2[..., 0] * duv1[..., 1]
+    t_raw = e1w * duv2[..., 1:2] - e2w * duv1[..., 1:2]
+    b_raw = e2w * duv1[..., 0:1] - e1w * duv2[..., 0:1]
+    sgn = jnp.where(detuv < 0.0, -1.0, 1.0)[..., None]
+    t_len = jnp.linalg.norm(t_raw, axis=-1, keepdims=True)
+    t_hat = sgn * t_raw / jnp.maximum(t_len, 1e-20)
+    ng = jnp.cross(e1w, e2w)
+    hand = jnp.sum(jnp.cross(ng, t_hat) * (b_raw * sgn), axis=-1, keepdims=True)
+    w_hand = jnp.where(hand < 0.0, -1.0, 1.0)
+    tan_ok = (jnp.abs(detuv)[..., None] > 1e-12) & (t_len > 1e-9)
+    tangent_enc = jnp.where(tan_ok, t_hat * (0.75 + 0.25 * w_hand), 0.0)
+
     # material evaluation
     mat = gscene.inst_material[inst]  # (H, W)
     uv_t = uv * materials.uv_size[mat] + materials.uv_offset[mat]
@@ -106,7 +127,23 @@ def decode_visbuffer(
     # glTF: metallic = B, roughness = G
     metallic = jnp.where(has_mr, mr_tex[..., 2], 1.0) * materials.metallic_factor[mat]
     roughness = jnp.where(has_mr, mr_tex[..., 1], 1.0) * materials.roughness_factor[mat]
-    occlusion = jnp.ones_like(metallic)
+    has_occ = (materials.flags[mat] & 16).astype(jnp.bool_)
+    occ_tex = sample_atlas_bilinear(
+        atlas, materials.occlusion_rect[mat], uv_t, materials.sampling_mode[mat]
+    )
+    occlusion = jnp.where(has_occ, occ_tex[..., 0], 1.0)
+
+    # normal mapping (reference visbuffer_decode.slang:156-178; 3-component
+    # +Y-up encoding — see ops/sampling.py::sample_material_textures)
+    from .sampling import perturb_normal
+
+    has_nrm = (materials.flags[mat] & 2).astype(jnp.bool_)
+    nrm_tex = sample_atlas_bilinear(
+        atlas, materials.normal_rect[mat], uv_t, materials.sampling_mode[mat]
+    )
+    nrm_ts = jnp.where(has_nrm[..., None], nrm_tex[..., :3] * 2.0 - 1.0,
+                       jnp.array([0.0, 0.0, 1.0]))
+    world_nrm = perturb_normal(world_nrm, tangent_enc, nrm_ts)
 
     hitf = hit[..., None]
     return {
@@ -119,4 +156,5 @@ def decode_visbuffer(
         "occlusion": jnp.where(hit, occlusion, 1.0),
         "world_pos": jnp.where(hitf, world_pos, 0.0),
         "uv": uv,
+        "tangent": jnp.where(hitf, tangent_enc, 0.0),
     }

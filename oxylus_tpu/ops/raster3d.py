@@ -119,16 +119,17 @@ def rasterize_reference(
 ROWG = 8  # sublane row-group for blocked per-tile inputs (TPU block rule)
 
 
-def _pmat16_local():
-    """(16, PIX) bf16 pixel matrix in TILE-LOCAL coordinates, rows
-    [x, y, 1, 0×5] twice. Local coords k+0.5 (k < TILE ≤ 64) are EXACTLY
+def _pmat16_local(tile: int = TILE):
+    """(16, tile²) bf16 pixel matrix in TILE-LOCAL coordinates, rows
+    [x, y, 1, 0×5] twice. Local coords k+0.5 (k < tile ≤ 64) are EXACTLY
     representable in bf16, which is what makes the single-pass bf16 plane
     matmul below exact: Precision.HIGHEST (6 bf16 passes) measured ~8 ms/frame
     at 1080p vs DEFAULT's one pass."""
-    lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
-    xl = (lin % TILE).astype(jnp.float32) + 0.5
-    yl = (lin // TILE).astype(jnp.float32) + 0.5
-    r8 = jax.lax.broadcasted_iota(jnp.int32, (16, PIX), 0) % 8
+    pix = tile * tile
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
+    xl = (lin % tile).astype(jnp.float32) + 0.5
+    yl = (lin // tile).astype(jnp.float32) + 0.5
+    r8 = jax.lax.broadcasted_iota(jnp.int32, (16, pix), 0) % 8
     pm = jnp.where(r8 == 0, xl, jnp.where(r8 == 1, yl, jnp.where(r8 == 2, 1.0, 0.0)))
     return pm.astype(jnp.bfloat16), xl, yl
 
@@ -271,7 +272,7 @@ ATTR_W = 48        # phase-B lanes per slot: [a(16) | b(16) | c(16)] coefficient
 
 def pack_gbuffer_coeff_matrix(
     coeffs: Array,       # (VM, R, 5, 3) from setup_triangles
-    attr_planes: Array,  # (VM, R, 6, 3) from setup_triangles: ss + nrm xyz + uv
+    attr_planes: Array,  # (VM, R, 9, 3) from setup_triangles: ss + nrm + uv + tangent
     tri_valid: Array,    # (VM, R)
     mat_consts: Array,   # (VM, 8) per-meshlet material constants
 ) -> tuple[Array, Array]:
@@ -284,9 +285,9 @@ def pack_gbuffer_coeff_matrix(
       - attrB (VM·R, 48): per-slot attribute-plane coefficients for the phase-B
         winner gather, lane groups [a₀…a₇ 0×8 | b₀…b₇ 0×8 | c₀…c₇ consts×8] —
         after the one-hot slot matmul, attr = a·px + b·py + c evaluates the 8
-        perspective planes (wpos xyz, wnrm xyz, uv) and broadcasts the 8
-        per-meshlet material constants, replacing the reference's per-pixel
-        visbuffer_decode.slang material fetch.
+        perspective planes (wnrm xyz, uv, tangent xyz — handedness in |T|) and
+        broadcasts the 8 per-meshlet material constants, replacing the
+        reference's per-pixel visbuffer_decode.slang material fetch.
 
     Splitting depth resolve from attribute evaluation is the TPU-shaped analog of
     the reference's visbuffer encode/decode split: the per-hit matmul shrinks 22→6
@@ -298,12 +299,11 @@ def pack_gbuffer_coeff_matrix(
     allp = jnp.swapaxes(allp, 2, 3)       # (VM, 3, 6, R)
     cm6 = allp.reshape(vm, 3, N_GB_PLANES * r)
 
-    ap = attr_planes[:, :, 1:6, :]        # (VM, R, 5, 3) perspective attr planes
-    z11 = jnp.zeros((vm, r, 11), ap.dtype)
-    z3 = jnp.zeros((vm, r, 3), ap.dtype)
+    ap = attr_planes[:, :, 1:9, :]        # (VM, R, 8, 3) perspective attr planes
+    z8 = jnp.zeros((vm, r, 8), ap.dtype)
     consts = jnp.broadcast_to(mat_consts[:, None, :], (vm, r, 8)).astype(ap.dtype)
     attrB = jnp.concatenate(
-        [ap[..., 0], z11, ap[..., 1], z11, ap[..., 2], z3, consts], axis=-1
+        [ap[..., 0], z8, ap[..., 1], z8, ap[..., 2], consts], axis=-1
     )  # (VM, R, 48): 16-lane groups [a | b | c+consts]
     # lane-pad to 128: Mosaic DMA slices of HBM arrays need 128-aligned lane widths
     attrB = jnp.pad(attrB, ((0, 0), (0, 0), (0, 128 - ATTR_W)))
@@ -313,8 +313,10 @@ def pack_gbuffer_coeff_matrix(
 # VMEM budget for the resident-attribute raster variant: the bf16 hi/lo packed
 # attribute matrix (VM·R, 128) costs VM·R·256 bytes; together with the resident
 # 6-plane matrix and the pipeline's output blocks it must stay under the 110 MB
-# kernel cap (rasterize_gbuffer_pallas decides per shape at trace time)
-ATTR_VMEM_BYTES = 48 * 1024 * 1024
+# whole-kernel VMEM budget for the residency decision (the chip exposes
+# 128 MB; leave allocator slack). rasterize_gbuffer_pallas decides per shape
+# at trace time by budgeting EVERY resident buffer + live temporaries.
+VMEM_BUDGET_BYTES = 108 * 1024 * 1024
 
 
 def pack_attrB_hilo(attrB128: Array) -> Array:
@@ -329,7 +331,29 @@ def pack_attrB_hilo(attrB128: Array) -> Array:
     return jnp.concatenate([hi, z16, lo, z16], axis=-1)
 
 
-def _gbuffer_kernel(
+def _make_gbuffer_kernel(tile: int):
+    """Factory closing over the static tile size (32 or 64 px): per-hit work —
+    the (6R, tile²) phase-A plane evaluation and its elementwise resolve — is
+    VPU-throughput-bound and scales with tile², while the hit count only grows
+    ~1.6× at half tile (sponza occupancy, PERF_NOTES r4), so smaller tiles trade
+    a small fixed-cost increase for a large per-hit saving on dense scenes."""
+    pix = tile * tile
+
+    def _gbuffer_kernel(
+        tile_list_ref, cnt_ref, tx_ref, near_ref, cm6_vmem, attr_hbm,
+        depth_out, vid_out, gb_out, bbuf, bsem
+    ):
+        return _gbuffer_kernel_body(
+            tile, pix,
+            tile_list_ref, cnt_ref, tx_ref, near_ref, cm6_vmem, attr_hbm,
+            depth_out, vid_out, gb_out, bbuf, bsem,
+        )
+
+    return _gbuffer_kernel
+
+
+def _gbuffer_kernel_body(
+    TILE, PIX,
     tile_list_ref, cnt_ref, tx_ref, near_ref, cm6_vmem, attr_hbm,
     depth_out, vid_out, gb_out, bbuf, bsem
 ):
@@ -358,7 +382,7 @@ def _gbuffer_kernel(
     tx = tx_ref[0]
     x0 = ((t % tx) * TILE).astype(jnp.float32)
     y0 = ((t // tx) * TILE).astype(jnp.float32)
-    pmat16, xl, yl = _pmat16_local()
+    pmat16, xl, yl = _pmat16_local(TILE)
     px = x0 + xl  # global coords for the phase-B f32 attribute evaluation
     py = y0 + yl
 
@@ -380,10 +404,12 @@ def _gbuffer_kernel(
 
     def cond_a(carry):
         k, depth, vid, ssb = carry
-        vmn = tile_list_ref[row, jnp.minimum(k, k_cap - 1)]
         # coverage early-out (front-to-back lists): stop once no pixel can be
-        # beaten by the next (hence any later) meshlet's nearest z
-        return (k < n) & (jnp.min(depth) < near_ref[vmn, 0])
+        # beaten by the next (hence any later) meshlet's nearest z. The near
+        # bound rides the SMEM tile-list layout (one f32 per (tile, k) entry):
+        # a per-MESHLET SMEM table costs 512 B/row and blew the 1 MB SMEM at
+        # the sponza caps (vm=2048 -> 1.0 MB; BENCH_r03 post-mortem).
+        return (k < n) & (jnp.min(depth) < near_ref[row, jnp.minimum(k, k_cap - 1)])
 
     def loop_a(carry):
         k, depth, vid, ssb = carry
@@ -485,7 +511,25 @@ def _gbuffer_kernel(
     gb_out[pl.ds(row * N_GB_ATTR + 8, 8), :] = gb[8:16, :].astype(jnp.bfloat16)
 
 
-def _gbuffer_kernel_resident(
+def _make_gbuffer_kernel_resident(tile: int):
+    """Factory closing over the static tile size — see _make_gbuffer_kernel."""
+    pix = tile * tile
+
+    def _gbuffer_kernel_resident(
+        tile_list_ref, cnt_ref, tx_ref, near_ref, cm6_vmem, attr_vmem,
+        depth_out, vid_out, gb_out
+    ):
+        return _gbuffer_kernel_resident_body(
+            tile, pix,
+            tile_list_ref, cnt_ref, tx_ref, near_ref, cm6_vmem, attr_vmem,
+            depth_out, vid_out, gb_out,
+        )
+
+    return _gbuffer_kernel_resident
+
+
+def _gbuffer_kernel_resident_body(
+    TILE, PIX,
     tile_list_ref, cnt_ref, tx_ref, near_ref, cm6_vmem, attr_vmem,
     depth_out, vid_out, gb_out
 ):
@@ -510,7 +554,7 @@ def _gbuffer_kernel_resident(
     tx = tx_ref[0]
     x0 = ((t % tx) * TILE).astype(jnp.float32)
     y0 = ((t // tx) * TILE).astype(jnp.float32)
-    pmat16, xl, yl = _pmat16_local()
+    pmat16, xl, yl = _pmat16_local(TILE)
     px = x0 + xl  # global coords for the phase-B f32 attribute evaluation
     py = y0 + yl
 
@@ -519,10 +563,10 @@ def _gbuffer_kernel_resident(
 
     def cond_a(carry):
         k, depth, vid, ssb = carry
-        vmn = tile_list_ref[row, jnp.minimum(k, k_cap - 1)]
         # `depth > near` anywhere ⇔ the meshlet could still win a pixel
-        # (ties lose: the resolve keeps the earlier = nearer winner)
-        return (k < n) & (jnp.min(depth) < near_ref[vmn, 0])
+        # (ties lose: the resolve keeps the earlier = nearer winner).
+        # near rides the SMEM tile-list layout — see _gbuffer_kernel.
+        return (k < n) & (jnp.min(depth) < near_ref[row, jnp.minimum(k, k_cap - 1)])
 
     def loop_a(carry):
         k, depth, vid, ssb = carry
@@ -593,10 +637,10 @@ def _gbuffer_kernel_resident(
     gb_out[pl.ds(row * N_GB_ATTR + 8, 8), :] = gb[8:16, :].astype(jnp.bfloat16)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "interpret"))
+@partial(jax.jit, static_argnames=("width", "height", "interpret", "tile"))
 def rasterize_gbuffer_pallas(
     coeff_mat: Array, attr_mat: Array, tile_list: Array, width: int, height: int,
-    interpret: bool = False, ml_near: Array | None = None
+    interpret: bool = False, ml_near: Array | None = None, tile: int = TILE
 ):
     """Returns (depth (H,W), vid (H,W) i32, gbuffer (H,W,16)) — lanes
     [wpos xyz, wnrm xyz, uv, alb rgb, metallic, roughness, emissive rgb].
@@ -604,8 +648,14 @@ def rasterize_gbuffer_pallas(
 
     `ml_near` (VM,) f32 — conservative nearest reverse-Z depth per meshlet.
     With front-to-back tile lists (cull_meshlets depth_sort) it drives the
-    kernels' coverage early-out; None disables the exit (near = +inf)."""
-    tx, ty = _tile_grid(width, height)
+    kernels' coverage early-out; None disables the exit (near = +inf).
+
+    `tile` (static) — tile edge in px; the tile_list must have been binned at
+    the same size. Per-hit cost scales with tile² (VPU-bound resolve) while the
+    hit count shrinks sublinearly, so dense scenes prefer 32."""
+    TILE, PIX = tile, tile * tile
+    tx = (width + TILE - 1) // TILE
+    ty = (height + TILE - 1) // TILE
     n_tiles = tx * ty
     k_cap = tile_list.shape[1]
     vm = coeff_mat.shape[0]
@@ -614,10 +664,13 @@ def rasterize_gbuffer_pallas(
     coeff_pad = jnp.pad(coeff_mat, ((0, 0), (0, 5), (0, 0))).reshape(vm * 8, -1)
     cnt = jnp.sum((tile_list >= 0).astype(jnp.int32), axis=1, keepdims=True)
     tl_c = jnp.maximum(tile_list, 0)
-    near_col = (
-        jnp.full((vm, 1), jnp.inf, jnp.float32)
+    # early-out near bound per (tile, k) entry, SAME blocked SMEM layout as the
+    # tile list. A per-meshlet SMEM table costs 512 B/row in SMEM and exceeded
+    # the chip's 1 MB SMEM at the sponza caps (vm=2048) — BENCH_r03 post-mortem.
+    tl_near = (
+        jnp.full(tile_list.shape, jnp.inf, jnp.float32)
         if ml_near is None
-        else ml_near.astype(jnp.float32).reshape(vm, 1)
+        else ml_near.astype(jnp.float32)[tl_c]
     )
 
     def pad_rows(a, fill):
@@ -641,16 +694,34 @@ def rasterize_gbuffer_pallas(
         pl.BlockSpec((ROWG, k_cap), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((ROWG, 1), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # per-meshlet nearest z (early-out)
+        # per-(tile, k) nearest z for the early-out — blocked like the tile list
+        pl.BlockSpec((ROWG, k_cap), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),  # 6-plane matrix resident in VMEM
     ]
     args = (pad_rows(tl_c, 0), pad_rows(cnt, 0), jnp.array([tx], jnp.int32),
-            near_col, coeff_pad)
-    if attr_mat.shape[0] * 256 <= ATTR_VMEM_BYTES:
+            pad_rows(tl_near, 0.0), coeff_pad)
+    # Honest VMEM budget (BENCH_r03 post-mortem: the old heuristic budgeted the
+    # attribute matrix ALONE and picked "resident" at capacities whose total
+    # working set did not fit). Everything resident must fit: the f32 coeff
+    # matrix, the bf16 hi/lo attribute matrix, the double-buffered output
+    # blocks, and the kernel's live temporaries (phase-A plane matrix e
+    # (6R, PIX) f32 + cover masks + phase-B one-hot/selection products).
+    out_block_bytes = 2 * ROWG * PIX * (4 + 4 + N_GB_ATTR * 2)  # 2x buffered
+    temp_bytes = (
+        6 * n_slots * PIX * 4      # e, phase A
+        + 8 * n_slots * PIX        # ~8 single-byte masks/selects on e's shape
+        + 2 * n_slots * PIX * 2    # phase-B one-hot (R, PIX) bf16 x2 live
+        + 128 * PIX * 4            # phase-B sel (128, PIX) f32
+        + 3 * N_GB_ATTR * PIX * 4  # attrs/gb accumulators
+        + (8 << 20)                # headroom: pmat16, carries, allocator slack
+    )
+    cm6_bytes = coeff_pad.size * 4
+    attr_res_bytes = attr_mat.shape[0] * 128 * 2  # pack_attrB_hilo output
+    if cm6_bytes + attr_res_bytes + out_block_bytes + temp_bytes <= VMEM_BUDGET_BYTES:
         # resident phase B: the bf16 hi/lo attribute matrix lives in VMEM —
         # no per-hit DMA latency (dominant on ~1-hit tiles), no drain conds
         depth, vid, gb = pl.pallas_call(
-            _gbuffer_kernel_resident,
+            _make_gbuffer_kernel_resident(TILE),
             grid=(n_tiles,),
             in_specs=base_specs + [pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=out_specs,
@@ -661,8 +732,14 @@ def rasterize_gbuffer_pallas(
             interpret=interpret,
         )(*args, pack_attrB_hilo(attr_mat))
     else:
+        # HBM fallback still keeps cm6 resident — assert the one thing it needs
+        # fits, with an actionable message instead of a compiler OOM dump
+        assert cm6_bytes + out_block_bytes + temp_bytes <= VMEM_BUDGET_BYTES, (
+            f"coefficient matrix alone ({cm6_bytes >> 20} MB at vm={vm}) exceeds "
+            f"the VMEM budget — lower max_visible_meshlets (cm6 costs 12 KB/slot)"
+        )
         depth, vid, gb = pl.pallas_call(
-            _gbuffer_kernel,
+            _make_gbuffer_kernel(TILE),
             grid=(n_tiles,),
             in_specs=base_specs + [pl.BlockSpec(memory_space=pl.ANY)],  # attrs in HBM
             out_specs=out_specs,
@@ -692,7 +769,9 @@ def gbuffer_from_raster(
 ) -> dict[str, Array]:
     """Unpack the kernel's (H, W, 16) bf16 attribute image into the GBuffer dict
     that decode_visbuffer produces (ops/decode3d.py) — no per-pixel gathers.
-    Lanes: [nrm xyz, uv, pad×3, alb rgb, metallic, roughness, emissive rgb].
+    Lanes: [nrm xyz, uv, tangent xyz, alb rgb, metallic, roughness, emissive rgb]
+    (tangent: per-triangle world tangent, bitangent handedness in |T| — 1 → +1,
+    0.5 → −1; T = 0 marks a degenerate UV mapping).
     World position is reconstructed from the f32 depth by unprojecting the
     pixel's NDC through inv_view_proj (the standard deferred-shading trick) —
     interpolating it in bf16 would cost ~0.2 units of error at scene scale."""
@@ -723,6 +802,7 @@ def gbuffer_from_raster(
         "world_pos": jnp.where(hitf, wpos, 0.0),
         "normal": jnp.where(hitf, nrm, 0.0),
         "uv": g[..., 3:5],
+        "tangent": jnp.where(hitf, g[..., 5:8], 0.0),
         "albedo": jnp.where(hitf, g[..., 8:11], 0.0),
         "metallic": jnp.where(hit, g[..., 11], 0.0),
         "roughness": jnp.where(hit, g[..., 12], 1.0),

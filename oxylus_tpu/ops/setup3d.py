@@ -66,12 +66,43 @@ def setup_triangles(
 
     # per-vertex attributes interpolated by the raster kernel so it can emit the
     # G-buffer directly (the per-pixel decode gather pass costs ~0.5 s at 1080p
-    # on this target — PERF_NOTES.md): world normal + uv → (VM,64,3,5). World
-    # position is NOT interpolated — the lighting stage reconstructs it from
-    # depth + the inverse view-projection (gbuffer_from_raster), saving 3 of 8
-    # attribute planes and their setup einsums.
+    # on this target — PERF_NOTES.md): world normal + uv + tangent → (VM,64,3,8).
+    # World position is NOT interpolated — the lighting stage reconstructs it
+    # from depth + the inverse view-projection (gbuffer_from_raster).
     wnrm_v = jnp.einsum("vij,vtcj->vtci", world[:, :3, :3], nrm_v)
-    attrs = jnp.concatenate([wnrm_v, uv_v], axis=-1)  # (VM,64,3,5)
+
+    # Per-triangle world-space tangent for normal mapping, shipped through the
+    # spare attribute lanes as a perspective-interpolated per-triangle constant
+    # (exact: Σbᵢ·c·(1/wᵢ) / Σbᵢ·(1/wᵢ) = c). The bitangent handedness is
+    # encoded in the MAGNITUDE (|T| = 1 → +1, |T| = 0.5 → −1; decode threshold
+    # 0.75) because the spare lane group is exactly 3 wide. Degenerate UV
+    # mappings encode T = 0 → shading falls back to the interpolated normal.
+    # The reference derives this frame per pixel from screen-space position/UV
+    # derivatives (visbuffer_decode.slang:128-178); the per-triangle edge/UV
+    # algebra below is the same frame computed exactly, with no derivative
+    # estimation — the TPU-shaped formulation (no neighbor-pixel access).
+    wpos_v = (
+        jnp.einsum("vij,vtcj->vtci", world[:, :3, :3], pos)
+        + world[:, None, None, :3, 3]
+    )  # (VM, 64, 3verts, 3)
+    e1w = wpos_v[..., 1, :] - wpos_v[..., 0, :]
+    e2w = wpos_v[..., 2, :] - wpos_v[..., 0, :]
+    duv1 = uv_v[..., 1, :] - uv_v[..., 0, :]
+    duv2 = uv_v[..., 2, :] - uv_v[..., 0, :]
+    detuv = duv1[..., 0] * duv2[..., 1] - duv2[..., 0] * duv1[..., 1]
+    t_raw = e1w * duv2[..., 1:2] - e2w * duv1[..., 1:2]  # ∝ detuv · T
+    b_raw = e2w * duv1[..., 0:1] - e1w * duv2[..., 0:1]  # ∝ detuv · B
+    sgn = jnp.where(detuv < 0.0, -1.0, 1.0)[..., None]
+    t_len = jnp.linalg.norm(t_raw, axis=-1, keepdims=True)
+    t_hat = sgn * t_raw / jnp.maximum(t_len, 1e-20)
+    ng = jnp.cross(e1w, e2w)  # geometric normal (world), handedness referee
+    hand = jnp.sum(jnp.cross(ng, t_hat) * (b_raw * sgn), axis=-1, keepdims=True)
+    w_hand = jnp.where(hand < 0.0, -1.0, 1.0)
+    tan_ok = (jnp.abs(detuv)[..., None] > 1e-12) & (t_len > 1e-9)
+    t_enc = jnp.where(tan_ok, t_hat * (0.75 + 0.25 * w_hand), 0.0)  # (VM,64,3)
+    t_enc_v = jnp.broadcast_to(t_enc[..., None, :], wnrm_v.shape)
+
+    attrs = jnp.concatenate([wnrm_v, uv_v, t_enc_v], axis=-1)  # (VM,64,3,8)
 
     # ---- homogeneous (Olano–Greer) triangle setup ---------------------------
     # No near-plane clipping: edge functions are built directly from the 2D
@@ -147,8 +178,8 @@ def setup_triangles(
         attrs[..., 0, :, None] * e0[..., None, :]
         + attrs[..., 1, :, None] * e1[..., None, :]
         + attrs[..., 2, :, None] * e2[..., None, :]
-    )  # (VM, 64, 5attr, 3coeff)
-    attr_planes = jnp.concatenate([ss[..., None, :], attr_planes], axis=-2)  # (VM,64,6,3)
+    )  # (VM, 64, 8attr, 3coeff)
+    attr_planes = jnp.concatenate([ss[..., None, :], attr_planes], axis=-2)  # (VM,64,9,3)
     attr_planes = jnp.where(tri_valid[..., None, None], attr_planes, 0.0)
 
     vm_slot = jax.lax.broadcasted_iota(jnp.int32, tri_valid.shape, 0)

@@ -428,9 +428,13 @@ def _compact_kernel(
                 # (resident mode only; large-capacity mode rebuilds per use)
                 # gathers AND scatters both ride this block now (scatter
                 # contracts its transpose via rhs-transposed dot_general)
+                # NOTE: must use ws_of() (band-shadowed SLAB), not module _ws()
+                # (module SLAB=256): with band>128 the tail-chunk windows differ
+                # by up to band-128 and the one-hot would mismatch the gather
+                # windows (silently wrong partner state — round-4 advisor fix).
                 for r in range(R if resident_m else 0):
                     for c in range(nc):
-                        ws = _ws(c, b)
+                        ws = ws_of(c)
                         off = c * BCHUNK - ws
                         dr = d_cur[r : r + 1, c * BCHUNK : (c + 1) * BCHUNK]
                         li = jax.lax.broadcasted_iota(jnp.int32, (1, BCHUNK), 1)

@@ -67,6 +67,10 @@ class RenderSpec:
     max_visible_meshlets: int = 4096
     meshlets_per_tile: int = 64
     use_pallas: bool = True
+    # raster tile edge (px): per-hit resolve cost scales with tile² (VPU-bound)
+    # while hit count grows only ~1.6× from 64→32 (sponza occupancy), so dense
+    # scenes run 32; 64 keeps the lower fixed cost for sparse scenes
+    tile: int = 64
 
 
 @dataclasses.dataclass
@@ -103,8 +107,12 @@ class RendererInstance:
         enable_gtao: bool | None = None,
         sun_intensity: Array | float = 10.0,
         first_clipmap_width: float = 10.0,
-        textured: bool = False,  # static: enables albedo texture modulation on
-        # the Pallas G-buffer path (the XLA decode path always samples textures)
+        textured: bool = False,  # static: enables texture sampling on the
+        # Pallas G-buffer path (the XLA decode path always samples textures)
+        texture_features: tuple = ("albedo", "normal", "mr", "emissive"),
+        # static: which texture kinds to sample on the Pallas path — pass only
+        # the kinds the scene's materials actually carry (runtime.py computes
+        # this from the material flag bits) so absent maps cost nothing
     ) -> dict:
         """Run the frame graph. Returns the resource dict (final image in "final",
         carry-over state under "carry" — feed it back as `prev` next frame)."""
@@ -128,8 +136,15 @@ class RendererInstance:
         # ---- Culling ------------------------------------------------------
         ctx = self._run_cbs(RenderStage.CULLING, "before", ctx)
         world = state.world
-        fov_rad = jnp.radians(60.0)  # proj scale for LOD error; camera-specific
-        proj_scale = h / (2.0 * jnp.tan(fov_rad / 2.0))
+        # derive the vertical FOV from the camera's ACTUAL projection matrix:
+        # perspective_reverse_z has proj[1,1] = 1/tan(fov/2) (render/camera.py),
+        # so LOD projected-error scaling and sky rays track any camera fov —
+        # a hardcoded 60° mis-scaled LOD error and bent sky/geometry agreement
+        # for the fov-65 sponza bench camera (round-4 VERDICT #7). Orthographic
+        # cameras (proj[3,2]==0) keep a neutral scale.
+        is_persp = jnp.abs(camera.projection[3, 2]) > 1e-8
+        inv_tan_half = jnp.where(is_persp, jnp.abs(camera.projection[1, 1]), 1.0)
+        proj_scale = h * inv_tan_half / 2.0
         vis, lod = cull_instances(
             gscene, world, camera.frustum_planes, camera.position, proj_scale,
             frustum_enabled=config.culling_frustum,
@@ -185,7 +200,8 @@ class RendererInstance:
             """One raster pass → (depth, vid, gbuffer-or-None)."""
             if use_gbuffer_raster:
                 d, v, gb = rasterize_gbuffer_pallas(
-                    cm_gb, attr_gb, tile_list, w, h, ml_near=ml_near
+                    cm_gb, attr_gb, tile_list, w, h, ml_near=ml_near_eo,
+                    tile=spec.tile,
                 )
                 return d, v, gb
             fn = (
@@ -201,12 +217,19 @@ class RendererInstance:
             jnp.where(setup["tri_valid"], jnp.max(setup["sxyz"][..., 2], axis=-1), -1.0),
             axis=-1,
         )
+        # raster early-out bound: suffix max of ml_near over the front-to-back
+        # slot order. Tile lists preserve slot order, so this upper-bounds every
+        # LATER meshlet's nearest reverse-Z — the kernel's "no later meshlet can
+        # win" exit is then exact even though ml_near itself is not monotone in
+        # the cull's conservative-distance sort key (round-4 advisor fix: a
+        # glancing floor sorted late could previously be skipped).
+        ml_near_eo = jnp.flip(jax.lax.cummax(jnp.flip(ml_near)))
 
         def masked_bin(visible_mask):
             masked = dict(setup)
             masked["ml_xmax"] = jnp.where(visible_mask, setup["ml_xmax"], -1e9)
             masked["ml_xmin"] = jnp.where(visible_mask, setup["ml_xmin"], 1e9)
-            from ..ops.raster3d import TILE as _RT
+            _RT = spec.tile if use_gbuffer_raster else 64  # fallback kernels are 64-px
             return bin_meshlets_to_tiles(masked, w, h, _RT, spec.meshlets_per_tile)
 
         use_occlusion = config.culling_occlusion and "hiz" in prev
@@ -274,38 +297,78 @@ class RendererInstance:
                 gb_img, vid, depth, jnp.linalg.inv(camera.view_projection)
             )
             if textured:
-                # albedo texture modulation for the Pallas path: the G-buffer
+                # material texture sampling for the Pallas path: the G-buffer
                 # raster interpolates material CONSTANTS in-kernel; texture
                 # detail multiplies in here at half res (gathers price per
                 # gathered row — PERF_NOTES.md — so full-res sampling would be
-                # ~10 ms at 1080p) then bilinearly upsamples. The reference
-                # samples in visbuffer_decode at full rate on HW TMUs; on this
-                # target textures are low-frequency relative to geometry and
-                # the half-rate trade is the TPU-shaped equivalent.
+                # ~10 ms/texture at 1080p) then bilinearly upsamples. The
+                # reference samples in visbuffer_decode at full rate on HW TMUs
+                # (`visbuffer_decode.slang:123-193`); on this target textures
+                # are low-frequency relative to geometry and the half-rate
+                # trade is the TPU-shaped equivalent. Every texture kind the
+                # reference samples rides here: albedo, normal (tangent-space
+                # perturbation), metallic-roughness (+shared-rect occlusion),
+                # emissive — each gated at trace time by `texture_features` so
+                # scenes without that map pay nothing.
                 from ..ops.sampling import (
-                    pack_albedo_tables,
                     pack_atlas_taps,
-                    sample_albedo_modulation,
+                    pack_material_tables,
+                    perturb_normal,
+                    sample_material_textures,
                 )
 
                 stride = 2
                 uv_h = _pds(gbuffer["uv"], stride)
                 vid_h = _pds(vid, stride)
-                vm_h = jnp.clip(vid_h // 256, 0, gscene.inst_material.shape[0] - 1)
+                # vid encodes per-VISIBLE-MESHLET slot (capacity vm_inst.shape[0])
+                # in its high bits — clamp against that capacity, not the
+                # instance count (round-4 advisor fix: clamping to n_instances-1
+                # made every pixel won by slot >= n_instances sample the wrong
+                # material's UV transform / atlas rect).
+                vm_h = jnp.clip(vid_h // 256, 0, vm_inst.shape[0] - 1)
                 # fold material fields through the meshlet table host-side-free:
-                # (VM, 16) rows indexed by the pixel's winning meshlet — ONE
-                # per-pixel row gather instead of mat-id + 5 field gathers
-                vm_rows = pack_albedo_tables(materials)[
+                # (VM, 32) rows indexed by the pixel's winning meshlet — ONE
+                # per-pixel row gather resolves every texture's rect + flags
+                vm_rows = pack_material_tables(materials)[
                     gscene.inst_material[vm_inst]
                 ]
                 mat_rows = vm_rows[vm_h]
-                mod = sample_albedo_modulation(
-                    mat_rows, pack_atlas_taps(atlas), atlas.shape[0], uv_h
+                tex = sample_material_textures(
+                    mat_rows, pack_atlas_taps(atlas), atlas.shape[0], uv_h,
+                    features=texture_features,
                 )
-                mod = jnp.where((vid_h >= 0)[..., None], mod, 1.0)
-                mod_full = jax.image.resize(mod, (h, w, 3), method="linear")
+                valid_h = (vid_h >= 0)[..., None]
+
+                def up(x, c):
+                    return jax.image.resize(
+                        jnp.where(valid_h, x, 1.0), (h, w, c), method="linear"
+                    )
+
                 gbuffer = dict(gbuffer)
-                gbuffer["albedo"] = gbuffer["albedo"] * mod_full
+                if "albedo" in texture_features:
+                    gbuffer["albedo"] = gbuffer["albedo"] * up(tex["albedo_rgb"], 3)
+                if "mr" in texture_features:
+                    mrf = up(tex["mr"], 2)
+                    gbuffer["metallic"] = gbuffer["metallic"] * mrf[..., 0]
+                    gbuffer["roughness"] = gbuffer["roughness"] * mrf[..., 1]
+                    gbuffer["occlusion"] = (
+                        gbuffer["occlusion"] * up(tex["occlusion"], 1)[..., 0]
+                    )
+                if "emissive" in texture_features:
+                    gbuffer["emissive"] = gbuffer["emissive"] * up(tex["emissive_rgb"], 3)
+                if "normal" in texture_features:
+                    # tangent-space normal sampled at half res, perturbation at
+                    # FULL res against the full-res interpolated frame (the
+                    # frame is geometry-rate; only the sampled detail is half)
+                    nts = jnp.where(
+                        valid_h, tex["normal_ts"], jnp.array([0.0, 0.0, 1.0])
+                    )
+                    nts_full = jax.image.resize(nts, (h, w, 3), method="linear")
+                    gbuffer["normal"] = jnp.where(
+                        gbuffer["hit"][..., None],
+                        perturb_normal(gbuffer["normal"], gbuffer["tangent"], nts_full),
+                        gbuffer["normal"],
+                    )
         else:
             gbuffer = decode_visbuffer(
                 vid, setup, vm_inst, gscene, world, materials, atlas, width=w, height=h
@@ -363,7 +426,7 @@ class RendererInstance:
             # per-pixel view rays for the background
             xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
             ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0 - 1.0
-            tan_half = jnp.tan(fov_rad / 2.0)
+            tan_half = 1.0 / inv_tan_half  # camera's true fov (see proj_scale)
             aspect = w / h
             dirs = (
                 camera.forward[None, None, :]

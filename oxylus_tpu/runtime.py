@@ -151,12 +151,17 @@ class SceneRunner:
         self._render3d_jit = None
         self._full3d_jit = None
         self.bindings = bindings or default_bindings(scene.spec.padded_entities())
-        # static texturing flag for the Pallas G-buffer path: scenes whose bound
-        # material table carries no albedo textures skip the modulation pass
-        # entirely (FLAG_HAS_ALBEDO bit — assets/material.py)
-        self._textured = bool(
-            np.any(np.asarray(self.bindings.materials.flags) & 1)
-        )
+        # static texturing features for the Pallas G-buffer path: each texture
+        # kind's per-pixel gather is traced ONLY when some bound material
+        # carries it (flag bits — assets/material.py), so untextured scenes pay
+        # nothing and e.g. normal-map-free scenes skip that gather + perturb
+        fl = np.asarray(self.bindings.materials.flags)
+        feats = []
+        for name, bit in (("albedo", 1), ("normal", 2), ("emissive", 4), ("mr", 8)):
+            if np.any(fl & bit):
+                feats.append(name)
+        self._texture_features = tuple(feats)
+        self._textured = bool(feats)
 
     # ------------------------------------------------------------------ camera
     def _resolve_camera_idx(self) -> int:
@@ -385,6 +390,7 @@ class SceneRunner:
                                     atmosphere=self.atmosphere,
                                     enable_shadows=self.enable_shadows,
                                     textured=self._textured,
+                                    texture_features=self._texture_features,
                                 )
                                 return {"final": ctx["final"], "carry": ctx.get("carry", {})}
 
@@ -533,6 +539,7 @@ class SceneRunner:
                     atmosphere=self.atmosphere,
                     enable_shadows=self.enable_shadows,
                     textured=self._textured,
+                    texture_features=self._texture_features,
                 )
                 return state, ps, ctx["final"], ctx.get("carry", {})
 

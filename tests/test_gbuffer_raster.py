@@ -109,3 +109,46 @@ def test_gbuffer_matches_decode(scene):
     np.testing.assert_allclose(
         np.asarray(got["roughness"])[hit], np.asarray(want["roughness"])[hit], atol=5e-3
     )
+
+
+def test_gbuffer_tile32_matches_oracle(scene):
+    """tile=32 variant of the G-buffer raster (static `tile` arg, round 4):
+    binning and raster at 32-px tiles must reproduce the reference raster's
+    visbuffer exactly and the decode oracle's attributes within the bf16
+    tolerances — the per-pixel math is tile-size-invariant (tile-local hi/lo
+    coefficient splits change rounding by < 2^-16)."""
+    gscene, world, setup, vm_inst, _tl64, cam = scene
+    mats = empty_gpu_materials(4)
+    atlas = jnp.zeros((16, 16, 4), jnp.uint8)
+    tile_list32, _ = bin_meshlets_to_tiles(setup, W, H, 32, 16)
+
+    mat_idx = gscene.inst_material[vm_inst]
+    mat_consts = jnp.concatenate(
+        [
+            mats.albedo_color[mat_idx][:, :3],
+            mats.metallic_factor[mat_idx][:, None],
+            mats.roughness_factor[mat_idx][:, None],
+            mats.emissive_color[mat_idx],
+        ],
+        axis=1,
+    )
+    cm_gb, attr_gb = pack_gbuffer_coeff_matrix(
+        setup["coeffs"], setup["attr_planes"], setup["tri_valid"], mat_consts
+    )
+    depth, vid, gb = rasterize_gbuffer_pallas(
+        cm_gb, attr_gb, tile_list32, W, H, interpret=True, tile=32
+    )
+    got = gbuffer_from_raster(gb, vid, depth, jnp.linalg.inv(cam.view_projection))
+
+    cm = pack_coeff_matrix(setup["coeffs"], setup["tri_valid"])
+    d_ref, v_ref = rasterize_reference(cm, _tl64, W, H)
+    np.testing.assert_array_equal(np.asarray(vid), np.asarray(v_ref))
+    want = decode_visbuffer(
+        v_ref, setup, vm_inst, gscene, world, mats, atlas, width=W, height=H
+    )
+    hit = np.asarray(got["hit"])
+    assert hit.mean() > 0.05
+    for key, tol in (("world_pos", 5e-2), ("normal", 5e-2), ("uv", 5e-2)):
+        a = np.asarray(got[key])[hit]
+        b = np.asarray(want[key])[hit]
+        assert np.abs(a - b).max() < tol, f"{key} max err {np.abs(a - b).max()}"

@@ -37,7 +37,7 @@ DATA = Path(__file__).parent / "data"
 REGEN = os.environ.get("OX_REGEN_GOLDENS") == "1"
 
 
-def _world():
+def _world(fov_deg=60.0):
     s = Scene("golden3d", spec=SceneSpec(max_entities=32))
     ground = s.create_entity("ground")
     ground.add("TransformComponent", position=(0.0, -1.0, 0.0))
@@ -54,12 +54,12 @@ def _world():
         [baked_cube, baked_plane], [(0, cube.index, 0), (1, ground.index, 0)],
         max_instances=4,
     )
-    cam = look_down_z_camera(aspect=W / H, pos=(0.0, 1.0, 4.0))
+    cam = look_down_z_camera(aspect=W / H, pos=(0.0, 1.0, 4.0), fov_deg=fov_deg)
     return state, gscene, cam
 
 
-def _render(name, **kw):
-    state, gscene, cam = _world()
+def _render(name, fov_deg=60.0, **kw):
+    state, gscene, cam = _world(fov_deg)
     inst = RendererInstance(
         RenderSpec(width=W, height=H, max_visible_meshlets=64, use_pallas=False)
     )
@@ -114,6 +114,22 @@ def test_golden_full():
         "full", atmosphere=AtmosphereParams(), enable_shadows=True,
         config=dict(ssr_enable=True),
     ))
+
+
+def test_golden_sky_fov65():
+    """A non-60° camera must render sky and geometry consistently: the frame
+    graph derives the LOD projection scale and the sky-ray fan from the
+    camera's ACTUAL projection matrix (round-4 fix: both used a hardcoded 60°,
+    so a fov-65 camera drew geometry at fov 65 but sky at fov 60)."""
+    _check("sky65", _render("sky65", fov_deg=65.0, atmosphere=AtmosphereParams()))
+
+
+def test_fov_changes_sky_rays():
+    """fov-65 and fov-60 frames must actually differ (the sky fan widens) —
+    guards against the proj-scale derivation silently collapsing to a const."""
+    a = _render("_f60", atmosphere=AtmosphereParams())
+    b = _render("_f65", fov_deg=65.0, atmosphere=AtmosphereParams())
+    assert psnr(a, b) < 45.0, "fov change produced a (near-)identical frame"
 
 
 def test_golden_detects_lighting_change():

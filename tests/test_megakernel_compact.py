@@ -112,3 +112,16 @@ def test_compact_band_and_rslots_params():
     assert float(d0) == float(d1) == 0.0
     np.testing.assert_allclose(np.asarray(wide.pos), np.asarray(base.pos), atol=1e-5)
     np.testing.assert_allclose(np.asarray(wide.linvel), np.asarray(base.linvel), atol=1e-4)
+
+    # band=256 with resident_m=True — the flagship bench config (bench.py picks
+    # band>=256 at b=1024 where resident_m defaults True). Guards the round-4
+    # fix: the resident one-hot M build must window with the band-shadowed SLAB
+    # (ws_of), not the module default, or tail-chunk gathers hit shifted bodies.
+    wide_res, d2 = megakernel_substeps_compact(
+        ps, params, DT, n_substeps=8, iterations=3, warm=0.7, geom_every=2,
+        interpret=True, with_overflow=True, band=256, r_slots=8,
+        resident_m=True, n_planes=n_planes,
+    )
+    assert float(d2) == 0.0
+    np.testing.assert_allclose(np.asarray(wide_res.pos), np.asarray(base.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wide_res.linvel), np.asarray(base.linvel), atol=1e-4)

@@ -48,13 +48,13 @@ def cube_mesh(size=1.0):
     )
 
 
-def look_down_z_camera(aspect=1.0, pos=(0.0, 0.0, 3.0)):
+def look_down_z_camera(aspect=1.0, pos=(0.0, 0.0, 3.0), fov_deg=60.0):
     return camera_matrices(
         position=jnp.asarray(pos, jnp.float32),
         yaw=jnp.float32(-np.pi / 2),  # forward = -z
         pitch=jnp.float32(0.0),
         tilt=jnp.float32(0.0),
-        fov_deg=jnp.float32(60.0),
+        fov_deg=jnp.float32(fov_deg),
         near=jnp.float32(0.1),
         far=jnp.float32(100.0),
         zoom=jnp.float32(1.0),
