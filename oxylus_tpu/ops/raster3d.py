@@ -265,9 +265,13 @@ def rasterize(coeff_mat: Array, tile_list: Array, width: int, height: int):
 # G-buffer raster: attributes interpolated in-kernel (no decode gather pass)
 # ---------------------------------------------------------------------------
 
-N_GB_PLANES = 6    # e0 e1 e2 zn wd ss — phase-A (depth resolve) planes
+N_GB_PLANES = 5    # e0 e1 e2 zn wd — phase-A (depth resolve) planes; ss (Σeᵢ)
+                   # moved to phase B (round 4): the resolve is VPU-throughput
+                   # bound on its (planes·R, PIX) intermediate, and ss is only
+                   # needed once per pixel for the winner
 N_GB_ATTR = 16     # per-pixel G-buffer lanes emitted by the kernel
-ATTR_W = 48        # phase-B lanes per slot: [a(16) | b(16) | c(16)] coefficient groups
+ATTR_W = 64        # phase-B lanes per slot: [a(16) | b(16) | c(16) | consts(16)]
+                   # groups; lane 8 of each coefficient group carries the ss plane
 
 
 def pack_gbuffer_coeff_matrix(
@@ -278,36 +282,46 @@ def pack_gbuffer_coeff_matrix(
 ) -> tuple[Array, Array]:
     """Two-phase coefficient pack for the G-buffer raster kernel.
 
-    Returns (cm6, attrB):
-      - cm6 (VM, 3, 6R): plane-major [e0 | e1 | e2 | zn | wd | ss] matmul matrix
-        for the phase-A depth/winner resolve (ss = Σeᵢ is resolved alongside the
-        depth so the perspective division needs no phase-B work).
-      - attrB (VM·R, 48): per-slot attribute-plane coefficients for the phase-B
-        winner gather, lane groups [a₀…a₇ 0×8 | b₀…b₇ 0×8 | c₀…c₇ consts×8] —
+    Returns (cm5, attrB):
+      - cm5 (VM, 3, 5R): plane-major [e0 | e1 | e2 | zn | wd] matmul matrix for
+        the phase-A depth/winner resolve — identical layout to pack_coeff_matrix.
+      - attrB (VM·R, 128): per-slot attribute-plane coefficients for the phase-B
+        winner gather, four 16-lane groups
+        [a₀…a₇ ssₐ 0×7 | b₀…b₇ ss_b 0×7 | c₀…c₇ ss_c 0×7 | consts×8 0×8]:
         after the one-hot slot matmul, attr = a·px + b·py + c evaluates the 8
-        perspective planes (wnrm xyz, uv, tangent xyz — handedness in |T|) and
-        broadcasts the 8 per-meshlet material constants, replacing the
-        reference's per-pixel visbuffer_decode.slang material fetch.
+        perspective planes (wnrm xyz, uv, tangent xyz — handedness in |T|) PLUS
+        the ss = Σeᵢ plane in lane 8 (the perspective divisor — phase A no
+        longer resolves it), and the fourth group broadcasts the 8 per-meshlet
+        material constants, replacing the reference's per-pixel
+        visbuffer_decode.slang material fetch.
 
     Splitting depth resolve from attribute evaluation is the TPU-shaped analog of
-    the reference's visbuffer encode/decode split: the per-hit matmul shrinks 22→6
-    planes (the dominant VMEM traffic), and attributes are evaluated once per
-    pixel for the *winning* slot only instead of for all R slots per hit."""
+    the reference's visbuffer encode/decode split: the per-hit resolve is
+    VPU-throughput-bound on its (planes·R, PIX) intermediate (22→6→5 planes),
+    and attributes are evaluated once per pixel for the *winning* slot only
+    instead of for all R slots per hit."""
     vm, r = coeffs.shape[0], coeffs.shape[1]
-    allp = jnp.concatenate([coeffs, attr_planes[:, :, 0:1, :]], axis=2)  # (VM, R, 6, 3)
-    allp = jnp.moveaxis(allp, 3, 1)       # (VM, 3, R, 6)
-    allp = jnp.swapaxes(allp, 2, 3)       # (VM, 3, 6, R)
-    cm6 = allp.reshape(vm, 3, N_GB_PLANES * r)
+    cm5 = pack_coeff_matrix(coeffs, tri_valid)
 
     ap = attr_planes[:, :, 1:9, :]        # (VM, R, 8, 3) perspective attr planes
+    ssp = attr_planes[:, :, 0, :]         # (VM, R, 3) ss plane (a, b, c)
+    z7 = jnp.zeros((vm, r, 7), ap.dtype)
     z8 = jnp.zeros((vm, r, 8), ap.dtype)
     consts = jnp.broadcast_to(mat_consts[:, None, :], (vm, r, 8)).astype(ap.dtype)
     attrB = jnp.concatenate(
-        [ap[..., 0], z8, ap[..., 1], z8, ap[..., 2], consts], axis=-1
-    )  # (VM, R, 48): 16-lane groups [a | b | c+consts]
-    # lane-pad to 128: Mosaic DMA slices of HBM arrays need 128-aligned lane widths
-    attrB = jnp.pad(attrB, ((0, 0), (0, 0), (0, 128 - ATTR_W)))
-    return cm6, attrB.reshape(vm * r, 128)
+        [
+            ap[..., 0], ssp[..., 0:1], z7,
+            ap[..., 1], ssp[..., 1:2], z7,
+            ap[..., 2], ssp[..., 2:3], z7,
+            consts, z8,
+        ],
+        axis=-1,
+    )  # (VM, R, 64): 16-lane groups [a+ssₐ | b+ss_b | c+ss_c | consts]
+    # no lane padding here: the resident path consumes 64 lanes directly
+    # (pack_attrB_hilo emits the [hi64|lo64] 128-lane matrix) and only the HBM
+    # fallback pads to Mosaic's 128-lane DMA granularity, so the common path
+    # never materializes 33 MB of zero lanes
+    return cm5, attrB.reshape(vm * r, ATTR_W)
 
 
 # VMEM budget for the resident-attribute raster variant: the bf16 hi/lo packed
@@ -319,16 +333,14 @@ def pack_gbuffer_coeff_matrix(
 VMEM_BUDGET_BYTES = 108 * 1024 * 1024
 
 
-def pack_attrB_hilo(attrB128: Array) -> Array:
-    """(VM·R, 128) f32 [hi48-source | pad] → (VM·R, 128) bf16
-    [hi(48) | 0×16 | lo(48) | 0×16]: one resident bf16 matrix whose single
-    (R,128)ᵀ·(R,PIX) matmul yields both hi and lo one-hot selections
-    (rows 0:48 and 64:112 of the result), exact to ~2^-16 relative."""
-    a = attrB128[:, :ATTR_W]
+def pack_attrB_hilo(attrB: Array) -> Array:
+    """(VM·R, 64) f32 → (VM·R, 128) bf16 [hi(64) | lo(64)]: one resident bf16
+    matrix whose single (R,128)ᵀ·(R,PIX) matmul yields both hi and lo one-hot
+    selections (rows 0:64 and 64:128 of the result), exact to ~2^-16 relative."""
+    a = attrB[:, :ATTR_W]
     hi = a.astype(jnp.bfloat16)
     lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    z16 = jnp.zeros((a.shape[0], 64 - ATTR_W), jnp.bfloat16)
-    return jnp.concatenate([hi, z16, lo, z16], axis=-1)
+    return jnp.concatenate([hi, lo], axis=-1)
 
 
 def _make_gbuffer_kernel(tile: int):
@@ -402,55 +414,53 @@ def _gbuffer_kernel_body(
     # every mostly-empty tile costs far more)
     jax.lax.cond(n > 0, lambda: bfetch(0, 0), lambda: None)
 
+    # winner packing — see _gbuffer_kernel_resident_body
+    slot_code = 127 - slot_iota
+
     def cond_a(carry):
-        k, depth, vid, ssb = carry
+        k, key, vid = carry
         # coverage early-out (front-to-back lists): stop once no pixel can be
         # beaten by the next (hence any later) meshlet's nearest z. The near
-        # bound rides the SMEM tile-list layout (one f32 per (tile, k) entry):
-        # a per-MESHLET SMEM table costs 512 B/row and blew the 1 MB SMEM at
-        # the sponza caps (vm=2048 -> 1.0 MB; BENCH_r03 post-mortem).
-        return (k < n) & (jnp.min(depth) < near_ref[row, jnp.minimum(k, k_cap - 1)])
+        # bound rides the SMEM tile-list layout (one entry per (tile, k)),
+        # shipped as int32 BIT PATTERNS of the f32 near values: positive IEEE
+        # floats order identically as ints, and Mosaic rejects scalar bitcast
+        # in-kernel. A per-MESHLET SMEM table costs 512 B/row and blew the
+        # 1 MB SMEM at the sponza caps (vm=2048 -> 1.0 MB; BENCH_r03).
+        dmin = jnp.min(key) & ~jnp.int32(127)
+        return (k < n) & (dmin < near_ref[row, jnp.minimum(k, k_cap - 1)])
 
     def loop_a(carry):
-        k, depth, vid, ssb = carry
+        k, key, vid = carry
         vm = tile_list_ref[row, k]
-        blk = _local_hilo16(cm6_vmem[pl.ds(vm * 8, 8), :], x0, y0)  # (16, 6R) bf16
+        blk = _local_hilo16(cm6_vmem[pl.ds(vm * 8, 8), :], x0, y0)  # (16, 5R) bf16
         e = jax.lax.dot_general(
             blk, pmat16,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (6R, PIX)
+        )  # (5R, PIX)
         e0 = e[0:n_slots, :]
         e1 = e[n_slots : 2 * n_slots, :]
         e2 = e[2 * n_slots : 3 * n_slots, :]
         zn = e[3 * n_slots : 4 * n_slots, :]
-        wd = e[4 * n_slots : 5 * n_slots, :]
-        ss = e[5 * n_slots :, :]
-        cover = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (wd > 0) & (zn >= 0) & (zn <= wd)
+        wd = e[4 * n_slots :, :]
+        m = jnp.minimum(jnp.minimum(e0, e1), e2)
+        cover = (m >= 0) & (zn >= 0) & (zn <= wd) & (wd > 0)
         z = zn / jnp.where(wd > 0, wd, 1.0)
-        zm = jnp.where(cover, z, -1.0)
-        best = jnp.max(zm, axis=0, keepdims=True)
-        arg = jnp.min(
-            jnp.where(zm >= best, slot_iota, jnp.int32(1 << 20)), axis=0, keepdims=True
-        )
-        ssw = jnp.sum(jnp.where(slot_iota == arg, ss, 0.0), axis=0, keepdims=True)
-        better = best > depth
-        pid = vm * 256 + arg
-        return (
-            k + 1,
-            jnp.where(better, best, depth),
-            jnp.where(better, pid, vid),
-            jnp.where(better, ssw, ssb),
-        )
+        zi = (jax.lax.bitcast_convert_type(z, jnp.int32) & ~jnp.int32(127)) | slot_code
+        keyk = jnp.max(jnp.where(cover, zi, -1), axis=0, keepdims=True)
+        better = keyk > key
+        vid = jnp.where(better, vm * 256 + (127 - (keyk & 127)), vid)
+        return k + 1, jnp.where(better, keyk, key), vid
 
-    depth0 = jnp.zeros((1, PIX), jnp.float32)
+    key0 = jnp.zeros((1, PIX), jnp.int32)
     vid0 = jnp.full((1, PIX), -1, jnp.int32)
-    ss0 = jnp.zeros((1, PIX), jnp.float32)
-    kstop, depth, vid, ssb = jax.lax.while_loop(
-        cond_a, loop_a, (jnp.int32(0), depth0, vid0, ss0)
+    kstop, key, vid = jax.lax.while_loop(
+        cond_a, loop_a, (jnp.int32(0), key0, vid0)
     )
+    depth = jax.lax.bitcast_convert_type(key & ~jnp.int32(127), jnp.float32)
 
-    def loop_b(k, gb):
+    def loop_b(k, carry):
+        pa, pc = carry
         par = k % 2
         # prefetch k+1 into the other buffer before waiting on k (clamped: the
         # last iteration re-fetches its own block, which is then drained below)
@@ -460,10 +470,10 @@ def _gbuffer_kernel_body(
             bbuf.at[pl.ds(par * n_slots, n_slots), :],
             bsem.at[par],
         ).wait()
-        blk = bbuf[pl.ds(par * n_slots, n_slots), :][:, 0:ATTR_W]  # (R, 48)
+        blk = bbuf[pl.ds(par * n_slots, n_slots), :][:, 0:ATTR_W]  # (R, 64)
         vm = tile_list_ref[row, k]
-        key = vid - vm * 256  # (1, PIX): winner slot if this meshlet won, else ∉[0,R)
-        onehot = (slot_iota == key).astype(jnp.float32)  # (R, PIX)
+        kye = vid - vm * 256  # (1, PIX): winner slot if this meshlet won, else ∉[0,R)
+        onehot = (slot_iota == kye).astype(jnp.float32)  # (R, PIX)
         # one-hot selection matmul in two bf16 passes (Mosaic has no Precision.HIGH):
         # hi keeps the top 8 mantissa bits, lo the next 8 — onehot is exact, so the
         # sum reconstructs the selected coefficient to ~2^-16 relative
@@ -474,16 +484,21 @@ def _gbuffer_kernel_body(
             hi, onehot, dimension_numbers=dn, preferred_element_type=jnp.float32
         ) + jax.lax.dot_general(
             lo, onehot, dimension_numbers=dn, preferred_element_type=jnp.float32
-        )  # (48, PIX): winning slot's coefficients, 0 where this meshlet lost
+        )  # (64, PIX): winning slot's coefficients, 0 where this meshlet lost
         a = sel[0:16, :]
         b = sel[16:32, :]
         c = sel[32:48, :]
-        attrs = a * px + b * py + c  # (16, PIX)
-        mine = (key >= 0) & (key < n_slots)
-        return jnp.where(mine, attrs, gb)
+        cst = sel[48:64, :]
+        attrs = a * px + b * py + c  # lanes 0..7 persp planes, lane 8 = ss
+        mine = (kye >= 0) & (kye < n_slots)
+        return jnp.where(mine, attrs, pa), jnp.where(mine, cst, pc)
 
     # only the k that rasterized can have won pixels — skip the tail
-    gb = jax.lax.fori_loop(0, kstop, loop_b, jnp.zeros((N_GB_ATTR, PIX), jnp.float32))
+    pa, pc = jax.lax.fori_loop(
+        0, kstop, loop_b,
+        (jnp.zeros((N_GB_ATTR, PIX), jnp.float32),
+         jnp.zeros((N_GB_ATTR, PIX), jnp.float32)),
+    )
     # drain the one outstanding prefetch (issued for slot kstop, parity
     # kstop % 2 — also covers the early-out kstop==0 case where only the
     # pre-issued k=0 fetch is in flight); nothing was fetched for empty tiles
@@ -497,6 +512,7 @@ def _gbuffer_kernel_body(
         lambda: None,
     )
 
+    ssb = pa[8:9, :]  # winner's Σeᵢ, evaluated as attribute lane 8
     rw = 1.0 / jnp.where(jnp.abs(ssb) > 1e-12, ssb, 1.0)
     # row writes into the 8-tile output blocks, keeping the kernel's (1, PIX)
     # lanes-major layout — the old per-tile transposes to (PIX, 1/16) columns
@@ -507,8 +523,8 @@ def _gbuffer_kernel_body(
     # bf16 G-buffer: normals/uv/material factors tolerate 8-bit mantissas and
     # the (T*16, PIX) untile chain halves its traffic; world position is
     # reconstructed from f32 depth downstream, never stored
-    gb_out[pl.ds(row * N_GB_ATTR, 8), :] = (gb[0:8, :] * rw).astype(jnp.bfloat16)
-    gb_out[pl.ds(row * N_GB_ATTR + 8, 8), :] = gb[8:16, :].astype(jnp.bfloat16)
+    gb_out[pl.ds(row * N_GB_ATTR, 8), :] = (pa[0:8, :] * rw).astype(jnp.bfloat16)
+    gb_out[pl.ds(row * N_GB_ATTR + 8, 8), :] = pc[0:8, :].astype(jnp.bfloat16)
 
 
 def _make_gbuffer_kernel_resident(tile: int):
@@ -559,82 +575,92 @@ def _gbuffer_kernel_resident_body(
     py = y0 + yl
 
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (n_slots, PIX), 0)
+    # winner packing (round 4): reverse-Z depth and slot share ONE i32 key —
+    # positive IEEE f32s compare identically as ints, so clearing the low 7
+    # mantissa bits and OR-ing (127 - slot) makes a single max-reduce resolve
+    # depth AND winner slot together (ties → lower slot, matching the oracle's
+    # first-max argmax). This removes the argmin pass and the ss-select pass,
+    # the two largest VPU costs of the old resolve after the cover test.
+    slot_code = 127 - slot_iota
     n = cnt_ref[row, 0]
 
     def cond_a(carry):
-        k, depth, vid, ssb = carry
+        k, key, vid = carry
         # `depth > near` anywhere ⇔ the meshlet could still win a pixel
         # (ties lose: the resolve keeps the earlier = nearer winner).
-        # near rides the SMEM tile-list layout — see _gbuffer_kernel.
-        return (k < n) & (jnp.min(depth) < near_ref[row, jnp.minimum(k, k_cap - 1)])
+        # near rides the SMEM tile-list layout — see _gbuffer_kernel — as the
+        # int32 BIT PATTERNS of the f32 near values: positive IEEE floats
+        # order identically as ints, and keys are depth-major (slot bits
+        # minor), so the all-int compare is the float compare to within one
+        # 2^-16 quantum (Mosaic rejects scalar bitcast in-kernel).
+        dmin = jnp.min(key) & ~jnp.int32(127)
+        return (k < n) & (dmin < near_ref[row, jnp.minimum(k, k_cap - 1)])
 
     def loop_a(carry):
-        k, depth, vid, ssb = carry
+        k, key, vid = carry
         vm = tile_list_ref[row, k]
-        blk = _local_hilo16(cm6_vmem[pl.ds(vm * 8, 8), :], x0, y0)  # (16, 6R) bf16
+        blk = _local_hilo16(cm6_vmem[pl.ds(vm * 8, 8), :], x0, y0)  # (16, 5R) bf16
         e = jax.lax.dot_general(
             blk, pmat16,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (6R, PIX)
+        )  # (5R, PIX)
         e0 = e[0:n_slots, :]
         e1 = e[n_slots : 2 * n_slots, :]
         e2 = e[2 * n_slots : 3 * n_slots, :]
         zn = e[3 * n_slots : 4 * n_slots, :]
-        wd = e[4 * n_slots : 5 * n_slots, :]
-        ss = e[5 * n_slots :, :]
-        cover = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (wd > 0) & (zn >= 0) & (zn <= wd)
+        wd = e[4 * n_slots :, :]
+        m = jnp.minimum(jnp.minimum(e0, e1), e2)
+        cover = (m >= 0) & (zn >= 0) & (zn <= wd) & (wd > 0)
         z = zn / jnp.where(wd > 0, wd, 1.0)
-        zm = jnp.where(cover, z, -1.0)
-        best = jnp.max(zm, axis=0, keepdims=True)
-        arg = jnp.min(
-            jnp.where(zm >= best, slot_iota, jnp.int32(1 << 20)), axis=0, keepdims=True
-        )
-        ssw = jnp.sum(jnp.where(slot_iota == arg, ss, 0.0), axis=0, keepdims=True)
-        better = best > depth
-        pid = vm * 256 + arg
-        return (
-            k + 1,
-            jnp.where(better, best, depth),
-            jnp.where(better, pid, vid),
-            jnp.where(better, ssw, ssb),
-        )
+        zi = (jax.lax.bitcast_convert_type(z, jnp.int32) & ~jnp.int32(127)) | slot_code
+        keyk = jnp.max(jnp.where(cover, zi, -1), axis=0, keepdims=True)
+        better = keyk > key
+        vid = jnp.where(better, vm * 256 + (127 - (keyk & 127)), vid)
+        return k + 1, jnp.where(better, keyk, key), vid
 
-    depth0 = jnp.zeros((1, PIX), jnp.float32)
+    key0 = jnp.zeros((1, PIX), jnp.int32)
     vid0 = jnp.full((1, PIX), -1, jnp.int32)
-    ss0 = jnp.zeros((1, PIX), jnp.float32)
-    kstop, depth, vid, ssb = jax.lax.while_loop(
-        cond_a, loop_a, (jnp.int32(0), depth0, vid0, ss0)
+    kstop, key, vid = jax.lax.while_loop(
+        cond_a, loop_a, (jnp.int32(0), key0, vid0)
     )
+    depth = jax.lax.bitcast_convert_type(key & ~jnp.int32(127), jnp.float32)
 
-    def loop_b(k, gb):
+    def loop_b(k, carry):
+        pa, pc = carry
         vm = tile_list_ref[row, k]
         blk = attr_vmem[pl.ds(vm * n_slots, n_slots), :]  # (R, 128) bf16 resident
-        key = vid - vm * 256
-        onehot = (slot_iota == key).astype(jnp.bfloat16)
+        kye = vid - vm * 256
+        onehot = (slot_iota == kye).astype(jnp.bfloat16)
         sel = jax.lax.dot_general(
             blk, onehot,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (128, PIX): rows 0:48 hi selection, 64:112 lo selection
+        )  # (128, PIX): rows 0:64 hi selection, 64:128 lo selection
         a = sel[0:16, :] + sel[64:80, :]
         b = sel[16:32, :] + sel[80:96, :]
         c = sel[32:48, :] + sel[96:112, :]
-        attrs = a * px + b * py + c
-        mine = (key >= 0) & (key < n_slots)
-        return jnp.where(mine, attrs, gb)
+        cst = sel[48:64, :] + sel[112:128, :]
+        attrs = a * px + b * py + c  # lanes 0..7 persp planes, lane 8 = ss
+        mine = (kye >= 0) & (kye < n_slots)
+        return jnp.where(mine, attrs, pa), jnp.where(mine, cst, pc)
 
     # only the k that rasterized can have won pixels — skip the tail
-    gb = jax.lax.fori_loop(0, kstop, loop_b, jnp.zeros((N_GB_ATTR, PIX), jnp.float32))
+    pa, pc = jax.lax.fori_loop(
+        0, kstop, loop_b,
+        (jnp.zeros((N_GB_ATTR, PIX), jnp.float32),
+         jnp.zeros((N_GB_ATTR, PIX), jnp.float32)),
+    )
 
+    ssb = pa[8:9, :]  # winner's Σeᵢ, evaluated as attribute lane 8
     rw = 1.0 / jnp.where(jnp.abs(ssb) > 1e-12, ssb, 1.0)
     depth_out[pl.ds(row, 1), :] = depth
     vid_out[pl.ds(row, 1), :] = vid
     # bf16 G-buffer: normals/uv/material factors tolerate 8-bit mantissas and
     # the (T*16, PIX) untile chain halves its traffic; world position is
     # reconstructed from f32 depth downstream, never stored
-    gb_out[pl.ds(row * N_GB_ATTR, 8), :] = (gb[0:8, :] * rw).astype(jnp.bfloat16)
-    gb_out[pl.ds(row * N_GB_ATTR + 8, 8), :] = gb[8:16, :].astype(jnp.bfloat16)
+    gb_out[pl.ds(row * N_GB_ATTR, 8), :] = (pa[0:8, :] * rw).astype(jnp.bfloat16)
+    gb_out[pl.ds(row * N_GB_ATTR + 8, 8), :] = pc[0:8, :].astype(jnp.bfloat16)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "interpret", "tile"))
@@ -667,11 +693,14 @@ def rasterize_gbuffer_pallas(
     # early-out near bound per (tile, k) entry, SAME blocked SMEM layout as the
     # tile list. A per-meshlet SMEM table costs 512 B/row in SMEM and exceeded
     # the chip's 1 MB SMEM at the sponza caps (vm=2048) — BENCH_r03 post-mortem.
-    tl_near = (
-        jnp.full(tile_list.shape, jnp.inf, jnp.float32)
+    # Shipped as int32 bit patterns (clamped non-negative): the kernels compare
+    # against the winner key entirely in int space (see cond_a).
+    tl_near_f = (
+        jnp.full(tile_list.shape, jnp.float32(jnp.finfo(jnp.float32).max))
         if ml_near is None
-        else ml_near.astype(jnp.float32)[tl_c]
+        else jnp.maximum(ml_near.astype(jnp.float32), 0.0)[tl_c]
     )
+    tl_near = jax.lax.bitcast_convert_type(tl_near_f, jnp.int32)
 
     def pad_rows(a, fill):
         if a.shape[0] % ROWG != 0:
@@ -699,7 +728,7 @@ def rasterize_gbuffer_pallas(
         pl.BlockSpec(memory_space=pltpu.VMEM),  # 6-plane matrix resident in VMEM
     ]
     args = (pad_rows(tl_c, 0), pad_rows(cnt, 0), jnp.array([tx], jnp.int32),
-            pad_rows(tl_near, 0.0), coeff_pad)
+            pad_rows(tl_near, 0), coeff_pad)
     # Honest VMEM budget (BENCH_r03 post-mortem: the old heuristic budgeted the
     # attribute matrix ALONE and picked "resident" at capacities whose total
     # working set did not fit). Everything resident must fit: the f32 coeff
@@ -708,11 +737,11 @@ def rasterize_gbuffer_pallas(
     # (6R, PIX) f32 + cover masks + phase-B one-hot/selection products).
     out_block_bytes = 2 * ROWG * PIX * (4 + 4 + N_GB_ATTR * 2)  # 2x buffered
     temp_bytes = (
-        6 * n_slots * PIX * 4      # e, phase A
+        5 * n_slots * PIX * 4      # e, phase A (5 planes; ss rides phase B)
         + 8 * n_slots * PIX        # ~8 single-byte masks/selects on e's shape
         + 2 * n_slots * PIX * 2    # phase-B one-hot (R, PIX) bf16 x2 live
         + 128 * PIX * 4            # phase-B sel (128, PIX) f32
-        + 3 * N_GB_ATTR * PIX * 4  # attrs/gb accumulators
+        + 4 * N_GB_ATTR * PIX * 4  # attrs/cst accumulators
         + (8 << 20)                # headroom: pmat16, carries, allocator slack
     )
     cm6_bytes = coeff_pad.size * 4
@@ -752,7 +781,9 @@ def rasterize_gbuffer_pallas(
                 vmem_limit_bytes=110 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(*args, attr_mat)
+            # lane-pad to 128 here only: Mosaic DMA slices of HBM arrays need
+            # 128-aligned lane widths (the resident path never pays this)
+        )(*args, jnp.pad(attr_mat, ((0, 0), (0, 128 - ATTR_W))))
 
     def untile(a):
         a = a[:n_tiles].reshape(ty, tx, TILE, TILE)
