@@ -257,6 +257,22 @@ def bench_frame_3d(width=1920, height=1080, frames=20, calls=2, n_objects=200):
     sun = s.create_entity("sun")
     sun.add("TransformComponent", rotation=(-0.383, 0.0, 0.0, 0.924))
     sun.add("LightComponent", type="Directional", intensity=4.0, color=(1.0, 0.95, 0.9))
+    # BASELINE config 3 names particles + a lights loop explicitly: point
+    # lights among the objects and smoke-style emitters in view
+    for k in range(8):
+        pl = s.create_entity(f"pt_{k}")
+        pl.add("TransformComponent", position=((k - 3.5) * 6.0, 2.0, (k % 3 - 1) * 8.0))
+        pl.add("LightComponent", type="Point", intensity=10.0, radius=8.0,
+               color=(1.0, 0.7, 0.4) if k % 2 else (0.4, 0.7, 1.0))
+    for k in range(3):
+        em = s.create_entity(f"em_{k}")
+        em.add("TransformComponent", position=((k - 1) * 8.0, 1.0, 8.0))
+        em.add(
+            "ParticleSystemComponent",
+            rate_over_time=120, start_lifetime=2.5,
+            start_velocity=(0.0, 1.5, 0.0), start_size=(0.5, 0.5, 0.5, 1.0),
+            start_color=(1.0, 0.8, 0.5, 0.35), gravity_modifier=0.0,
+        )
 
     rng = np.random.default_rng(11)
     side = int(np.ceil(np.sqrt(n_objects)))
@@ -498,15 +514,25 @@ def _build_sponza_runner(width=1920, height=1080, regen=False):
         pre_cam.frustum_planes, pre_cam.position, capacity=1 << 16)
     n_exp = int(jax.device_get(jnp.sum(pmv)))
     n_vis = int(jax.device_get(pcnt))
-    cap = 1 << max(12, int(np.ceil(np.log2(max(4 * n_exp, 1)))))
-    vm_cap = 1 << max(10, int(np.ceil(np.log2(max(4 * n_vis, 1)))))
+    # capacity headroom multiplier: compaction/binning cost scales with the CAP
+    # (pay-at-capacity is the TPU model), so margin is a real perf knob; the
+    # always-on overflow gates assert if a frame ever outgrows it
+    _cm = float(os.environ.get("OX_CAP_MULT", "4"))
+    cap = 1 << max(12, int(np.ceil(np.log2(max(_cm * n_exp, 1)))))
+    vm_cap = 1 << max(10, int(np.ceil(np.log2(max(_cm * n_vis, 1)))))
     print(f"sponza prepass: expanded={n_exp} visible_meshlets={n_vis} "
           f"-> caps mi={cap} vm={vm_cap}", file=sys.stderr)
+    # raster-shape knobs overridable for on-chip scans (scripts/scan_sponza.py)
+    _rg = int(os.environ.get("OX_RASTER_GROUP", "64"))
+    _tl = int(os.environ.get("OX_TILE", "64"))
+    _mpt = int(os.environ.get("OX_MPT", "64"))
     runner = SceneRunner(
         s, width=width, height=height, render_mode="3d", meshes=meshes,
         render_spec=RenderSpec(width=width, height=height,
                                max_meshlet_instances=cap,
-                               max_visible_meshlets=vm_cap),
+                               max_visible_meshlets=vm_cap,
+                               raster_group=_rg, tile=_tl,
+                               meshlets_per_tile=_mpt),
         atmosphere=AtmosphereParams(), enable_shadows=True,
         material_slots=material_slots,
         bindings=SpriteBatchBindings(

@@ -64,8 +64,15 @@ def rasterize_sprites(
     height: int,
     k_per_tile: int = 64,
     use_pallas: bool | None = None,
+    scene_depth: Array | None = None,
 ) -> tuple[Array, Array]:
-    """Returns (color (H, W, 4) f32 premultiplied-over result, visbuffer (H, W) i32)."""
+    """Returns (color (H, W, 4) f32 premultiplied-over result, visbuffer (H, W) i32).
+
+    `scene_depth` (H, W) f32 reverse-Z: when given, each sprite/billboard is
+    depth-TESTED (no write) against it — pixels where the record's NDC z is not
+    strictly nearer are dropped before blending. This is the Forward2D-over-3D
+    analog of the reference's alpha pass drawing into the scene depth buffer
+    with GreaterOrEqual test + write-off (`RendererInstance.cpp:945-1088`)."""
     s = world.shape[0]
     tx = (width + TILE - 1) // TILE
     ty = (height + TILE - 1) // TILE
@@ -166,7 +173,11 @@ def rasterize_sprites(
             tile_list = jnp.where(tile_list < MAX_VISIBLE, tile_list, -1)
 
         tiles = resample_texture_tiles(ps[:MAX_VISIBLE], atlas)
-        color, vis = blend_tiles_pallas(records, tiles, tile_list, width, height)
+        color, vis = blend_tiles_pallas(
+            records, tiles, tile_list, width, height,
+            rec_depth=depth[order] if scene_depth is not None else None,
+            scene_depth=scene_depth,
+        )
         return color, vis
 
     # gather everything into sorted order (XLA reference path)
@@ -174,6 +185,17 @@ def rasterize_sprites(
     world_s, mat_s, ent_s, flip_s = g(world), g(material_idx), g(entity_id), g(flip_x)
     xmin_s, xmax_s, ymin_s, ymax_s = g(xmin), g(xmax), g(ymin), g(ymax)
     ok_s = g(on_screen)
+    dep_s = g(depth)
+    if scene_depth is not None:
+        # scene depth in the tile layout the composite loop works in
+        sd = jnp.pad(
+            scene_depth,
+            ((0, ty * TILE - height), (0, tx * TILE - width)),
+            constant_values=0.0,
+        )
+        sd_tiles = sd.reshape(ty, TILE, tx, TILE).transpose(0, 2, 1, 3).reshape(
+            n_tiles, TILE, TILE
+        )
 
     # --- binning (T, S) → (T, K) keeping sorted order -----------------------
     tile_x0 = jax.lax.broadcasted_iota(jnp.int32, (ty, tx), 1) * TILE
@@ -240,6 +262,9 @@ def rasterize_sprites(
         is_mask = (flags & (1 << 8)) != 0
         alpha = jnp.where(is_mask & (rgba[..., 3] < cutoff), 0.0, rgba[..., 3])
         alpha = jnp.where(inside, alpha, 0.0)
+        if scene_depth is not None:
+            # reverse-Z test (no write): drop pixels the scene is nearer than
+            alpha = jnp.where(dep_s[sid_c][:, None, None] > sd_tiles, alpha, 0.0)
 
         color_rgb = color[..., :3] * (1 - alpha[..., None]) + rgba[..., :3] * alpha[..., None]
         color_a = color[..., 3] * (1 - alpha) + alpha

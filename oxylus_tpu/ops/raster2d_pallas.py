@@ -47,6 +47,24 @@ def _blend_kernel(
     color_out,   # (PIX, 4) block
     vid_out,     # (PIX, 1) block
 ):
+    _blend_kernel_common(
+        tl_ref, cnt_ref, tx_ref, fld_ref, tex_ref, None, color_out, vid_out
+    )
+
+
+def _blend_kernel_depth(
+    tl_ref, cnt_ref, tx_ref, fld_ref, tex_ref,
+    sdep_ref,    # (PIX, 1) f32 block — scene reverse-Z depth for this tile
+    color_out, vid_out,
+):
+    _blend_kernel_common(
+        tl_ref, cnt_ref, tx_ref, fld_ref, tex_ref, sdep_ref, color_out, vid_out
+    )
+
+
+def _blend_kernel_common(
+    tl_ref, cnt_ref, tx_ref, fld_ref, tex_ref, sdep_ref, color_out, vid_out
+):
     t = pl.program_id(0)
     row = t % ROWG
     tx = tx_ref[0]
@@ -67,10 +85,12 @@ def _blend_kernel(
 
     @pl.when(n > 0)
     def _blend_occupied():
-        _blend_tile(tl_ref, fld_ref, tex_ref, color_out, vid_out, row, k, n, px, py)
+        _blend_tile(
+            tl_ref, fld_ref, tex_ref, sdep_ref, color_out, vid_out, row, k, n, px, py
+        )
 
 
-def _blend_tile(tl_ref, fld_ref, tex_ref, color_out, vid_out, row, k, n, px, py):
+def _blend_tile(tl_ref, fld_ref, tex_ref, sdep_ref, color_out, vid_out, row, k, n, px, py):
     # loop-invariant bilinear grid and channel selectors
     jj = jax.lax.broadcasted_iota(jnp.int32, (TEX * TEX, PIX), 0)
     gv = (jj // TEX).astype(jnp.float32)
@@ -85,10 +105,13 @@ def _blend_tile(tl_ref, fld_ref, tex_ref, color_out, vid_out, row, k, n, px, py)
     # setup and output writes. (The earlier design vectorized setup over all K
     # slots into (K, PIX) VMEM scratch per tile: ~2.6 MB of scratch writes per
     # tile whether or not anything was drawn — 9.1 ms/frame at 1080p, trace.)
+    # scene reverse-Z depth row for the depth-tested (Forward2D-over-3D) variant
+    sdep = None if sdep_ref is None else jnp.swapaxes(sdep_ref[:, :], 0, 1)  # (1, PIX)
+
     def body(kk, carry):
         cr, cg, cb, ca, vid = carry  # (1, PIX) each
         sid = tl_ref[row, kk]
-        # field order: p00x p00y e0x e0y e1x e1y idet cut_eff eid flip
+        # field order: p00x p00y e0x e0y e1x e1y idet cut_eff eid flip [depth]
         p00x = fld_ref[row, 0 * k + kk]
         p00y = fld_ref[row, 1 * k + kk]
         e0x = fld_ref[row, 2 * k + kk]
@@ -126,6 +149,11 @@ def _blend_tile(tl_ref, fld_ref, tex_ref, color_out, vid_out, row, k, n, px, py)
 
         a = ta * inside.astype(jnp.float32)
         a = jnp.where(a < cut, 0.0, a)
+        if sdep is not None:
+            # depth TEST (no write) against the 3D scene: reverse-Z, the
+            # record must be strictly nearer than the opaque surface
+            dep = fld_ref[row, 10 * k + kk]
+            a = jnp.where(dep > sdep, a, 0.0)
 
         one_m = 1.0 - a
         new = (
@@ -156,12 +184,15 @@ def blend_tiles_pallas(
     width: int,
     height: int,
     interpret: bool = False,
+    rec_depth: Array | None = None,   # (S,) f32 reverse-Z NDC depth per record
+    scene_depth: Array | None = None,  # (H, W) f32 reverse-Z — depth TEST target
 ) -> tuple[Array, Array]:
     tx = (width + TILE - 1) // TILE
     ty = (height + TILE - 1) // TILE
     n_tiles = tx * ty
     k_cap = tile_list.shape[1]
     s = records.shape[0]
+    with_depth = scene_depth is not None
 
     cnt = jnp.sum((tile_list >= 0).astype(jnp.int32), axis=1, keepdims=True)  # (T, 1)
     tl_c = jnp.maximum(tile_list, 0)
@@ -171,9 +202,10 @@ def blend_tiles_pallas(
     # idet cut_eff eid flip], gather (T, K) rows, lay out field-major (T, C*K) so
     # the kernel slices each field as a static lane range.
     cut_eff = jnp.where(records[:, 12] > 0.5, records[:, 11], -1.0)
-    fmat = jnp.concatenate(
-        [records[:, 0:7], cut_eff[:, None], records[:, 14:16]], axis=1
-    )  # (S, 10)
+    cols = [records[:, 0:7], cut_eff[:, None], records[:, 14:16]]
+    if with_depth:
+        cols.append(rec_depth[:, None])
+    fmat = jnp.concatenate(cols, axis=1)  # (S, 10 [+1])
     n_fld = fmat.shape[1]
     ftile = fmat[tl_c]  # (T, K, C) — the one gather
     # field-major (T, C*K): the kernel reads each field as an SMEM scalar, so no
@@ -202,16 +234,33 @@ def blend_tiles_pallas(
     cnt_p = pad_rows(cnt, 0)
     ftile = pad_rows(ftile, 0.0)
 
+    in_specs = [
+        pl.BlockSpec((ROWG, k_cap), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((ROWG, 1), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((ROWG, n_fld * k_cap), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    args = [tl_p, cnt_p, jnp.array([tx], jnp.int32), ftile, tex_planes]
+    if with_depth:
+        # scene depth in the same (T*PIX, 1) tile-blocked layout as the outputs
+        sd = jnp.pad(
+            scene_depth,
+            ((0, ty * TILE - height), (0, tx * TILE - width)),
+            constant_values=0.0,
+        )
+        sd_blocks = (
+            sd.reshape(ty, TILE, tx, TILE)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_tiles * PIX, 1)
+        )
+        in_specs.append(pl.BlockSpec((PIX, 1), lambda t: (t, 0)))
+        args.append(sd_blocks)
+
     color, vid = pl.pallas_call(
-        _blend_kernel,
+        _blend_kernel_depth if with_depth else _blend_kernel,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((ROWG, k_cap), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ROWG, 1), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((ROWG, n_fld * k_cap), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((PIX, 4), lambda t: (t, 0)),
             pl.BlockSpec((PIX, 1), lambda t: (t, 0)),
@@ -224,7 +273,7 @@ def blend_tiles_pallas(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(tl_p, cnt_p, jnp.array([tx], jnp.int32), ftile, tex_planes)
+    )(*args)
 
     def untile(a, ch):
         a = a.reshape(n_tiles, PIX, ch).reshape(ty, tx, TILE, TILE, ch)

@@ -161,8 +161,9 @@ def _raster_kernel(tile_list_ref, cnt_ref, tx_ref, coeff_ref, depth_out, vid_out
     n_slots = coeff_ref.shape[-1] // N_DEPTH_PLANES  # 5R cols per meshlet; rows padded to 8
 
     tx = tx_ref[0]
-    x0 = ((t % tx) * TILE).astype(jnp.float32)
-    y0 = ((t // tx) * TILE).astype(jnp.float32)
+    tg = t + tx_ref[1]  # global tile id (tx_ref[1] = shard band base, 0 single-chip)
+    x0 = ((tg % tx) * TILE).astype(jnp.float32)
+    y0 = ((tg // tx) * TILE).astype(jnp.float32)
     pmat16, _xl, _yl = _pmat16_local()
 
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (n_slots, PIX), 0)
@@ -205,7 +206,8 @@ def _raster_kernel(tile_list_ref, cnt_ref, tx_ref, coeff_ref, depth_out, vid_out
 
 
 @partial(jax.jit, static_argnames=("width", "height", "interpret"))
-def rasterize_pallas(coeff_mat: Array, tile_list: Array, width: int, height: int, interpret: bool = False):
+def rasterize_pallas(coeff_mat: Array, tile_list: Array, width: int, height: int,
+                     interpret: bool = False, tile_base: Array | int = 0):
     tx, ty = _tile_grid(width, height)
     n_tiles = tx * ty
     k_cap = tile_list.shape[1]
@@ -244,7 +246,9 @@ def rasterize_pallas(coeff_mat: Array, tile_list: Array, width: int, height: int
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(pad_rows(tl_c, 0), pad_rows(cnt, 0), jnp.array([tx], jnp.int32), coeff_pad)
+    )(pad_rows(tl_c, 0), pad_rows(cnt, 0),
+      jnp.stack([jnp.asarray(tx, jnp.int32), jnp.asarray(tile_base, jnp.int32)]),
+      coeff_pad)
 
     def untile(a):
         a = a[:n_tiles].reshape(ty, tx, TILE, TILE)
@@ -307,7 +311,12 @@ def pack_gbuffer_coeff_matrix(
     ssp = attr_planes[:, :, 0, :]         # (VM, R, 3) ss plane (a, b, c)
     z7 = jnp.zeros((vm, r, 7), ap.dtype)
     z8 = jnp.zeros((vm, r, 8), ap.dtype)
-    consts = jnp.broadcast_to(mat_consts[:, None, :], (vm, r, 8)).astype(ap.dtype)
+    # (VM, 8) per-meshlet consts broadcast to slots; (VM, R, 8) accepted as-is
+    # (dense compacted groups mix source meshlets — compact_triangles)
+    if mat_consts.ndim == 2:
+        consts = jnp.broadcast_to(mat_consts[:, None, :], (vm, r, 8)).astype(ap.dtype)
+    else:
+        consts = mat_consts.astype(ap.dtype)
     attrB = jnp.concatenate(
         [
             ap[..., 0], ssp[..., 0:1], z7,
@@ -392,8 +401,9 @@ def _gbuffer_kernel_body(
     k_cap = tile_list_ref.shape[1]
 
     tx = tx_ref[0]
-    x0 = ((t % tx) * TILE).astype(jnp.float32)
-    y0 = ((t // tx) * TILE).astype(jnp.float32)
+    tg = t + tx_ref[1]  # global tile id (tx_ref[1] = shard band base, 0 single-chip)
+    x0 = ((tg % tx) * TILE).astype(jnp.float32)
+    y0 = ((tg // tx) * TILE).astype(jnp.float32)
     pmat16, xl, yl = _pmat16_local(TILE)
     px = x0 + xl  # global coords for the phase-B f32 attribute evaluation
     py = y0 + yl
@@ -527,8 +537,10 @@ def _gbuffer_kernel_body(
     gb_out[pl.ds(row * N_GB_ATTR + 8, 8), :] = pc[0:8, :].astype(jnp.bfloat16)
 
 
-def _make_gbuffer_kernel_resident(tile: int):
-    """Factory closing over the static tile size — see _make_gbuffer_kernel."""
+def _make_gbuffer_kernel_resident(tile: int, phases: str = "ab"):
+    """Factory closing over the static tile size — see _make_gbuffer_kernel.
+    `phases` is a profiling-only ablation knob: "a" skips the phase-B
+    attribute loop (gb_out left zero) to attribute kernel time on-device."""
     pix = tile * tile
 
     def _gbuffer_kernel_resident(
@@ -538,7 +550,7 @@ def _make_gbuffer_kernel_resident(tile: int):
         return _gbuffer_kernel_resident_body(
             tile, pix,
             tile_list_ref, cnt_ref, tx_ref, near_ref, cm6_vmem, attr_vmem,
-            depth_out, vid_out, gb_out,
+            depth_out, vid_out, gb_out, phases=phases,
         )
 
     return _gbuffer_kernel_resident
@@ -547,7 +559,7 @@ def _make_gbuffer_kernel_resident(tile: int):
 def _gbuffer_kernel_resident_body(
     TILE, PIX,
     tile_list_ref, cnt_ref, tx_ref, near_ref, cm6_vmem, attr_vmem,
-    depth_out, vid_out, gb_out
+    depth_out, vid_out, gb_out, phases: str = "ab",
 ):
     """Resident-attribute G-buffer raster: identical to `_gbuffer_kernel` except
     phase B reads the winner's attribute coefficients from a VMEM-resident
@@ -568,8 +580,9 @@ def _gbuffer_kernel_resident_body(
     k_cap = tile_list_ref.shape[1]
 
     tx = tx_ref[0]
-    x0 = ((t % tx) * TILE).astype(jnp.float32)
-    y0 = ((t // tx) * TILE).astype(jnp.float32)
+    tg = t + tx_ref[1]  # global tile id (tx_ref[1] = shard band base, 0 single-chip)
+    x0 = ((tg % tx) * TILE).astype(jnp.float32)
+    y0 = ((tg // tx) * TILE).astype(jnp.float32)
     pmat16, xl, yl = _pmat16_local(TILE)
     px = x0 + xl  # global coords for the phase-B f32 attribute evaluation
     py = y0 + yl
@@ -646,11 +659,15 @@ def _gbuffer_kernel_resident_body(
         return jnp.where(mine, attrs, pa), jnp.where(mine, cst, pc)
 
     # only the k that rasterized can have won pixels — skip the tail
-    pa, pc = jax.lax.fori_loop(
-        0, kstop, loop_b,
-        (jnp.zeros((N_GB_ATTR, PIX), jnp.float32),
-         jnp.zeros((N_GB_ATTR, PIX), jnp.float32)),
-    )
+    if "b" in phases:
+        pa, pc = jax.lax.fori_loop(
+            0, kstop, loop_b,
+            (jnp.zeros((N_GB_ATTR, PIX), jnp.float32),
+             jnp.zeros((N_GB_ATTR, PIX), jnp.float32)),
+        )
+    else:  # profiling ablation: phase A only
+        pa = jnp.zeros((N_GB_ATTR, PIX), jnp.float32)
+        pc = pa
 
     ssb = pa[8:9, :]  # winner's Σeᵢ, evaluated as attribute lane 8
     rw = 1.0 / jnp.where(jnp.abs(ssb) > 1e-12, ssb, 1.0)
@@ -663,10 +680,11 @@ def _gbuffer_kernel_resident_body(
     gb_out[pl.ds(row * N_GB_ATTR + 8, 8), :] = pc[0:8, :].astype(jnp.bfloat16)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "interpret", "tile"))
+@partial(jax.jit, static_argnames=("width", "height", "interpret", "tile", "phases"))
 def rasterize_gbuffer_pallas(
     coeff_mat: Array, attr_mat: Array, tile_list: Array, width: int, height: int,
-    interpret: bool = False, ml_near: Array | None = None, tile: int = TILE
+    interpret: bool = False, ml_near: Array | None = None, tile: int = TILE,
+    phases: str = "ab", tile_base: Array | int = 0,
 ):
     """Returns (depth (H,W), vid (H,W) i32, gbuffer (H,W,16)) — lanes
     [wpos xyz, wnrm xyz, uv, alb rgb, metallic, roughness, emissive rgb].
@@ -727,7 +745,8 @@ def rasterize_gbuffer_pallas(
         pl.BlockSpec((ROWG, k_cap), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),  # 6-plane matrix resident in VMEM
     ]
-    args = (pad_rows(tl_c, 0), pad_rows(cnt, 0), jnp.array([tx], jnp.int32),
+    args = (pad_rows(tl_c, 0), pad_rows(cnt, 0),
+            jnp.stack([jnp.asarray(tx, jnp.int32), jnp.asarray(tile_base, jnp.int32)]),
             pad_rows(tl_near, 0), coeff_pad)
     # Honest VMEM budget (BENCH_r03 post-mortem: the old heuristic budgeted the
     # attribute matrix ALONE and picked "resident" at capacities whose total
@@ -750,7 +769,7 @@ def rasterize_gbuffer_pallas(
         # resident phase B: the bf16 hi/lo attribute matrix lives in VMEM —
         # no per-hit DMA latency (dominant on ~1-hit tiles), no drain conds
         depth, vid, gb = pl.pallas_call(
-            _make_gbuffer_kernel_resident(TILE),
+            _make_gbuffer_kernel_resident(TILE, phases),
             grid=(n_tiles,),
             in_specs=base_specs + [pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=out_specs,
@@ -796,7 +815,8 @@ def rasterize_gbuffer_pallas(
 
 
 def gbuffer_from_raster(
-    gb: Array, vid: Array, depth: Array, inv_view_proj: Array
+    gb: Array, vid: Array, depth: Array, inv_view_proj: Array,
+    row_offset: Array | float = 0.0, full_height: int | None = None,
 ) -> dict[str, Array]:
     """Unpack the kernel's (H, W, 16) bf16 attribute image into the GBuffer dict
     that decode_visbuffer produces (ops/decode3d.py) — no per-pixel gathers.
@@ -819,8 +839,12 @@ def gbuffer_from_raster(
     nrm = g[..., 0:3]
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
     h, w = depth.shape
+    fh = full_height if full_height is not None else h  # band sharding: global rows
     ndc_x = (jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5) * (2.0 / w) - 1.0
-    ndc_y = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5) * (2.0 / h) - 1.0
+    ndc_y = (
+        jnp.asarray(row_offset, jnp.float32)
+        + jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+    ) * (2.0 / fh) - 1.0
     m = inv_view_proj
     hx = m[0, 0] * ndc_x + m[0, 1] * ndc_y + m[0, 2] * depth + m[0, 3]
     hy = m[1, 0] * ndc_x + m[1, 1] * ndc_y + m[1, 2] * depth + m[1, 3]

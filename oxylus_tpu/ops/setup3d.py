@@ -53,7 +53,7 @@ def setup_triangles(
     # ONE row gather of the prebaked per-meshlet vertex pack replaces the
     # double-indirection chain (`scene.slang:335-366`) — gathers are the expensive
     # primitive on this target (PERF_NOTES.md)
-    packed = gscene.ml_packed_verts[ml]  # (VM, 64, 3, 8): pos | nrm | uv
+    packed = gscene.ml_packed_verts[ml].reshape(vm, 64, 3, 8)  # pos | nrm | uv
     pos = packed[..., 0:3]
     nrm_v = packed[..., 3:6]
     uv_v = packed[..., 6:8]
@@ -216,9 +216,148 @@ def setup_triangles(
         "ml_xmax": ml_xmax,
         "ml_ymin": ml_ymin,
         "ml_ymax": ml_ymax,
+        # per-TRIANGLE screen bounds/nearest-z (compact_triangles re-groups on these)
+        "tri_xmin": txmin,
+        "tri_xmax": txmax,
+        "tri_ymin": tymin,
+        "tri_ymax": tymax,
         "clip": clip,
         "packed_verts": packed,
         "sxyz": jnp.stack([sx, sy, sz], axis=-1),
+    }
+
+
+def compact_triangles(
+    setup: dict,
+    tri_mask: Array,       # (VM, R) triangles to keep (validity ∧ pass visibility)
+    slot_material: Array,  # (VM,) material index per source meshlet
+    slot_instance: Array,  # (VM,) instance index per source meshlet
+    group: int = 64,       # triangles per dense raster group (static)
+    width: float = 1920.0,
+    height: float = 1080.0,
+    mat_rows: Array | None = None,  # (M, 32) pack_material_tables rows — when
+    # given, each dense slot's full material row rides the combined gather
+    # (`slot_rows`), so the textured path's per-pixel resolve is ONE gather
+    # instead of the slot→material→row two-gather chain (4.6 ms at 1080p half
+    # res vs 1.2 — trace r4; widening a row gather is ~free, rows price per row)
+):
+    """Re-group surviving triangles into DENSE raster groups.
+
+    The reference's `cull_triangles` compacts surviving triangles into a dense
+    reordered index buffer so the visbuffer draw touches no dead lanes
+    (`/root/reference/Oxylus/src/Render/Shaders/cull_triangles.slang:28-90`,
+    `CullGeometry.cpp:61-389`). The TPU raster needs the same property: phase A
+    evaluates ALL R slots of every binned group per tile, and baked meshlets
+    average ~36% triangle fill on sponza — 2.8× of the dominant
+    per-(slot, pixel) VPU work was dead lanes (trace, PERF_NOTES r4).
+
+    Grouping ORDER is (coarse depth bucket, screen morton) at MESHLET
+    granularity: preserving the cull's raw front-to-back order naïvely unions
+    screen-DISTANT triangles into each group, inflating per-group bounds so
+    much that binning produced 2.25× MORE tile hits than the sparse meshlets;
+    sorting per-triangle keys instead costs a 3.5 ms 131k-element sort
+    (both measured — PERF_NOTES r4). Meshlet-level keys sort 2048 elements,
+    and source meshlets are internally screen-local already. Triangle bboxes
+    are clamped to the screen before unioning. Correctness never depends on
+    the order: the raster early-out compares a suffix-max near table.
+
+    All per-triangle fields ride ONE combined row gather (separate gathers
+    priced ~10 ns/row each — 9 of them measured 11 ms/frame, PERF_NOTES r4).
+
+    Returns a dict shaped like `setup` (dense coeffs/attr_planes/bounds) plus:
+      - slot_material / slot_instance / packed_id per DENSE (group, slot)
+      - ml_near (G,): conservative nearest member z per group
+      - count: number of surviving triangles."""
+    vm, r = tri_mask.shape
+    n = vm * r
+    n_groups = n // group
+
+    xmin = jnp.clip(setup["tri_xmin"], 0.0, width)
+    xmax = jnp.clip(setup["tri_xmax"], -1.0, width)
+    ymin = jnp.clip(setup["tri_ymin"], 0.0, height)
+    ymax = jnp.clip(setup["tri_ymax"], -1.0, height)
+    tz = jnp.max(setup["sxyz"][..., 2], axis=-1)  # (VM, R) per-tri nearest z
+
+    # ---- meshlet-level (depth bucket, morton) order ------------------------
+    BITS = 6
+    any_tri = jnp.any(tri_mask, axis=1)
+    mx0 = jnp.min(jnp.where(tri_mask, xmin, 1e9), axis=1)
+    mx1 = jnp.max(jnp.where(tri_mask, xmax, -1e9), axis=1)
+    my0 = jnp.min(jnp.where(tri_mask, ymin, 1e9), axis=1)
+    my1 = jnp.max(jnp.where(tri_mask, ymax, -1e9), axis=1)
+    m_near = jnp.max(jnp.where(tri_mask, tz, -1.0), axis=1)  # (VM,)
+    cx = jnp.clip((mx0 + mx1) * (0.5 / width) * (1 << BITS), 0, (1 << BITS) - 1).astype(jnp.int32)
+    cy = jnp.clip((my0 + my1) * (0.5 / height) * (1 << BITS), 0, (1 << BITS) - 1).astype(jnp.int32)
+    mo = jnp.zeros_like(cx)
+    for b in range(BITS):
+        mo = mo | (((cx >> b) & 1) << (2 * b)) | (((cy >> b) & 1) << (2 * b + 1))
+    zb = jnp.clip(((1.0 - m_near) * 4.0).astype(jnp.int32), 0, 3)
+    key = jnp.where(any_tri, zb * (1 << 20) + mo, jnp.int32(1 << 30))
+    src_vm = jax.lax.broadcasted_iota(jnp.int32, (vm, 1), 0)[:, 0]
+    _, perm = jax.lax.sort((key, src_vm), num_keys=1)  # (VM,) meshlet order
+
+    # mask in meshlet order → compaction targets (index math only, no data)
+    mask_o = tri_mask[perm].reshape(n)
+    slots = jnp.cumsum(mask_o.astype(jnp.int32)) - 1
+    count = jnp.maximum(slots[-1] + 1, 0)
+    src_flat = (perm[:, None] * r + jax.lax.broadcasted_iota(jnp.int32, (vm, r), 1)).reshape(n)
+    target = jnp.where(mask_o, slots, n)
+    final_src = jnp.zeros((n,), jnp.int32).at[target].set(
+        src_flat, mode="drop", unique_indices=True
+    )
+    valid = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0] < count
+
+    # ---- ONE combined row gather of every per-triangle field ---------------
+    n_attr = setup["attr_planes"].shape[2]
+    cols = [
+        setup["coeffs"].reshape(vm, r, 15),
+        setup["attr_planes"].reshape(vm, r, n_attr * 3),
+        jnp.stack([xmin, xmax, ymin, ymax, tz], axis=-1),
+        jnp.broadcast_to(slot_material.astype(jnp.float32)[:, None, None], (vm, r, 1)),
+        jnp.broadcast_to(slot_instance.astype(jnp.float32)[:, None, None], (vm, r, 1)),
+        setup["packed_id"].astype(jnp.float32)[..., None],  # < 2^24, f32-exact
+    ]
+    n_row = 0
+    if mat_rows is not None:
+        n_row = mat_rows.shape[-1]
+        rows_m = mat_rows[slot_material]  # (VM, 32) — table-sized gather, ~free
+        cols.append(jnp.broadcast_to(rows_m[:, None, :], (vm, r, n_row)))
+    combined = jnp.concatenate(cols, axis=-1).reshape(n, 15 + n_attr * 3 + 8 + n_row)
+    d = combined[final_src]  # the one gather
+
+    coeffs = jnp.where(valid[:, None], d[:, 0:15], 0.0)
+    coeffs = coeffs.reshape(n, 5, 3)
+    coeffs = coeffs.at[:, 0, 2].set(jnp.where(valid, coeffs[:, 0, 2], -1e30))
+    attr_planes = jnp.where(valid[:, None], d[:, 15 : 15 + n_attr * 3], 0.0)
+    o = 15 + n_attr * 3
+    big = jnp.float32(1e9)
+    xmin_d = jnp.where(valid, d[:, o + 0], big).reshape(n_groups, group)
+    xmax_d = jnp.where(valid, d[:, o + 1], -big).reshape(n_groups, group)
+    ymin_d = jnp.where(valid, d[:, o + 2], big).reshape(n_groups, group)
+    ymax_d = jnp.where(valid, d[:, o + 3], -big).reshape(n_groups, group)
+    tz_d = jnp.where(valid, d[:, o + 4], -1.0)
+    mat_d = jnp.where(valid, d[:, o + 5].astype(jnp.int32), 0)
+    inst_d = jnp.where(valid, d[:, o + 6].astype(jnp.int32), 0)
+    pid_d = jnp.where(valid, d[:, o + 7].astype(jnp.int32), -1)
+
+    out_rows = None
+    if mat_rows is not None:
+        out_rows = jnp.where(valid[:, None], d[:, o + 8 : o + 8 + n_row], 0.0)
+
+    return {
+        "coeffs": coeffs.reshape(n_groups, group, 5, 3),
+        "attr_planes": attr_planes.reshape(n_groups, group, n_attr, 3),
+        "tri_valid": valid.reshape(n_groups, group),
+        "ml_xmin": jnp.min(xmin_d, axis=1),
+        "ml_xmax": jnp.max(xmax_d, axis=1),
+        "ml_ymin": jnp.min(ymin_d, axis=1),
+        "ml_ymax": jnp.max(ymax_d, axis=1),
+        "ml_near": jnp.max(tz_d.reshape(n_groups, group), axis=1),
+        "slot_material": mat_d.reshape(n_groups, group),
+        "slot_instance": inst_d.reshape(n_groups, group),
+        "packed_id": pid_d.reshape(n_groups, group),
+        "slot_rows": out_rows,  # (N, 32) dense per-slot material rows or None
+        "count": count,
     }
 
 

@@ -303,3 +303,152 @@ def render_frame_sharded(
         jnp.asarray(ambient_color, jnp.float32), prev_lum, dt,
     )
     return ldr[:height], new_lum
+
+
+# ---------------------------------------------------------------------------
+# PRODUCTION band sharding: the shipped Pallas G-buffer kernel per shard
+# ---------------------------------------------------------------------------
+
+def render_frame_sharded_production(
+    cm_gb,            # (G, 3, 5R) dense-group coeff matrix (pack_gbuffer_coeff_matrix)
+    attr_gb,          # (G·R, 64) dense attribute matrix
+    tile_list,        # (T, K) dense-group id or -1 — sharded by tile rows
+    ml_near_eo,       # (G,) suffix-max nearest z (raster early-out bound)
+    lights,
+    camera_pos,
+    ambient_color,
+    inv_view_proj,    # (4, 4)
+    width: int,
+    height: int,
+    mesh: Mesh,
+    axis: str = "worlds",
+    *,
+    slot_rows=None,   # (G·R, 32) per-dense-slot material rows (compact_triangles)
+    atlas=None,       # (A, A, 4) u8 — required with slot_rows for textured albedo
+    tile: int | None = None,
+    raster_group: int = 64,
+    prev_luminance=1.0,
+    dt=1.0 / 60.0,
+    tonemapper: int = 1,
+    interpret: bool | None = None,
+):
+    """Band-sharded full frame on the PRODUCTION kernels (round-4 VERDICT #8).
+
+    Unlike `render_frame_sharded` (which inlines the XLA oracle raster and the
+    gather-heavy `decode_visbuffer` — correct but ~slower per pixel than one
+    chip on the Pallas path), this shards the SHIPPED pipeline: each device
+    runs `rasterize_gbuffer_pallas` on its band of the tile list (the kernel's
+    `tile_base` places the band at its true screen rows), unpacks the in-kernel
+    interpolated G-buffer (`gbuffer_from_raster` with the band's NDC row
+    offset), optionally multiplies textured albedo through the compaction's
+    `slot_rows` table (one half-res row gather per band, exactly the
+    single-chip textured path), lights with `apply_pbr`, and joins the bands
+    with the same collectives as the fallback: luminance-histogram `psum` for
+    globally identical exposure, one-row `ppermute` halos so FXAA filters band
+    seams exactly like the single-device frame.
+
+    Geometry prep (cull → setup → compact_triangles → binning) stays
+    replicated: it scales with scene size, not pixels — shard the axis the
+    cost scales with ("How to Scale Your Model" recipe). Runs in interpret
+    mode on CPU meshes (the dryrun) and compiled on real ICI meshes unchanged.
+    """
+    from ..ops.raster3d import TILE as _DEF_TILE
+    from ..ops.raster3d import gbuffer_from_raster, rasterize_gbuffer_pallas
+    from ..render.pbr import apply_pbr
+    from ..render.postfx import (
+        adapt_exposure,
+        apply_fxaa,
+        apply_tonemap,
+        luminance_histogram,
+    )
+    from ..utils.imgops import point_downsample as _pds
+
+    tile = tile or _DEF_TILE
+    if interpret is None:
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    n_dev = mesh.shape[axis]
+    tx = (width + tile - 1) // tile
+    ty = (height + tile - 1) // tile
+    ty_pad = ((ty + n_dev - 1) // n_dev) * n_dev
+    rows_local = ty_pad // n_dev
+    bh = rows_local * tile
+    k_cap = tile_list.shape[1]
+    if ty_pad * tx != tile_list.shape[0]:
+        tile_list = jnp.concatenate(
+            [
+                tile_list[: tx * ty],
+                jnp.full((ty_pad * tx - tx * ty, k_cap), -1, tile_list.dtype),
+            ]
+        )
+    prev_lum = jnp.asarray(prev_luminance, jnp.float32)
+    dtv = jnp.asarray(dt, jnp.float32)
+    textured = slot_rows is not None and atlas is not None
+
+    def shard_fn(cmg, attrg, tiles, near, rows_tab, atl, lts, cpos, amb, ivp, plum, dtv):
+        idx = jax.lax.axis_index(axis)
+        n_local = tiles.shape[0]
+        base = (idx * n_local).astype(jnp.int32)
+
+        depth, vid, gb = rasterize_gbuffer_pallas(
+            cmg, attrg, tiles, width, bh, ml_near=near, tile=tile,
+            tile_base=base, interpret=interpret,
+        )
+        gbuf = gbuffer_from_raster(
+            gb, vid, depth, ivp,
+            row_offset=(idx * bh).astype(jnp.float32), full_height=height,
+        )
+        if textured:
+            from ..ops.sampling import pack_atlas_taps, sample_material_textures
+
+            uv_h = _pds(gbuf["uv"].astype(jnp.float32), 2)
+            vid_h = _pds(vid, 2)
+            flat_h = jnp.clip(
+                (vid_h >> 8) * raster_group + (vid_h & 255),
+                0, rows_tab.shape[0] - 1,
+            )
+            mrows = rows_tab[flat_h]
+            tex = sample_material_textures(
+                mrows, pack_atlas_taps(atl), atl.shape[0], uv_h,
+                features=("albedo",),
+            )
+            valid_h = (vid_h >= 0)[..., None]
+            alb_mod = jax.image.resize(
+                jnp.where(valid_h, tex["albedo_rgb"], 1.0),
+                (bh, width, 3), method="linear",
+            )
+            gbuf = dict(gbuf)
+            gbuf["albedo"] = gbuf["albedo"] * alb_mod
+        hdr = apply_pbr(gbuf, lts, cpos, amb)
+
+        hist = luminance_histogram(hdr, jnp.float32(-11.5), jnp.float32(1.0 / 29.5))
+        hist = jax.lax.psum(hist, axis)
+        exposure, new_lum = adapt_exposure(hist, plum, dtv)
+        ldr = apply_tonemap(hdr, tonemapper, exposure)
+
+        fwd = [(i, i + 1) for i in range(n_dev - 1)]
+        bwd = [(i + 1, i) for i in range(n_dev - 1)]
+        from_above = jax.lax.ppermute(ldr[-1:], axis, perm=fwd)
+        from_below = jax.lax.ppermute(ldr[:1], axis, perm=bwd)
+        top = jnp.where(idx == 0, ldr[:1], from_above)
+        bot = jnp.where(idx == n_dev - 1, ldr[-1:], from_below)
+        padded = jnp.concatenate([top, ldr, bot], axis=0)
+        out = apply_fxaa(padded)[1:-1]
+        return out, new_lum
+
+    rows_arg = slot_rows if textured else jnp.zeros((raster_group, 32), jnp.float32)
+    atlas_arg = atlas if textured else jnp.zeros((8, 8, 4), jnp.uint8)
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis, None), P(), P(), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(axis, None, None), P()),
+        # pallas_call's out ShapeDtypeStructs carry no vma annotation; varying-ness
+        # here is structural (outputs follow the tile-band shards)
+        check_vma=False,
+    )
+    ldr, new_lum = jax.jit(fn)(
+        cm_gb, attr_gb, tile_list, ml_near_eo, rows_arg, atlas_arg, lights,
+        camera_pos, jnp.asarray(ambient_color, jnp.float32),
+        jnp.asarray(inv_view_proj, jnp.float32), prev_lum, dtv,
+    )
+    return ldr[:height], new_lum

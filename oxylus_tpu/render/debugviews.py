@@ -55,7 +55,14 @@ def apply_debug_view(mode: int, ctx: dict) -> Array | None:
         return jnp.where(hit, _hash_color(jnp.maximum(vid, 0) >> 8), bg)
     if mode in (DEBUG_MATERIALS, DEBUG_INSTANCES, DEBUG_LODS):
         vm_slot = jnp.maximum(vid, 0) >> 8
-        inst = ctx["vm_instance"][vm_slot]
+        if "slot_instance" in ctx:
+            # dense-compacted raster path: resolve through the per-slot table
+            tab = ctx["slot_instance"]
+            grp = ctx.get("slot_group", 64)
+            flat = jnp.clip(vm_slot * grp + (jnp.maximum(vid, 0) & 255), 0, tab.shape[0] - 1)
+            inst = tab[flat]
+        else:
+            inst = ctx["vm_instance"][vm_slot]
         gscene = ctx["gscene"]
         if mode == DEBUG_MATERIALS:
             ids = gscene.inst_material[inst]

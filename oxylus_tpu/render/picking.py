@@ -41,14 +41,26 @@ def pick_entity_2d(visbuffer: Array, x: int, y: int) -> Array:
     return visbuffer[yi, xi]
 
 
-def pick_entity_3d(visbuffer: Array, vm_instance: Array, gscene, x: int, y: int) -> Array:
-    """Entity id at a pixel of the 3D visbuffer: id → vm slot → instance → entity."""
+def pick_entity_3d(
+    visbuffer: Array, vm_instance: Array, gscene, x: int, y: int,
+    slot_instance: Array | None = None,
+    slot_group: int = 64,
+) -> Array:
+    """Entity id at a pixel of the 3D visbuffer: id → vm slot → instance → entity.
+    `slot_instance` (VM·64,) resolves ids from the dense-compacted raster path
+    (renderer ctx["slot_instance"]); without it ids are meshlet-relative."""
     h, w = visbuffer.shape
     xi = jnp.clip(jnp.asarray(x, jnp.int32), 0, w - 1)
     yi = jnp.clip(jnp.asarray(y, jnp.int32), 0, h - 1)
     pid = visbuffer[yi, xi]
     vm_slot = jnp.maximum(pid, 0) >> 8
-    inst = vm_instance[vm_slot]
+    if slot_instance is not None:
+        flat = jnp.clip(
+            vm_slot * slot_group + (jnp.maximum(pid, 0) & 255), 0, slot_instance.shape[0] - 1
+        )
+        inst = slot_instance[flat]
+    else:
+        inst = vm_instance[vm_slot]
     entity = gscene.inst_entity[inst]
     return jnp.where(pid >= 0, entity, -1)
 

@@ -331,6 +331,53 @@ def render_2d_with_particles(
     )
 
 
+def render_particles_3d(
+    state,
+    camera: CameraMatrices,
+    scene_depth: Array,
+    atlas: Array,
+    materials,
+    *,
+    width: int,
+    height: int,
+    k_per_tile: int = 64,
+) -> Array:
+    """Particle billboards as a depth-tested premultiplied RGBA layer over a 3D
+    frame — the reference's Forward2D stage feeding particles through the same
+    sprite queue after PBR (`RendererInstance.cpp:945-1088`, `:1336-1395`).
+    Billboards face the camera, are sorted back-to-front, alpha-blended, and
+    depth-TESTED (reverse-Z, no write) against the opaque scene depth."""
+    p_world, p_color, p_valid, p_emitter = particle_render_data(state, camera)
+    m = p_world.shape[0]
+    part_mats = dataclasses.replace(
+        materials,
+        albedo_color=p_color,
+        alpha_cutoff=jnp.zeros(m, jnp.float32),
+        flags=jnp.full(m, 1 << 9, jnp.uint32),      # alpha blend, no texture
+        uv_size=jnp.ones((m, 2), jnp.float32),
+        uv_offset=jnp.zeros((m, 2), jnp.float32),
+        albedo_rect=jnp.zeros((m, 4), jnp.float32),
+        sampling_mode=jnp.zeros(m, jnp.int32),
+    )
+    color, _vis = rasterize_sprites(
+        world=p_world,
+        material_idx=jnp.arange(m, dtype=jnp.int32),
+        entity_id=p_emitter,
+        layer=jnp.zeros(m, jnp.int32),
+        sort_y=jnp.zeros(m, jnp.bool_),
+        flip_x=jnp.zeros(m, jnp.bool_),
+        valid=p_valid,
+        view_proj=camera.view_projection,
+        materials=part_mats,
+        atlas=atlas,
+        width=width,
+        height=height,
+        k_per_tile=k_per_tile,
+        scene_depth=scene_depth,
+    )
+    return color
+
+
 def build_entity_material_map(scene, uuid_to_slot: dict[str, int]) -> np.ndarray:
     """Host: map each entity's SpriteComponent.material UUID to a material slot."""
     from ..core import uuid as uuidlib

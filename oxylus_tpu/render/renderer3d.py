@@ -71,6 +71,13 @@ class RenderSpec:
     # while hit count grows only ~1.6× from 64→32 (sponza occupancy), so dense
     # scenes run 32; 64 keeps the lower fixed cost for sparse scenes
     tile: int = 64
+    # triangles per dense raster group (compact_triangles): smaller groups cut
+    # per-(slot, pixel) phase-A work at more loop iterations per tile
+    raster_group: int = 64
+    # tests only: run the Pallas G-buffer path in interpret mode on CPU so the
+    # production frame graph (dense compaction, texturing, alpha masking) is
+    # CI-coverable without a TPU
+    gbuffer_interpret: bool = False
 
 
 @dataclasses.dataclass
@@ -113,6 +120,13 @@ class RendererInstance:
         # static: which texture kinds to sample on the Pallas path — pass only
         # the kinds the scene's materials actually carry (runtime.py computes
         # this from the material flag bits) so absent maps cost nothing
+        particles: bool = False,  # static: composite particle billboards after
+        # lighting (the reference's Forward2D stage — scenes without emitters
+        # compile the whole pass out)
+        alpha_masked: bool = False,  # static: raster alpha-masked materials in
+        # a separate depth-tested pass with per-pixel alpha-cutoff discard
+        # (visbuffer_encode.slang:60-64) — scenes without masked materials
+        # compile the pass out
     ) -> dict:
         """Run the frame graph. Returns the resource dict (final image in "final",
         carry-over state under "carry" — feed it back as `prev` next frame)."""
@@ -170,40 +184,92 @@ class RendererInstance:
         )
         cm = pack_coeff_matrix(setup["coeffs"], setup["tri_valid"])
         platform = jax.devices()[0].platform
-        use_gbuffer_raster = spec.use_pallas and platform in ("tpu", "axon")
+        use_gbuffer_raster = spec.use_pallas and (
+            platform in ("tpu", "axon") or spec.gbuffer_interpret
+        )
+        n_slots_r = spec.raster_group  # dense-group slot stride for vid maps
         if use_gbuffer_raster:
             # G-buffer raster: attributes + material constants interpolated inside
             # the kernel (the per-pixel decode gather pass costs ~0.5 s at 1080p on
-            # this target — PERF_NOTES.md). Material textures are not sampled on
-            # this path yet; factors/colors only.
+            # this target — PERF_NOTES.md). Each pass first re-groups its
+            # surviving triangles into DENSE raster meshlets (compact_triangles
+            # — the reference's cull_triangles compaction): baked meshlets
+            # average ~36% fill on sponza and phase A pays per (slot, pixel),
+            # so dead lanes were 2.8× of the dominant raster cost (trace r4).
             from ..ops.raster3d import (
                 gbuffer_from_raster,
                 pack_gbuffer_coeff_matrix,
                 rasterize_gbuffer_pallas,
             )
+            from ..ops.setup3d import compact_triangles
 
-            mat_idx = gscene.inst_material[vm_inst]
-            mat_consts = jnp.concatenate(
+            mat_idx = gscene.inst_material[vm_inst]  # (VM,) per source meshlet
+            if alpha_masked:
+                from ..assets.material import FLAG_ALPHA_MASK
+
+                # meshlets whose material discards below the alpha cutoff
+                # raster in their own pass (merged with per-pixel alpha test
+                # below); the opaque pass excludes them
+                is_masked_vm = (materials.flags[mat_idx] & FLAG_ALPHA_MASK) > 0
+                opaque_f = ~is_masked_vm
+            else:
+                opaque_f = None
+            consts_m = jnp.concatenate(
                 [
-                    materials.albedo_color[mat_idx][:, :3],
-                    materials.metallic_factor[mat_idx][:, None],
-                    materials.roughness_factor[mat_idx][:, None],
-                    materials.emissive_color[mat_idx],
+                    materials.albedo_color[:, :3],
+                    materials.metallic_factor[:, None],
+                    materials.roughness_factor[:, None],
+                    materials.emissive_color,
                 ],
                 axis=1,
-            )  # (VM, 8)
-            cm_gb, attr_gb = pack_gbuffer_coeff_matrix(
-                setup["coeffs"], setup["attr_planes"], setup["tri_valid"], mat_consts
+            )  # (M, 8) material-indexed constants
+            if textured:
+                # full material rows ride the compaction gather so the textured
+                # path's per-pixel resolve is ONE gather (slot_rows[flat]) —
+                # the slot→material→row two-gather chain cost 4.6 ms (trace r4)
+                from ..ops.sampling import pack_material_tables as _pmt_r
+
+                mat_tab_r = _pmt_r(materials)
+            else:
+                mat_tab_r = None
+
+        def raster_pass(vis_mask, tri_filter=None):
+            """One G-buffer raster pass: compact → pack → bin → raster.
+            Returns (depth, vid, gb, bin_overflow, slot_tables) where
+            slot_tables = (material, instance, packed_id[, mat_rows]) per dense
+            slot. `tri_filter` (VM,) restricts the pass to a meshlet subset
+            (the opaque/alpha-masked split)."""
+            tri_mask = setup["tri_valid"] & vis_mask[:, None]
+            if tri_filter is not None:
+                tri_mask = tri_mask & tri_filter[:, None]
+            dense = compact_triangles(
+                setup, tri_mask, mat_idx, vm_inst,
+                group=spec.raster_group, width=float(w), height=float(h),
+                mat_rows=mat_tab_r,
             )
+            cm_gb, attr_gb = pack_gbuffer_coeff_matrix(
+                dense["coeffs"], dense["attr_planes"], dense["tri_valid"],
+                consts_m[dense["slot_material"]],
+            )
+            near_eo = jnp.flip(jax.lax.cummax(jnp.flip(dense["ml_near"])))
+            tile_list, ov = bin_meshlets_to_tiles(
+                dense, w, h, spec.tile, spec.meshlets_per_tile
+            )
+            d, v, gb = rasterize_gbuffer_pallas(
+                cm_gb, attr_gb, tile_list, w, h, ml_near=near_eo, tile=spec.tile,
+                interpret=spec.gbuffer_interpret,
+            )
+            tables = (
+                dense["slot_material"].reshape(-1),
+                dense["slot_instance"].reshape(-1),
+                dense["packed_id"].reshape(-1),
+            )
+            if mat_tab_r is not None:
+                tables = tables + (dense["slot_rows"],)
+            return d, v, gb, ov, tables
 
         def raster_full(tile_list):
-            """One raster pass → (depth, vid, gbuffer-or-None)."""
-            if use_gbuffer_raster:
-                d, v, gb = rasterize_gbuffer_pallas(
-                    cm_gb, attr_gb, tile_list, w, h, ml_near=ml_near_eo,
-                    tile=spec.tile,
-                )
-                return d, v, gb
+            """One raster pass → (depth, vid, gbuffer-or-None) [fallback kernels]."""
             fn = (
                 rasterize_pallas
                 if (spec.use_pallas and platform in ("tpu", "axon"))
@@ -217,14 +283,6 @@ class RendererInstance:
             jnp.where(setup["tri_valid"], jnp.max(setup["sxyz"][..., 2], axis=-1), -1.0),
             axis=-1,
         )
-        # raster early-out bound: suffix max of ml_near over the front-to-back
-        # slot order. Tile lists preserve slot order, so this upper-bounds every
-        # LATER meshlet's nearest reverse-Z — the kernel's "no later meshlet can
-        # win" exit is then exact even though ml_near itself is not monotone in
-        # the cull's conservative-distance sort key (round-4 advisor fix: a
-        # glancing floor sorted late could previously be skipped).
-        ml_near_eo = jnp.flip(jax.lax.cummax(jnp.flip(ml_near)))
-
         def masked_bin(visible_mask):
             masked = dict(setup)
             masked["ml_xmax"] = jnp.where(visible_mask, setup["ml_xmax"], -1e9)
@@ -232,6 +290,7 @@ class RendererInstance:
             _RT = spec.tile if use_gbuffer_raster else 64  # fallback kernels are 64-px
             return bin_meshlets_to_tiles(masked, w, h, _RT, spec.meshlets_per_tile)
 
+        slot_tables = None  # (material, instance, packed_id) per dense slot
         use_occlusion = config.culling_occlusion and "hiz" in prev
         if use_occlusion:
             from ..ops.hiz import build_hiz, occlusion_test
@@ -240,8 +299,11 @@ class RendererInstance:
                 prev["hiz"], setup["ml_xmin"], setup["ml_xmax"],
                 setup["ml_ymin"], setup["ml_ymax"], ml_near, w, h,
             ) & vm_valid
-            tile_list, overflow = masked_bin(early_vis)
-            depth, vid, gb_img = raster_full(tile_list)
+            if use_gbuffer_raster:
+                depth, vid, gb_img, overflow, slot_tables = raster_pass(early_vis, opaque_f)
+            else:
+                tile_list, overflow = masked_bin(early_vis)
+                depth, vid, gb_img = raster_full(tile_list)
             hiz = build_hiz(depth)
             late_vis = occlusion_test(
                 hiz, setup["ml_xmin"], setup["ml_xmax"],
@@ -252,8 +314,16 @@ class RendererInstance:
             # skip the second raster + G-buffer merge + HiZ rebuild entirely
             # otherwise (the steady-state static-scene frame)
             def late_pass():
-                tile_list2, overflow2 = masked_bin(late_vis)
-                d2, v2, gb2 = raster_full(tile_list2)
+                if use_gbuffer_raster:
+                    d2, v2, gb2, overflow2, tables2 = raster_pass(late_vis, opaque_f)
+                    # late vids index the late pass's dense slots: offset into
+                    # the second half of the combined slot tables
+                    groups_per_pass = tables2[0].shape[0] // n_slots_r
+                    v2 = jnp.where(v2 >= 0, v2 + groups_per_pass * 256, v2)
+                else:
+                    tile_list2, overflow2 = masked_bin(late_vis)
+                    d2, v2, gb2 = raster_full(tile_list2)
+                    tables2 = None
                 better = d2 > depth
                 d = jnp.where(better, d2, depth)
                 v = jnp.where(better, v2, vid)
@@ -262,29 +332,93 @@ class RendererInstance:
                     if gb_img is not None
                     else jnp.zeros((), jnp.float32)
                 )
-                return d, v, gb, build_hiz(d), overflow2
+                out = (d, v, gb, build_hiz(d), overflow2)
+                return out + tables2 if tables2 is not None else out
 
             def skip_late():
                 gb = gb_img if gb_img is not None else jnp.zeros((), jnp.float32)
-                return depth, vid, gb, hiz, jnp.int32(0)
+                out = (depth, vid, gb, hiz, jnp.int32(0))
+                if use_gbuffer_raster:
+                    out = out + tuple(jnp.zeros_like(t) for t in slot_tables)
+                return out
 
-            depth, vid, gb_merged, hiz_out, overflow2 = jax.lax.cond(
-                jnp.any(late_vis), late_pass, skip_late
-            )
+            res = jax.lax.cond(jnp.any(late_vis), late_pass, skip_late)
+            depth, vid, gb_merged, hiz_out, overflow2 = res[:5]
+            if use_gbuffer_raster:
+                # combined tables: early slots first, late slots after
+                slot_tables = tuple(
+                    jnp.concatenate([a, b]) for a, b in zip(slot_tables, res[5:])
+                )
             gb_img = gb_merged if gb_img is not None else None
             carry["hiz"] = hiz_out
             overflow = overflow + overflow2
         else:
             from ..ops.hiz import build_hiz
 
-            tile_list, overflow = masked_bin(vm_valid)
-            depth, vid, gb_img = raster_full(tile_list)
+            if use_gbuffer_raster:
+                depth, vid, gb_img, overflow, slot_tables = raster_pass(vm_valid, opaque_f)
+            else:
+                tile_list, overflow = masked_bin(vm_valid)
+                depth, vid, gb_img = raster_full(tile_list)
             if config.culling_occlusion:
                 carry["hiz"] = build_hiz(depth)
+
+        # ---- alpha-masked geometry: own raster pass + per-pixel cutoff ----
+        # The reference's visbuffer encode discards fragments below the
+        # material alpha cutoff (`visbuffer_encode.slang:60-64`). TPU-shaped
+        # equivalent: masked meshlets raster in a second depth pass; the
+        # nearest masked fragment samples its albedo alpha (half-res tap, like
+        # all material sampling on this target) and wins the pixel only when
+        # alpha ≥ cutoff AND it is nearer than the opaque result. Two stacked
+        # masked layers resolve to the nearest (documented approximation —
+        # the reference discards within the HW depth test so arbitrarily many
+        # layers resolve). Masked geometry is excluded from HiZ (conservative).
+        if use_gbuffer_raster and alpha_masked:
+            from ..ops.sampling import (
+                pack_atlas_taps as _pat,
+                pack_material_tables as _pmt,
+                sample_material_textures as _smt,
+            )
+
+            vis_all = (early_vis | late_vis) if use_occlusion else vm_valid
+            d_m, v_m, gb_m, ov_m, tabs_m = raster_pass(vis_all, is_masked_vm)
+            uv_mh = _pds(gb_m[..., 3:5].astype(jnp.float32), 2)
+            v_mh = _pds(v_m, 2)
+            flat_mh = jnp.clip(
+                (v_mh >> 8) * n_slots_r + (v_mh & 255), 0, tabs_m[0].shape[0] - 1
+            )
+            if len(tabs_m) > 3:  # textured: rows rode the compaction gather
+                rows_m = tabs_m[3][flat_mh]
+            else:
+                rows_m = _pmt(materials)[tabs_m[0][:, None][flat_mh][..., 0]]
+            tex_m = _smt(rows_m, _pat(atlas), atlas.shape[0], uv_mh, features=("albedo",))
+            # signed alpha margin upsampled to full res → smooth cutout edges
+            margin_h = jnp.where(
+                v_mh >= 0, tex_m["alpha"][..., 0] - rows_m[..., 25], -1.0
+            )
+            alpha_ok = (
+                jax.image.resize(margin_h, (h, w), method="linear") >= 0.0
+            )
+            use_m = (v_m >= 0) & alpha_ok & (d_m > depth)
+            seg = slot_tables[0].shape[0] // n_slots_r  # groups already tabled
+            vid = jnp.where(use_m, v_m + seg * 256, vid)
+            depth = jnp.where(use_m, d_m, depth)
+            gb_img = jnp.where(use_m[..., None], gb_m, gb_img)
+            slot_tables = tuple(
+                jnp.concatenate([a, b]) for a, b in zip(slot_tables, tabs_m)
+            )
+            overflow = overflow + ov_m
         ctx.update(
             depth=depth, visbuffer=vid, setup=setup, bin_overflow=overflow,
             expand_overflow=expand_overflow,
         )
+        if slot_tables is not None:
+            # per-dense-slot (material, instance, original packed id) — how
+            # picking/debug views/texturing resolve the compacted vids
+            ctx["slot_material"] = slot_tables[0]
+            ctx["slot_instance"] = slot_tables[1]
+            ctx["slot_packed_id"] = slot_tables[2]
+            ctx["slot_group"] = n_slots_r
         # surfaced through the frame carry so callers (bench integrity gates,
         # editor stats) can assert no fixed-capacity compaction dropped work
         carry["expand_overflow"] = expand_overflow
@@ -312,7 +446,6 @@ class RendererInstance:
                 # scenes without that map pay nothing.
                 from ..ops.sampling import (
                     pack_atlas_taps,
-                    pack_material_tables,
                     perturb_normal,
                     sample_material_textures,
                 )
@@ -320,42 +453,54 @@ class RendererInstance:
                 stride = 2
                 uv_h = _pds(gbuffer["uv"], stride)
                 vid_h = _pds(vid, stride)
-                # vid encodes per-VISIBLE-MESHLET slot (capacity vm_inst.shape[0])
-                # in its high bits — clamp against that capacity, not the
-                # instance count (round-4 advisor fix: clamping to n_instances-1
-                # made every pixel won by slot >= n_instances sample the wrong
-                # material's UV transform / atlas rect).
-                vm_h = jnp.clip(vid_h // 256, 0, vm_inst.shape[0] - 1)
-                # fold material fields through the meshlet table host-side-free:
-                # (VM, 32) rows indexed by the pixel's winning meshlet — ONE
-                # per-pixel row gather resolves every texture's rect + flags
-                vm_rows = pack_material_tables(materials)[
-                    gscene.inst_material[vm_inst]
-                ]
-                mat_rows = vm_rows[vm_h]
-                tex = sample_material_textures(
-                    mat_rows, pack_atlas_taps(atlas), atlas.shape[0], uv_h,
-                    features=texture_features,
+                # vid encodes (dense_group << 8 | slot) — the winning slot's
+                # FULL material row rode the compaction gather (slot_rows), so
+                # the per-pixel resolve is ONE half-res row gather. (The
+                # slot→material-idx→row two-gather chain cost 4.6 ms/frame at
+                # 1080p — trace r4.) Misses (vid < 0) gather row 0 via the
+                # clip but are masked by valid_h below.
+                flat_h = jnp.clip(
+                    (vid_h >> 8) * n_slots_r + (vid_h & 255),
+                    0, slot_tables[0].shape[0] - 1,
                 )
+                mat_rows = slot_tables[3][flat_h]  # (h/2, w/2, 32)
+                taps = pack_atlas_taps(atlas)
+                # albedo + normal at half res; mr/emissive/occlusion at QUARTER
+                # res (low-frequency factors — each tap gather prices per row,
+                # ~0.87 ms at half res on sponza; trace r4)
+                hi_feats = tuple(f for f in texture_features if f in ("albedo", "normal"))
+                lo_feats = tuple(f for f in texture_features if f in ("mr", "emissive"))
+                tex = sample_material_textures(
+                    mat_rows, taps, atlas.shape[0], uv_h, features=hi_feats,
+                )
+                if lo_feats:
+                    tex_q = sample_material_textures(
+                        _pds(mat_rows, 2), taps,
+                        atlas.shape[0], _pds(uv_h, 2), features=lo_feats,
+                    )
                 valid_h = (vid_h >= 0)[..., None]
+                valid_q = _pds(valid_h, 2)
 
-                def up(x, c):
+                def up(x, c, valid=None):
+                    v_ = valid_h if valid is None else valid
                     return jax.image.resize(
-                        jnp.where(valid_h, x, 1.0), (h, w, c), method="linear"
+                        jnp.where(v_, x, 1.0), (h, w, c), method="linear"
                     )
 
                 gbuffer = dict(gbuffer)
                 if "albedo" in texture_features:
                     gbuffer["albedo"] = gbuffer["albedo"] * up(tex["albedo_rgb"], 3)
                 if "mr" in texture_features:
-                    mrf = up(tex["mr"], 2)
+                    mrf = up(tex_q["mr"], 2, valid_q)
                     gbuffer["metallic"] = gbuffer["metallic"] * mrf[..., 0]
                     gbuffer["roughness"] = gbuffer["roughness"] * mrf[..., 1]
                     gbuffer["occlusion"] = (
-                        gbuffer["occlusion"] * up(tex["occlusion"], 1)[..., 0]
+                        gbuffer["occlusion"] * up(tex_q["occlusion"], 1, valid_q)[..., 0]
                     )
                 if "emissive" in texture_features:
-                    gbuffer["emissive"] = gbuffer["emissive"] * up(tex["emissive_rgb"], 3)
+                    gbuffer["emissive"] = gbuffer["emissive"] * up(
+                        tex_q["emissive_rgb"], 3, valid_q
+                    )
                 if "normal" in texture_features:
                     # tangent-space normal sampled at half res, perturbation at
                     # FULL res against the full-res interpolated frame (the
@@ -604,6 +749,23 @@ class RendererInstance:
             hdr = jnp.where(gbuffer["hit"][..., None], hdr * ap_t + ap_l, hdr)
         ctx["hdr"] = hdr
         ctx = self._run_cbs(RenderStage.LIGHTING, "after", ctx)
+
+        # ---- Forward2D: particle billboards over the lit frame -------------
+        # (reference stage order: 2D forward alpha-blend runs after PBR and
+        # before post — `RendererInstance.cpp:945-1088`; particles ride the
+        # same sprite queue, `:1336-1395`)
+        if particles:
+            from .renderer2d import render_particles_3d
+
+            ctx = self._run_cbs(RenderStage.FORWARD_2D, "before", ctx)
+            p_layer = render_particles_3d(
+                state, camera, depth, atlas, materials, width=w, height=h
+            )
+            hdr = ctx["hdr"]
+            hdr = hdr * (1.0 - p_layer[..., 3:4]) + p_layer[..., :3]
+            ctx["hdr"] = hdr
+            ctx["particle_layer"] = p_layer
+            ctx = self._run_cbs(RenderStage.FORWARD_2D, "after", ctx)
 
         # ---- Post-processing ---------------------------------------------
         ctx = self._run_cbs(RenderStage.POST_PROCESSING, "before", ctx)

@@ -55,7 +55,9 @@ class GPUScene:
     # triangle slot (slots past tri_count repeat the last triangle). One row gather
     # by meshlet id replaces the per-frame double-indirection chain — gathers are
     # the expensive primitive on this target (PERF_NOTES.md).
-    ml_packed_verts: Array    # (M, 64, 3, 8) f32
+    ml_packed_verts: Array    # (M, 64·3·8) f32 — flat 2D so the per-frame
+    # row gather needs no layout copy (a (M,64,3,8) param got relayouted
+    # {0,3,2,1}→{1,3,2,0} EVERY frame: 1.0 ms at sponza scale, trace r4)
     # mesh table
     mesh_lod_meshlet_offset: Array  # (meshes, MAX_LODS) i32
     mesh_lod_meshlet_count: Array   # (meshes, MAX_LODS) i32
@@ -191,7 +193,7 @@ def upload_meshes(meshes: list[BakedMesh], instances: list[tuple[int, int, int]]
         ml_cone_cutoff=cat(ccut, np.float32),
         indirect_vertices=cat(indirect_l, np.int32),
         local_triangles=cat([x.astype(np.int32) for x in local_l], np.int32, 3),
-        ml_packed_verts=jnp.asarray(packed),
+        ml_packed_verts=jnp.asarray(packed).reshape(len(packed), -1),
         mesh_lod_meshlet_offset=jnp.asarray(lod_off),
         mesh_lod_meshlet_count=jnp.asarray(lod_cnt),
         mesh_lod_error=jnp.asarray(lod_err),

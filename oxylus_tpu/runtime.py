@@ -162,6 +162,17 @@ class SceneRunner:
                 feats.append(name)
         self._texture_features = tuple(feats)
         self._textured = bool(feats)
+        from .assets.material import FLAG_ALPHA_MASK as _FAM
+
+        # static alpha-mask gate: only scenes binding a masked material pay the
+        # extra masked raster pass + per-pixel cutoff test
+        self._has_alpha_mask = bool(np.any(fl & _FAM))
+        # static particle gate: scenes without emitters compile the whole
+        # Forward2D particle composite out of the 3D frame graph
+        self._has_particles = bool(
+            scene.spec.max_particles > 0
+            and np.asarray(scene._comp_mask.get("ParticleSystemComponent", False)).any()
+        )
 
     # ------------------------------------------------------------------ camera
     def _resolve_camera_idx(self) -> int:
@@ -391,6 +402,8 @@ class SceneRunner:
                                     enable_shadows=self.enable_shadows,
                                     textured=self._textured,
                                     texture_features=self._texture_features,
+                                    particles=self._has_particles,
+                                    alpha_masked=self._has_alpha_mask,
                                 )
                                 return {"final": ctx["final"], "carry": ctx.get("carry", {})}
 
@@ -540,6 +553,8 @@ class SceneRunner:
                     enable_shadows=self.enable_shadows,
                     textured=self._textured,
                     texture_features=self._texture_features,
+                    particles=self._has_particles,
+                    alpha_masked=self._has_alpha_mask,
                 )
                 return state, ps, ctx["final"], ctx.get("carry", {})
 

@@ -6,6 +6,7 @@ pack_gbuffer_coeff_matrix); decode_visbuffer reconstructs the same quantities
 per pixel with analytic barycentrics — the two must agree on covered pixels.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -152,3 +153,71 @@ def test_gbuffer_tile32_matches_oracle(scene):
         a = np.asarray(got[key])[hit]
         b = np.asarray(want[key])[hit]
         assert np.abs(a - b).max() < tol, f"{key} max err {np.abs(a - b).max()}"
+
+
+def test_gbuffer_compacted_matches_sparse(scene):
+    """Dense triangle compaction (compact_triangles — the reference's
+    cull_triangles re-grouping, `CullGeometry.cpp:61-389`) must not change the
+    rendered image: same depth everywhere, same attributes at hit pixels, and
+    the per-slot packed_id table maps dense vids back to the sparse ids."""
+    import dataclasses
+
+    from oxylus_tpu.ops.setup3d import compact_triangles
+    from oxylus_tpu.ops.raster3d import TILE
+
+    gscene, world, setup, vm_inst, tile_list, cam = scene
+    mats = empty_gpu_materials(4)
+    mats = dataclasses.replace(
+        mats,
+        albedo_color=mats.albedo_color.at[0].set(jnp.array([0.7, 0.3, 0.1, 1.0])),
+        metallic_factor=mats.metallic_factor.at[0].set(0.5),
+    )
+    consts_m = jnp.concatenate(
+        [
+            mats.albedo_color[:, :3],
+            mats.metallic_factor[:, None],
+            mats.roughness_factor[:, None],
+            mats.emissive_color,
+        ],
+        axis=1,
+    )
+    mat_idx = gscene.inst_material[vm_inst]
+
+    # sparse (meshlet-grouped) raster
+    cm_s, at_s = pack_gbuffer_coeff_matrix(
+        setup["coeffs"], setup["attr_planes"], setup["tri_valid"], consts_m[mat_idx]
+    )
+    d_s, v_s, gb_s = rasterize_gbuffer_pallas(cm_s, at_s, tile_list, W, H, interpret=True)
+
+    # dense (triangle-compacted) raster
+    dense = compact_triangles(setup, setup["tri_valid"], mat_idx, vm_inst)
+    assert int(dense["count"]) == int(jnp.sum(setup["tri_valid"]))
+    # groups are actually denser than the source meshlets: every full group is
+    # 100% valid (the last may be partial)
+    n_full = int(dense["count"]) // setup["tri_valid"].shape[1]
+    assert np.asarray(dense["tri_valid"])[:n_full].all()
+    cm_d, at_d = pack_gbuffer_coeff_matrix(
+        dense["coeffs"], dense["attr_planes"], dense["tri_valid"],
+        consts_m[dense["slot_material"]],
+    )
+    near_eo = jnp.flip(jax.lax.cummax(jnp.flip(dense["ml_near"])))
+    tl_d, _ = bin_meshlets_to_tiles(dense, W, H, TILE, 8)
+    d_d, v_d, gb_d = rasterize_gbuffer_pallas(
+        cm_d, at_d, tl_d, W, H, ml_near=near_eo, interpret=True
+    )
+
+    np.testing.assert_array_equal(np.asarray(d_d), np.asarray(d_s))
+    hit_s = np.asarray(v_s) >= 0
+    hit_d = np.asarray(v_d) >= 0
+    np.testing.assert_array_equal(hit_d, hit_s)
+    # attributes agree at hit pixels (ties on shared edges interpolate the
+    # same values; bf16 storage bounds the comparison)
+    a, b = np.asarray(gb_d, np.float32), np.asarray(gb_s, np.float32)
+    assert np.abs(a[hit_s] - b[hit_s]).max() < 2e-2
+    # dense vid → original packed id: resolves to the sparse vid at pixels
+    # where a unique winner exists (>99% — depth ties may pick either slot)
+    pid_tab = np.asarray(dense["packed_id"]).reshape(-1)
+    flat = (np.asarray(v_d) >> 8) * 64 + (np.asarray(v_d) & 255)
+    orig = pid_tab[np.clip(flat, 0, pid_tab.size - 1)]
+    match = (orig[hit_s] == np.asarray(v_s)[hit_s]).mean()
+    assert match > 0.99, f"packed_id remap match {match}"

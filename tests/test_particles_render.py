@@ -128,3 +128,63 @@ def test_particle_bursts_and_rate_over_distance():
     state = dataclasses.replace(state, world=jnp.asarray(world))
     state = particle_update(state, spec, dt)
     assert int(jnp.sum(state.particles.alive)) == 57
+
+
+def test_particles_composite_in_3d_frame():
+    """Forward2D-over-3D: billboards blend over the lit frame AFTER lighting and
+    are depth-tested against opaque geometry (reference stage order,
+    `RendererInstance.cpp:945-1088`; particles via the sprite queue `:1336-1395`).
+    A red emitter in front of a wall must tint the frame; a green emitter
+    behind the wall must be fully occluded."""
+    from oxylus_tpu.assets.bake import bake_mesh
+    from oxylus_tpu.render.renderer3d import RenderSpec
+    from oxylus_tpu.runtime import SceneRunner
+    from tests.test_render3d import cube_mesh
+
+    spec = SceneSpec(max_entities=16, max_particles=64)
+    s = Scene("p3d", spec=spec)
+    cam = s.create_entity("camera")
+    cam.add("TransformComponent", position=(0.0, 0.0, 10.0))
+    cam.add("CameraComponent", fov=60.0)
+    sun = s.create_entity("sun")
+    sun.add("TransformComponent", rotation=(-0.383, 0.0, 0.0, 0.924))
+    sun.add("LightComponent", type="Directional", intensity=4.0)
+    wall = s.create_entity("wall")
+    wall.add("TransformComponent", position=(0.0, 0.0, 0.0), scale=(8.0, 8.0, 0.5))
+    wall.add("MeshComponent", mesh_index=0)
+
+    def emitter(name, pos, color):
+        e = s.create_entity(name)
+        e.add("TransformComponent", position=pos)
+        e.add(
+            "ParticleSystemComponent",
+            rate_over_time=120,
+            start_lifetime=5.0,
+            start_velocity=(0.0, 0.0, 0.0),
+            start_size=(0.6, 0.6, 0.6, 1.0),
+            start_color=color,
+            gravity_modifier=0.0,
+        )
+        return e
+
+    emitter("front", (0.0, 0.0, 3.0), (4.0, 0.0, 0.0, 1.0))   # camera side
+    emitter("behind", (0.0, 0.0, -3.0), (0.0, 4.0, 0.0, 1.0))  # occluded
+
+    cp, cn, cu, ci = cube_mesh()
+    runner = SceneRunner(
+        s, width=96, height=64, render_mode="3d",
+        meshes=[bake_mesh(cp, cn, cu, ci)],
+        render_spec=RenderSpec(width=96, height=64, use_pallas=False),
+    )
+    assert runner._has_particles
+    img = None
+    for _ in range(8):
+        img = runner.step()
+    c = np.asarray(img)[..., :3]
+    # red particles visible near image center (in front of the gray wall)
+    center = c[24:40, 36:60]
+    red_dom = (center[..., 0] > 0.25) & (center[..., 0] > center[..., 1] + center[..., 2])
+    assert red_dom.any(), f"front particles missing (max {center.max(0).max(0)})"
+    # green (behind the wall) must never show anywhere
+    green_dom = (c[..., 1] > 0.25) & (c[..., 1] > c[..., 0] + c[..., 2])
+    assert not green_dom.any(), "occluded particles leaked through the wall"

@@ -248,3 +248,72 @@ def test_material_tables_pack_layout():
     np.testing.assert_allclose(r[9:13], [0.5, 0.0, 1.0, 0.5])
     # absent material slot: all flags zero
     assert rows[5][8] == 0.0 and rows[5][13] == 0.0
+
+
+def test_alpha_mask_discard_in_3d_frame():
+    """Alpha-cutoff discard on the production raster path (round-4 VERDICT
+    missing #3; reference `visbuffer_encode.slang:60-64`): a masked quad in
+    front of an opaque wall must show the quad where its albedo alpha passes
+    the cutoff and the WALL (not a hole) where it is discarded."""
+    import dataclasses as _dc
+
+    from oxylus_tpu.core.config import RendererConfig
+    from oxylus_tpu.render.renderer3d import RenderSpec, RendererInstance
+    from oxylus_tpu.scene.scene import Scene
+    from oxylus_tpu.scene.state import SceneSpec
+    from tests.test_render3d import cube_mesh
+
+    A2 = 64
+    atlas = np.zeros((A2, A2, 4), np.uint8)
+    # masked albedo rect = whole atlas: red; alpha 255 on the left half of the
+    # rect, 0 on the right (block-constant so half-res sampling is exact)
+    atlas[:, :, 0] = 220
+    atlas[:, :, 3] = 0
+    atlas[:, : A2 // 2, 3] = 255
+    rects = {"alb": (0.0, 0.0, 1.0, 1.0)}
+    m_wall = Material(albedo_color=(0.1, 0.9, 0.1, 1.0))
+    m_mask = Material(
+        albedo_color=(1.0, 1.0, 1.0, 1.0),
+        albedo_texture="alb",
+        alpha_mode=ALPHA_MASK,
+        alpha_cutoff=0.5,
+    )
+    mats = pack_materials([m_wall, m_mask], rects, 8)
+
+    spec = SceneSpec(max_entities=8)
+    s = Scene("amask", spec=spec)
+    wall = s.create_entity("wall")
+    wall.add("TransformComponent", position=(0.0, 0.0, -2.0), scale=(8.0, 8.0, 0.5))
+    quad = s.create_entity("quad")
+    quad.add("TransformComponent", position=(0.0, 0.0, 0.0), scale=(3.0, 3.0, 0.1))
+    state = s.to_device_state()
+
+    cp, cn, cu, ci = cube_mesh()
+    baked = bake_mesh(cp, cn, cu, ci)
+    gscene = upload_meshes(
+        [baked, baked], [(0, wall.index, 0), (1, quad.index, 1)], max_instances=4
+    )
+    cam = look_down_z_camera(aspect=1.0, pos=(0.0, 0.0, 5.0))
+
+    inst = RendererInstance(RenderSpec(
+        width=W, height=H, max_visible_meshlets=64, gbuffer_interpret=True,
+    ))
+    cfg = _dc.replace(RendererConfig(), vbgtao_enable=False, bloom_enable=False)
+    ctx = inst.render(
+        state, gscene, cam, mats, jnp.asarray(atlas), cfg,
+        textured=True, texture_features=("albedo",), alpha_masked=True,
+    )
+    alb = np.asarray(ctx["gbuffer"]["albedo"])[..., :3]
+    vid = np.asarray(ctx["visbuffer"])
+
+    # quad footprint ≈ center ±0.3·W (scale 3 at z=0, cam fov 60 at z=5)
+    c = W // 2
+    span = int(W * 0.23)
+    red = (alb[..., 0] > 0.5) & (alb[..., 1] < 0.3)
+    green = (alb[..., 1] > 0.5) & (alb[..., 0] < 0.3)
+    inner = np.s_[c - span // 2 : c + span // 2, c - span // 2 : c + span // 2]
+    # both the surviving quad half (red) and the discarded half showing the
+    # wall (green) must be present inside the footprint — no holes
+    assert red[inner].mean() > 0.25, f"masked quad missing ({red[inner].mean():.2f})"
+    assert green[inner].mean() > 0.25, f"discard shows holes ({green[inner].mean():.2f})"
+    assert (vid[inner] >= 0).all(), "discarded pixels must fall through to the wall"
