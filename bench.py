@@ -235,8 +235,10 @@ def bench_frame_2d(width=1920, height=1080, frames=30, calls=3):
     return _median_fps(runner, frames)
 
 
-def bench_frame_3d(width=1920, height=1080, frames=20, calls=2, n_objects=200):
-    """Frame-steps/s on BENCH config 3/4: meshlet scene + sky + shadows + post stack."""
+def _build_frame3d_runner(width=1920, height=1080, n_objects=200):
+    """Build the EXACT BENCH config 3 runner (meshlet scene + lights + particles +
+    sky + shadows + post). Shared with the profiling scripts so traces measure
+    the same frame the official bench times."""
     import numpy as np
 
     from oxylus_tpu.assets.bake import bake_mesh
@@ -290,14 +292,24 @@ def bench_frame_3d(width=1920, height=1080, frames=20, calls=2, n_objects=200):
 
     runner = SceneRunner(
         s, width=width, height=height, render_mode="3d", meshes=meshes,
-        render_spec=RenderSpec(width=width, height=height),
+        # primitive meshlets are dense + screen-local: the compaction gather
+        # costs more than the dead lanes it removes on this scene class
+        # (trace r5) — passthrough groups
+        render_spec=RenderSpec(width=width, height=height,
+                               compact_raster=os.environ.get("OX_COMPACT", "0") == "1"),
         atmosphere=AtmosphereParams(), enable_shadows=True,
     )
+    return runner
+
+
+def bench_frame_3d(width=1920, height=1080, frames=20, calls=2, n_objects=200):
+    """Frame-steps/s on BENCH config 3/4: meshlet scene + sky + shadows + post stack."""
+    runner = _build_frame3d_runner(width, height, n_objects)
     runner.run(2)
     return _median_fps(runner, frames)
 
 
-def bench_frame_5(width=1920, height=1080, frames=12, calls=2, n_objects=150, n_boxes=255):
+def _build_frame5_runner(width=1920, height=1080, n_objects=150, n_boxes=255):
     """BASELINE config 5: full frame (visbuffer + GTAO + SSR + shadows + post)
     with rigid-body physics running in the same frame step."""
     import dataclasses
@@ -357,11 +369,19 @@ def bench_frame_5(width=1920, height=1080, frames=12, calls=2, n_objects=150, n_
     meshes = [bake_mesh(cp, cn, cu, ci), bake_mesh(sp_, sn, su, si)]
     runner = SceneRunner(
         s, width=width, height=height, render_mode="3d", meshes=meshes,
-        render_spec=RenderSpec(width=width, height=height),
+        render_spec=RenderSpec(width=width, height=height,
+                               compact_raster=os.environ.get("OX_COMPACT", "0") == "1"),
         atmosphere=AtmosphereParams(), enable_shadows=True,
         use_megakernel=True,  # physics substeps via the Pallas throughput kernel
     )
     runner.config = dataclasses.replace(runner.config, ssr_enable=True)
+    return runner
+
+
+def bench_frame_5(width=1920, height=1080, frames=12, calls=2, n_objects=150, n_boxes=255):
+    """BASELINE config 5: full frame (visbuffer + GTAO + SSR + shadows + post)
+    with rigid-body physics running in the same frame step."""
+    runner = _build_frame5_runner(width, height, n_objects, n_boxes)
     runner.run(2)
     return _median_fps(runner, frames)
 

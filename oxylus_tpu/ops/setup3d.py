@@ -361,6 +361,55 @@ def compact_triangles(
     }
 
 
+def passthrough_groups(
+    setup: dict,
+    tri_mask: Array,       # (VM, 64)
+    slot_material: Array,  # (VM,)
+    slot_instance: Array,  # (VM,)
+    mat_rows: Array | None = None,
+):
+    """Dense-group dict WITHOUT re-grouping: source meshlets ARE the raster
+    groups. For scenes whose baked meshlets are already dense and screen-local
+    (cube/sphere primitive scenes: ~50% fill after backface cull), the
+    compaction's combined concat+gather chain costs more than the dead lanes
+    it removes (~4.5 ms vs ~1 ms of raster — trace r5 frame3d), so the frame
+    graph skips it (`RenderSpec.compact_raster=False`). Field layout matches
+    `compact_triangles` so the raster + slot-table consumers are unchanged."""
+    vm, r = tri_mask.shape
+    xmin = jnp.clip(setup["tri_xmin"], 0.0, None)
+    xmax = setup["tri_xmax"]
+    ymin = jnp.clip(setup["tri_ymin"], 0.0, None)
+    ymax = setup["tri_ymax"]
+    tz = jnp.max(setup["sxyz"][..., 2], axis=-1)  # (VM, R) per-tri nearest z
+
+    coeffs = jnp.where(tri_mask[..., None, None], setup["coeffs"], 0.0)
+    coeffs = coeffs.at[..., 0, 2].set(
+        jnp.where(tri_mask, coeffs[..., 0, 2], -1e30)
+    )
+    attr_planes = jnp.where(tri_mask[..., None, None], setup["attr_planes"], 0.0)
+    out = {
+        "coeffs": coeffs,
+        "attr_planes": attr_planes,
+        "tri_valid": tri_mask,
+        "ml_xmin": jnp.min(jnp.where(tri_mask, xmin, 1e9), axis=1),
+        "ml_xmax": jnp.max(jnp.where(tri_mask, xmax, -1e9), axis=1),
+        "ml_ymin": jnp.min(jnp.where(tri_mask, ymin, 1e9), axis=1),
+        "ml_ymax": jnp.max(jnp.where(tri_mask, ymax, -1e9), axis=1),
+        "ml_near": jnp.max(jnp.where(tri_mask, tz, -1.0), axis=1),
+        "slot_material": jnp.broadcast_to(slot_material[:, None], (vm, r)),
+        "slot_instance": jnp.broadcast_to(slot_instance[:, None], (vm, r)),
+        "packed_id": jnp.where(tri_mask, setup["packed_id"], -1),
+        "slot_rows": None,
+        "count": jnp.sum(tri_mask.astype(jnp.int32)),
+    }
+    if mat_rows is not None:
+        rows_m = mat_rows[slot_material]  # (VM, 32) — table-sized gather, ~free
+        out["slot_rows"] = jnp.broadcast_to(
+            rows_m[:, None, :], (vm, r, mat_rows.shape[-1])
+        ).reshape(vm * r, mat_rows.shape[-1])
+    return out
+
+
 def bin_meshlets_to_tiles(
     setup: dict,
     width: int,

@@ -117,12 +117,14 @@ def apply_pbr(
     background: Array | None = None,
     ao: Array | None = None,
     shadow: Array | None = None,
-    static_blocks: int = 1,
+    static_lights: int = 8,
 ) -> Array:
     """Fullscreen lighting (pbr_apply, `src/Render/Passes/PBR.cpp:313-540`).
     `shadow` (H, W) multiplies the first directional light; `ao` multiplies ambient.
-    `static_blocks`: number of 8-light blocks unrolled at trace time (fused by
-    XLA); lights beyond static_blocks·8 ride a dynamic tail loop.
+    `static_lights`: number of lights covered by trace-time-unrolled blocks
+    (full 8-light blocks + one partial block sized to the remainder, so a
+    9-light scene pays 8+1 light-planes, not 8+8). Lights past the hint
+    (script-spawned) ride a dynamic tail loop that runs zero trips otherwise.
     Returns linear HDR (H, W, 3)."""
     n = gbuffer["normal"]
     wp = gbuffer["world_pos"]
@@ -140,7 +142,9 @@ def apply_pbr(
     # in a single iteration. Everything is computed on COMPONENT PLANES of
     # shape (LB, H, W) — a (H, W, LB, 3) formulation made XLA tile the two
     # minor (8, 3) axes and ran SLOWER than the scalar loop (6.5 ms, trace).
-    LB = min(8, lights.kind.shape[0])  # clamp for small-capacity light tables
+    L_CAP = lights.kind.shape[0]
+    LB = min(8, L_CAP)  # clamp for small-capacity light tables
+    static_lights = max(1, min(static_lights, L_CAP))
 
     nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
     vx, vy, vz = v[..., 0], v[..., 1], v[..., 2]
@@ -151,13 +155,15 @@ def apply_pbr(
     f0 = [0.04 * (1.0 - metallic) + albedo[..., c] * metallic for c in range(3)]
     diff = [albedo[..., c] * (1.0 - metallic) / jnp.pi for c in range(3)]
 
-    def add_block(b, acc):
-        s0 = b * LB
-        gi = s0 + jnp.arange(LB, dtype=jnp.int32)
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s0, LB, axis=0)
+    def light_block(s0, lb, acc, dyn_min=None):
+        gi = s0 + jnp.arange(lb, dtype=jnp.int32)
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s0, lb, axis=0)
         col = lambda a: a[:, None, None]             # (LB,) → (LB, 1, 1)
         kind = sl(lights.kind)
         lvalid = sl(lights.valid) & (gi < lights.count)
+        if dyn_min is not None:  # dynamic-tail double-count guard: the tail's
+            # first block is LB-aligned and may overlap the partial static block
+            lvalid = lvalid & (gi >= dyn_min)
         is_dir = col(kind == LIGHT_DIRECTIONAL)
         pos = sl(lights.position)
         ldx, ldy, ldz = (col(sl(lights.direction)[:, c]) for c in range(3))
@@ -208,17 +214,29 @@ def apply_pbr(
             out.append(jnp.sum((diff[c][None] + spec_c) * scale * rad_c, axis=0))
         return acc + jnp.stack(out, axis=-1)
 
-    # First `static_blocks` blocks are UNROLLED so XLA fuses them with the rest
-    # of the lighting chain (a 1-trip traced fori_loop still lowers to a while
-    # with its own non-fused body + (H, W, 3) carry copies — 2.0 ms/frame at
-    # 1080p, trace r4); the dynamic tail loop covers scenes that exceed the
-    # hint at runtime (script-spawned lights) and costs only its cond when it
-    # runs zero trips. Blocks past lights.count are masked to zero by lvalid.
+    # The first `static_lights` lights are covered by trace-time-UNROLLED
+    # blocks so XLA fuses them with the rest of the lighting chain (a 1-trip
+    # traced fori_loop still lowers to a while with its own non-fused body +
+    # (H, W, 3) carry copies — ~6 ms/frame at 1080p, trace r5). The last
+    # static block is PARTIAL-width: plane cost is proportional to the block
+    # width, so a 9-light scene pays an 8-block + a 1-block (~2.1 ms), not
+    # 8+8 (~3.7 ms). The dynamic tail covers script-spawned lights past the
+    # hint; its first block is LB-aligned and masks gi < static_lights, and
+    # the whole loop runs zero trips unless count actually exceeds the hint.
     acc = jnp.zeros_like(albedo)
-    for b in range(static_blocks):
-        acc = add_block(b, acc)
+    full, rem = divmod(static_lights, LB)
+    for b in range(full):
+        acc = light_block(b * LB, LB, acc)
+    if rem:
+        acc = light_block(full * LB, rem, acc)
     n_blocks = (lights.count + LB - 1) // LB
-    direct = jax.lax.fori_loop(jnp.int32(static_blocks), n_blocks, add_block, acc)
+    tail_start = jnp.where(
+        lights.count <= static_lights, n_blocks, jnp.int32(static_lights // LB)
+    )
+    direct = jax.lax.fori_loop(
+        tail_start, n_blocks,
+        lambda b, a: light_block(b * LB, LB, a, dyn_min=static_lights), acc,
+    )
 
     if ambient_color.ndim == 2:  # (9, 3) SH coefficients → directional sky irradiance
         from .sky import eval_sh_ambient

@@ -74,6 +74,11 @@ class RenderSpec:
     # triangles per dense raster group (compact_triangles): smaller groups cut
     # per-(slot, pixel) phase-A work at more loop iterations per tile
     raster_group: int = 64
+    # post-cull triangle compaction (the reference's cull_triangles re-grouping):
+    # pays a combined-row gather (~4.5 ms at 1080p caps) to remove raster dead
+    # lanes. Worth it for low-fill imported scenes (sponza); primitive scenes
+    # whose baked meshlets are dense + screen-local skip it (trace r5)
+    compact_raster: bool = True
     # tests only: run the Pallas G-buffer path in interpret mode on CPU so the
     # production frame graph (dense compaction, texturing, alpha masking) is
     # CI-coverable without a TPU
@@ -127,6 +132,10 @@ class RendererInstance:
         # a separate depth-tested pass with per-pixel alpha-cutoff discard
         # (visbuffer_encode.slang:60-64) — scenes without masked materials
         # compile the pass out
+        static_lights: int = 8,  # static: lights covered by trace-time-unrolled
+        # PBR blocks — the runner passes the scene's own light count so the
+        # dynamic tail loop (a 1-trip while costs ~6 ms/frame at 1080p:
+        # non-fused body + carry copies — trace r5) never runs for them
     ) -> dict:
         """Run the frame graph. Returns the resource dict (final image in "final",
         carry-over state under "carry" — feed it back as `prev` next frame)."""
@@ -187,7 +196,10 @@ class RendererInstance:
         use_gbuffer_raster = spec.use_pallas and (
             platform in ("tpu", "axon") or spec.gbuffer_interpret
         )
-        n_slots_r = spec.raster_group  # dense-group slot stride for vid maps
+        # dense-group slot stride for vid maps: compaction re-groups to
+        # `raster_group`-slot groups; passthrough keeps the 64-slot source
+        # meshlets as groups
+        n_slots_r = spec.raster_group if spec.compact_raster else 64
         if use_gbuffer_raster:
             # G-buffer raster: attributes + material constants interpolated inside
             # the kernel (the per-pixel decode gather pass costs ~0.5 s at 1080p on
@@ -201,7 +213,7 @@ class RendererInstance:
                 pack_gbuffer_coeff_matrix,
                 rasterize_gbuffer_pallas,
             )
-            from ..ops.setup3d import compact_triangles
+            from ..ops.setup3d import compact_triangles, passthrough_groups
 
             mat_idx = gscene.inst_material[vm_inst]  # (VM,) per source meshlet
             if alpha_masked:
@@ -242,11 +254,15 @@ class RendererInstance:
             tri_mask = setup["tri_valid"] & vis_mask[:, None]
             if tri_filter is not None:
                 tri_mask = tri_mask & tri_filter[:, None]
-            dense = compact_triangles(
-                setup, tri_mask, mat_idx, vm_inst,
-                group=spec.raster_group, width=float(w), height=float(h),
-                mat_rows=mat_tab_r,
-            )
+            if spec.compact_raster:
+                dense = compact_triangles(
+                    setup, tri_mask, mat_idx, vm_inst,
+                    group=spec.raster_group, width=float(w), height=float(h),
+                    mat_rows=mat_tab_r,
+                )
+            else:
+                dense = passthrough_groups(setup, tri_mask, mat_idx, vm_inst,
+                                           mat_rows=mat_tab_r)
             cm_gb, attr_gb = pack_gbuffer_coeff_matrix(
                 dense["coeffs"], dense["attr_planes"], dense["tri_valid"],
                 consts_m[dense["slot_material"]],
@@ -701,6 +717,7 @@ class RendererInstance:
             background=background,
             ao=ctx.get("ao", ao),
             shadow=ctx.get("shadow", shadow),
+            static_lights=static_lights,
         )
         # screen-space reflections (config-5 SSSR-style pass) on the lit image
         if config.ssr_enable:
@@ -758,9 +775,16 @@ class RendererInstance:
             from .renderer2d import render_particles_3d
 
             ctx = self._run_cbs(RenderStage.FORWARD_2D, "before", ctx)
-            p_layer = render_particles_3d(
-                state, camera, depth, atlas, materials, width=w, height=h
+            # half-res particle layer: the blend kernel + its tile/untile layout
+            # reshapes cost 9.3 ms/frame at 1080p for ~400 particles (trace r5)
+            # — soft alpha-blended billboards upsample cleanly, so the layer
+            # renders at half res (÷4 kernel + reshape cost) and composites
+            # through one bilinear upsample
+            p_half = render_particles_3d(
+                state, camera, _pds(depth, 2), atlas, materials,
+                width=w // 2, height=h // 2,
             )
+            p_layer = jax.image.resize(p_half, (h, w, 4), method="linear")
             hdr = ctx["hdr"]
             hdr = hdr * (1.0 - p_layer[..., 3:4]) + p_layer[..., :3]
             ctx["hdr"] = hdr

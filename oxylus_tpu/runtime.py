@@ -173,6 +173,14 @@ class SceneRunner:
             scene.spec.max_particles > 0
             and np.asarray(scene._comp_mask.get("ParticleSystemComponent", False)).any()
         )
+        # static PBR light-block hint: unroll enough 8-light blocks at trace
+        # time to cover the scene's own lights — the dynamic tail loop costs
+        # ~6 ms/frame at 1080p when it runs even one trip (non-fused while body
+        # + carry copies, trace r5); script-spawned lights past the hint still
+        # ride the tail correctly
+        self._static_lights = max(1, int(
+            np.sum(np.asarray(scene._alive & scene._comp_mask["LightComponent"]))
+        ))
 
     # ------------------------------------------------------------------ camera
     def _resolve_camera_idx(self) -> int:
@@ -404,6 +412,7 @@ class SceneRunner:
                                     texture_features=self._texture_features,
                                     particles=self._has_particles,
                                     alpha_masked=self._has_alpha_mask,
+                                    static_lights=self._static_lights,
                                 )
                                 return {"final": ctx["final"], "carry": ctx.get("carry", {})}
 
@@ -555,6 +564,7 @@ class SceneRunner:
                     texture_features=self._texture_features,
                     particles=self._has_particles,
                     alpha_masked=self._has_alpha_mask,
+                    static_lights=self._static_lights,
                 )
                 return state, ps, ctx["final"], ctx.get("carry", {})
 
