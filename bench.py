@@ -296,7 +296,9 @@ def _build_frame3d_runner(width=1920, height=1080, n_objects=200):
         # costs more than the dead lanes it removes on this scene class
         # (trace r5) — passthrough groups
         render_spec=RenderSpec(width=width, height=height,
-                               compact_raster=os.environ.get("OX_COMPACT", "0") == "1"),
+                               compact_raster=os.environ.get("OX_COMPACT", "0") == "1",
+                               tile=int(os.environ.get("OX_TILE", "64")),
+                               meshlets_per_tile=int(os.environ.get("OX_MPT", "64"))),
         atmosphere=AtmosphereParams(), enable_shadows=True,
     )
     return runner

@@ -87,16 +87,19 @@ def pack_albedo_tables(materials) -> Array:
     )
 
 
-def pack_atlas_taps(atlas: Array) -> Array:
-    """(A*A, 16) f32: each texel row carries its 2×2 bilinear neighborhood
+def pack_atlas_taps(atlas: Array, dtype=jnp.float32) -> Array:
+    """(A*A, 16) rows: each texel carries its 2×2 bilinear neighborhood
     [c00 rgba | c10 | c01 | c11] (edge-clamped shifted copies — fused
-    elementwise) so a bilinear sample costs ONE row gather instead of four."""
+    elementwise) so a bilinear sample costs ONE row gather instead of four.
+    `dtype=bfloat16` halves the table (a 1024² atlas is 67 MB in f32, and the
+    per-pixel gather into it is table-residency-bound — probe_gather r5);
+    8-bit-sourced texels lose <0.4% in bf16, invisible after shading."""
     a = atlas.astype(jnp.float32) / 255.0  # (A, A, 4)
     right = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
     down = jnp.concatenate([a[1:], a[-1:]], axis=0)
     down_right = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
     packed = jnp.concatenate([a, right, down, down_right], axis=-1)  # (A, A, 16)
-    return packed.reshape(-1, 16)
+    return packed.reshape(-1, 16).astype(dtype)
 
 
 def sample_albedo_modulation(

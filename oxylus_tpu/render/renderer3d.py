@@ -398,20 +398,24 @@ class RendererInstance:
 
             vis_all = (early_vis | late_vis) if use_occlusion else vm_valid
             d_m, v_m, gb_m, ov_m, tabs_m = raster_pass(vis_all, is_masked_vm)
-            uv_mh = _pds(gb_m[..., 3:5].astype(jnp.float32), 2)
+            # flat (N, C) forms throughout — (h/2, w/2, 32) intermediates cost
+            # ~1.3 ms of layout copies/slice relayouts (trace r5, see the
+            # textured decode below)
+            uv_mh = _pds(gb_m[..., 3:5].astype(jnp.float32), 2).reshape(-1, 2)
             v_mh = _pds(v_m, 2)
+            mh2, mw2 = v_mh.shape
             flat_mh = jnp.clip(
                 (v_mh >> 8) * n_slots_r + (v_mh & 255), 0, tabs_m[0].shape[0] - 1
-            )
+            ).reshape(-1)
             if len(tabs_m) > 3:  # textured: rows rode the compaction gather
                 rows_m = tabs_m[3][flat_mh]
             else:
-                rows_m = _pmt(materials)[tabs_m[0][:, None][flat_mh][..., 0]]
-            tex_m = _smt(rows_m, _pat(atlas), atlas.shape[0], uv_mh, features=("albedo",))
+                rows_m = _pmt(materials)[tabs_m[0][flat_mh]]
+            tex_m = _smt(rows_m, _pat(atlas, dtype=jnp.bfloat16), atlas.shape[0], uv_mh, features=("albedo",))
             # signed alpha margin upsampled to full res → smooth cutout edges
             margin_h = jnp.where(
-                v_mh >= 0, tex_m["alpha"][..., 0] - rows_m[..., 25], -1.0
-            )
+                v_mh.reshape(-1) >= 0, tex_m["alpha"][..., 0] - rows_m[..., 25], -1.0
+            ).reshape(mh2, mw2)
             alpha_ok = (
                 jax.image.resize(margin_h, (h, w), method="linear") >= 0.0
             )
@@ -466,56 +470,71 @@ class RendererInstance:
                     sample_material_textures,
                 )
 
-                stride = 2
-                uv_h = _pds(gbuffer["uv"], stride)
-                vid_h = _pds(vid, stride)
-                # vid encodes (dense_group << 8 | slot) — the winning slot's
-                # FULL material row rode the compaction gather (slot_rows), so
-                # the per-pixel resolve is ONE half-res row gather. (The
-                # slot→material-idx→row two-gather chain cost 4.6 ms/frame at
-                # 1080p — trace r4.) Misses (vid < 0) gather row 0 via the
-                # clip but are masked by valid_h below.
-                flat_h = jnp.clip(
-                    (vid_h >> 8) * n_slots_r + (vid_h & 255),
-                    0, slot_tables[0].shape[0] - 1,
-                )
-                mat_rows = slot_tables[3][flat_h]  # (h/2, w/2, 32)
-                taps = pack_atlas_taps(atlas)
+                # Everything here works on FLAT (N, C) arrays: the (h/2, w/2, 32)
+                # intermediate forms tile terribly on TPU (32-lane minor dim) and
+                # cost ~1.3 ms/frame of pure layout copies + per-lane slice
+                # relayouts (trace r5: copy.19360 0.50 + slice.3955 0.79). Flat
+                # 2D rows keep every lane slice a cheap in-tile slice; results
+                # reshape to (h2, w2, C) once, right before the upsample.
+                uv_h = _pds(gbuffer["uv"], 2).reshape(-1, 2)
+                vid_h = _pds(vid, 2)
+                h2, w2 = vid_h.shape
+                n_tab = slot_tables[0].shape[0]
+
+                def slot_rows_at(vid_img):
+                    # vid encodes (dense_group << 8 | slot) — the winning slot's
+                    # FULL material row rode the compaction gather (slot_rows),
+                    # so the per-pixel resolve is ONE flat row gather. Misses
+                    # (vid < 0) gather row 0 via the clip; masked by valid below.
+                    flat = jnp.clip(
+                        (vid_img >> 8) * n_slots_r + (vid_img & 255), 0, n_tab - 1
+                    ).reshape(-1)
+                    return slot_tables[3][flat]  # (N, 32)
+
+                mat_rows = slot_rows_at(vid_h)
+                taps = pack_atlas_taps(atlas, dtype=jnp.bfloat16)
                 # albedo + normal at half res; mr/emissive/occlusion at QUARTER
-                # res (low-frequency factors — each tap gather prices per row,
-                # ~0.87 ms at half res on sponza; trace r4)
+                # res (low-frequency factors; gathers price per row). The
+                # quarter-res rows are RE-GATHERED from the quarter-res vid
+                # (130k rows ≈ 1.1 ms) — downsampling the half-res row image
+                # materialized the bad (h/2, w/2, 32) layout it existed to avoid.
                 hi_feats = tuple(f for f in texture_features if f in ("albedo", "normal"))
                 lo_feats = tuple(f for f in texture_features if f in ("mr", "emissive"))
                 tex = sample_material_textures(
                     mat_rows, taps, atlas.shape[0], uv_h, features=hi_feats,
                 )
                 if lo_feats:
+                    vid_q = _pds(vid, 4)
+                    hq, wq = vid_q.shape
                     tex_q = sample_material_textures(
-                        _pds(mat_rows, 2), taps,
-                        atlas.shape[0], _pds(uv_h, 2), features=lo_feats,
+                        slot_rows_at(vid_q), taps, atlas.shape[0],
+                        _pds(gbuffer["uv"], 4).reshape(-1, 2), features=lo_feats,
                     )
-                valid_h = (vid_h >= 0)[..., None]
-                valid_q = _pds(valid_h, 2)
+                valid_h = (vid_h >= 0).reshape(-1, 1)
+                if lo_feats:
+                    valid_q = (vid_q >= 0).reshape(-1, 1)
 
-                def up(x, c, valid=None):
+                def up(x, c, shape_hw=(h2, w2), valid=None):
                     v_ = valid_h if valid is None else valid
                     return jax.image.resize(
-                        jnp.where(v_, x, 1.0), (h, w, c), method="linear"
+                        jnp.where(v_, x, 1.0).reshape(shape_hw + (c,)),
+                        (h, w, c), method="linear",
                     )
 
                 gbuffer = dict(gbuffer)
                 if "albedo" in texture_features:
                     gbuffer["albedo"] = gbuffer["albedo"] * up(tex["albedo_rgb"], 3)
                 if "mr" in texture_features:
-                    mrf = up(tex_q["mr"], 2, valid_q)
+                    mrf = up(tex_q["mr"], 2, (hq, wq), valid_q)
                     gbuffer["metallic"] = gbuffer["metallic"] * mrf[..., 0]
                     gbuffer["roughness"] = gbuffer["roughness"] * mrf[..., 1]
                     gbuffer["occlusion"] = (
-                        gbuffer["occlusion"] * up(tex_q["occlusion"], 1, valid_q)[..., 0]
+                        gbuffer["occlusion"]
+                        * up(tex_q["occlusion"], 1, (hq, wq), valid_q)[..., 0]
                     )
                 if "emissive" in texture_features:
                     gbuffer["emissive"] = gbuffer["emissive"] * up(
-                        tex_q["emissive_rgb"], 3, valid_q
+                        tex_q["emissive_rgb"], 3, (hq, wq), valid_q
                     )
                 if "normal" in texture_features:
                     # tangent-space normal sampled at half res, perturbation at
@@ -524,7 +543,9 @@ class RendererInstance:
                     nts = jnp.where(
                         valid_h, tex["normal_ts"], jnp.array([0.0, 0.0, 1.0])
                     )
-                    nts_full = jax.image.resize(nts, (h, w, 3), method="linear")
+                    nts_full = jax.image.resize(
+                        nts.reshape(h2, w2, 3), (h, w, 3), method="linear"
+                    )
                     gbuffer["normal"] = jnp.where(
                         gbuffer["hit"][..., None],
                         perturb_normal(gbuffer["normal"], gbuffer["tangent"], nts_full),
