@@ -453,9 +453,13 @@ def _gbuffer_kernel_body(
         e2 = e[2 * n_slots : 3 * n_slots, :]
         zn = e[3 * n_slots : 4 * n_slots, :]
         wd = e[4 * n_slots :, :]
+        # cover folded into ONE min-tree + one compare (was 4 compares + 3
+        # ands): inside ⇔ min(e0,e1,e2, zn, wd−zn, wd−tiny) ≥ 0 — the resolve
+        # is VPU-throughput-bound on (R, PIX) (trace r5), every op counts
         m = jnp.minimum(jnp.minimum(e0, e1), e2)
-        cover = (m >= 0) & (zn >= 0) & (zn <= wd) & (wd > 0)
-        z = zn / jnp.where(wd > 0, wd, 1.0)
+        q = jnp.minimum(jnp.minimum(m, zn), jnp.minimum(wd - zn, wd - 1e-30))
+        cover = q >= 0
+        z = zn * (1.0 / jnp.maximum(wd, 1e-30))
         zi = (jax.lax.bitcast_convert_type(z, jnp.int32) & ~jnp.int32(127)) | slot_code
         keyk = jnp.max(jnp.where(cover, zi, -1), axis=0, keepdims=True)
         better = keyk > key
@@ -623,9 +627,13 @@ def _gbuffer_kernel_resident_body(
         e2 = e[2 * n_slots : 3 * n_slots, :]
         zn = e[3 * n_slots : 4 * n_slots, :]
         wd = e[4 * n_slots :, :]
+        # cover folded into ONE min-tree + one compare (was 4 compares + 3
+        # ands): inside ⇔ min(e0,e1,e2, zn, wd−zn, wd−tiny) ≥ 0 — the resolve
+        # is VPU-throughput-bound on (R, PIX) (trace r5), every op counts
         m = jnp.minimum(jnp.minimum(e0, e1), e2)
-        cover = (m >= 0) & (zn >= 0) & (zn <= wd) & (wd > 0)
-        z = zn / jnp.where(wd > 0, wd, 1.0)
+        q = jnp.minimum(jnp.minimum(m, zn), jnp.minimum(wd - zn, wd - 1e-30))
+        cover = q >= 0
+        z = zn * (1.0 / jnp.maximum(wd, 1e-30))
         zi = (jax.lax.bitcast_convert_type(z, jnp.int32) & ~jnp.int32(127)) | slot_code
         keyk = jnp.max(jnp.where(cover, zi, -1), axis=0, keepdims=True)
         better = keyk > key
@@ -811,6 +819,275 @@ def rasterize_gbuffer_pallas(
     # gb rows are (tile-major × 16 attrs): (T*16, PIX) → (H, W, 16)
     gbt = gb[: n_tiles * N_GB_ATTR].reshape(ty, tx, N_GB_ATTR, TILE, TILE)
     gbt = gbt.transpose(0, 3, 1, 4, 2).reshape(ty * TILE, tx * TILE, N_GB_ATTR)
+    return untile(depth), untile(vid), gbt[:height, :width]
+
+
+# ---------------------------------------------------------------------------
+# Per-tile triangle raster (round 5): loop-free rounds over dense entry lists
+# ---------------------------------------------------------------------------
+
+TILE_ROUND = 64          # entries resolved per kernel round (one matmul each)
+_RND_LANES = 384         # per-round lane stride: 5·64 planes padded to 3×128
+                         # (dynamic lane slices of values must be 128-aligned)
+
+
+def pack_tile_blocks(
+    dense: dict,          # compact_triangles / passthrough_groups output
+    entries: Array,       # (T, K2) global flat slot ids or -1 (bin_triangles_per_tile)
+    consts: Array,        # (G, R, 8) or (G, 8) per-slot material constants
+    mat_rows: Array | None = None,  # (M, 32) packed material rows (textured)
+):
+    """Gather per-(tile, entry) kernel blocks + downstream slot tables.
+
+    ONE combined row gather (gathers price per row — PERF_NOTES) pulls, for
+    every dense tile entry: the 64-lane phase-B attribute row, the 15 raster
+    plane coefficients, the conservative nearest z, and the slot-table fields
+    (material, instance, packed id[, the 32-lane material row]). Everything
+    the kernel and the downstream texturing/picking consumers need rides one
+    (T·K2)-row gather.
+
+    Returns dict:
+      cm_t   (T·8, ROUNDS·384) f32 — per-tile plane matrix, rows a,b,c(+pad5),
+             lanes per round [e0·64 | e1·64 | e2·64 | zn·64 | wd·64 | pad·64]
+      attr_t (T·K2, 128) bf16 — hi/lo phase-B rows per entry
+      near_r (T, ROUNDS) i32 — suffix-max nearest-z bit patterns per round
+      tables (material, instance, packed_id[, rows]) per (tile, entry)
+    """
+    t_n, k2 = entries.shape
+    assert k2 % TILE_ROUND == 0, "k2 must be a multiple of 64"
+    rounds = k2 // TILE_ROUND
+    g, r = dense["tri_valid"].shape
+
+    _, attrB = pack_gbuffer_coeff_matrix(
+        dense["coeffs"], dense["attr_planes"], dense["tri_valid"], consts
+    )  # (G·R, 64) f32
+
+    tz = dense["tri_z"]  # (G, R) per-triangle conservative nearest z
+    parts = [
+        attrB.reshape(g, r, 64),
+        dense["coeffs"].reshape(g, r, 15),
+        tz[..., None],
+        dense["slot_material"].astype(jnp.float32)[..., None],
+        dense["slot_instance"].astype(jnp.float32)[..., None],
+        dense["packed_id"].astype(jnp.float32)[..., None],  # < 2^24, f32-exact
+    ]
+    n_row = 0
+    if mat_rows is not None:
+        n_row = mat_rows.shape[-1]
+        rows_m = mat_rows[dense["slot_material"].reshape(-1)].reshape(g, r, n_row)
+        parts.append(rows_m)
+    # per-slot row layout: [attrB 64 | coeff 15 | tz | mat | inst | pid | rows n]
+    lane_w = 64 + 15 + 4 + n_row
+    comb = jnp.concatenate(parts, axis=-1).reshape(g * r, lane_w)
+
+    have = entries >= 0
+    d = comb[jnp.maximum(entries, 0).reshape(-1)]  # (T·K2, L) — the one gather
+    d = jnp.where(have.reshape(-1, 1), d, 0.0)
+
+    attr_e = d[:, 0:64]
+    attr_t = pack_attrB_hilo(attr_e)  # (T·K2, 128) bf16
+
+    co = d[:, 64:79]  # (T·K2, 15) plane-major (5 planes × abc)
+    # invalid entries must never cover: e0's constant term ≡ -1e30
+    co = co.at[:, 2].set(jnp.where(have.reshape(-1), co[:, 2], -1e30))
+    co = co.reshape(t_n, rounds, TILE_ROUND, 5, 3)
+    cm = jnp.transpose(co, (0, 1, 4, 3, 2)).reshape(t_n, rounds, 3, 5 * TILE_ROUND)
+    cm = jnp.pad(cm, ((0, 0), (0, 0), (0, 5), (0, _RND_LANES - 5 * TILE_ROUND)))
+    cm_t = jnp.transpose(cm, (0, 2, 1, 3)).reshape(t_n * 8, rounds * _RND_LANES)
+
+    tz_e = jnp.where(have, d[:, 79].reshape(t_n, k2), -1.0)
+    near_round = jnp.max(
+        jnp.maximum(tz_e, 0.0).reshape(t_n, rounds, TILE_ROUND), axis=-1
+    )
+    near_sfx = jnp.flip(jax.lax.cummax(jnp.flip(near_round, axis=1), axis=1), axis=1)
+    near_r = jax.lax.bitcast_convert_type(near_sfx, jnp.int32)
+
+    tables = (
+        jnp.where(have, d[:, 80].reshape(t_n, k2).astype(jnp.int32), 0).reshape(-1),
+        jnp.where(have, d[:, 81].reshape(t_n, k2).astype(jnp.int32), 0).reshape(-1),
+        jnp.where(have, d[:, 82].reshape(t_n, k2).astype(jnp.int32), -1).reshape(-1),
+    )
+    if n_row:
+        tables = tables + (d[:, 83 : 83 + n_row],)
+    return {"cm_t": cm_t, "attr_t": attr_t, "near_r": near_r, "tables": tables}
+
+
+def _make_tile_kernel(tile: int, k2: int):
+    pix = tile * tile
+    rounds = k2 // TILE_ROUND
+
+    def _tile_kernel(cnt_ref, tx_ref, near_ref, cm_ref, attr_ref,
+                     depth_out, vid_out, gb_out):
+        t = pl.program_id(0)
+        row = t % ROWG
+        tx = tx_ref[0]
+        tg = t + tx_ref[1]
+        x0 = ((tg % tx) * tile).astype(jnp.float32)
+        y0 = ((tg // tx) * tile).astype(jnp.float32)
+        pmat16, xl, yl = _pmat16_local(tile)
+        px = x0 + xl
+        py = y0 + yl
+
+        n = cnt_ref[row, 0]
+        rounds_n = (n + TILE_ROUND - 1) // TILE_ROUND
+        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROUND, pix), 0)
+        slot_code = 127 - slot_iota
+
+        # whole-tile hi/lo conversion once: (8, ROUNDS·384) → (16, ROUNDS·384)
+        blk16 = _local_hilo16(cm_ref[pl.ds(row * 8, 8), :], x0, y0)
+
+        def cond_a(carry):
+            r0, key, vid = carry
+            dmin = jnp.min(key) & ~jnp.int32(127)
+            return (r0 < rounds_n) & (
+                dmin < near_ref[row, jnp.minimum(r0, rounds - 1)]
+            )
+
+        def loop_a(carry):
+            r0, key, vid = carry
+            blk = jax.lax.dynamic_slice_in_dim(
+                blk16, r0 * _RND_LANES, _RND_LANES, axis=1
+            )  # (16, 384) bf16
+            e = jax.lax.dot_general(
+                blk, pmat16,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (384, PIX); rows 320:384 are pad
+            e0 = e[0 * TILE_ROUND : 1 * TILE_ROUND, :]
+            e1 = e[1 * TILE_ROUND : 2 * TILE_ROUND, :]
+            e2 = e[2 * TILE_ROUND : 3 * TILE_ROUND, :]
+            zn = e[3 * TILE_ROUND : 4 * TILE_ROUND, :]
+            wd = e[4 * TILE_ROUND : 5 * TILE_ROUND, :]
+            m = jnp.minimum(jnp.minimum(e0, e1), e2)
+            q = jnp.minimum(jnp.minimum(m, zn), jnp.minimum(wd - zn, wd - 1e-30))
+            cover = q >= 0
+            z = zn * (1.0 / jnp.maximum(wd, 1e-30))
+            zi = (jax.lax.bitcast_convert_type(z, jnp.int32) & ~jnp.int32(127)) | slot_code
+            keyk = jnp.max(jnp.where(cover, zi, -1), axis=0, keepdims=True)
+            better = keyk > key
+            vid = jnp.where(
+                better, tg * 256 + r0 * TILE_ROUND + (127 - (keyk & 127)), vid
+            )
+            return r0 + 1, jnp.where(better, keyk, key), vid
+
+        key0 = jnp.zeros((1, pix), jnp.int32)
+        vid0 = jnp.full((1, pix), -1, jnp.int32)
+        r_stop, key, vid = jax.lax.while_loop(
+            cond_a, loop_a, (jnp.int32(0), key0, vid0)
+        )
+        depth = jax.lax.bitcast_convert_type(key & ~jnp.int32(127), jnp.float32)
+
+        def loop_b(r0, carry):
+            pa, pc = carry
+            blk = attr_ref[pl.ds(row * k2 + r0 * TILE_ROUND, TILE_ROUND), :]
+            kye = vid - (tg * 256 + r0 * TILE_ROUND)
+            onehot = (slot_iota == kye).astype(jnp.bfloat16)
+            sel = jax.lax.dot_general(
+                blk, onehot,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (128, PIX): rows 0:64 hi, 64:128 lo
+            a = sel[0:16, :] + sel[64:80, :]
+            b = sel[16:32, :] + sel[80:96, :]
+            c = sel[32:48, :] + sel[96:112, :]
+            cst = sel[48:64, :] + sel[112:128, :]
+            attrs = a * px + b * py + c
+            mine = (kye >= 0) & (kye < TILE_ROUND)
+            return jnp.where(mine, attrs, pa), jnp.where(mine, cst, pc)
+
+        pa, pc = jax.lax.fori_loop(
+            0, r_stop, loop_b,
+            (jnp.zeros((N_GB_ATTR, pix), jnp.float32),
+             jnp.zeros((N_GB_ATTR, pix), jnp.float32)),
+        )
+        ssb = pa[8:9, :]
+        rw = 1.0 / jnp.where(jnp.abs(ssb) > 1e-12, ssb, 1.0)
+        depth_out[pl.ds(row, 1), :] = depth
+        vid_out[pl.ds(row, 1), :] = vid
+        gb_out[pl.ds(row * N_GB_ATTR, 8), :] = (pa[0:8, :] * rw).astype(jnp.bfloat16)
+        gb_out[pl.ds(row * N_GB_ATTR + 8, 8), :] = pc[0:8, :].astype(jnp.bfloat16)
+
+    return _tile_kernel
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile", "interpret"))
+def rasterize_gbuffer_tiles(
+    blocks: dict,        # pack_tile_blocks output (cm_t, attr_t, near_r)
+    counts: Array,       # (T,) entries per tile (bin_triangles_per_tile)
+    width: int,
+    height: int,
+    tile: int = TILE,
+    interpret: bool = False,
+    tile_base: Array | int = 0,
+):
+    """Loop-free per-tile G-buffer raster over dense triangle entry lists.
+
+    Each grid step streams its tile's plane matrix + phase-B rows via
+    BlockSpec (no resident whole-scene matrix — the VMEM ceiling that forced
+    the old kernel's resident/HBM split disappears), runs ceil(count/64)
+    rounds of ONE (16, 384)×(16, PIX) plane matmul + packed-key resolve, with
+    a front-to-back early-out between rounds, then gathers the winners'
+    attributes per round. vid = (global_tile << 8) | entry, so downstream
+    flat = (vid >> 8)·K2 + (vid & 255) indexes the per-(tile, entry) tables
+    from pack_tile_blocks. Returns (depth, vid, gbuffer) like
+    rasterize_gbuffer_pallas."""
+    TILE_, PIX_ = tile, tile * tile
+    tx = (width + TILE_ - 1) // TILE_
+    ty = (height + TILE_ - 1) // TILE_
+    n_tiles = tx * ty
+    k2 = blocks["attr_t"].shape[0] // n_tiles
+    rounds = k2 // TILE_ROUND
+
+    def pad_rows(a, fill):
+        if a.shape[0] % ROWG != 0:
+            p = ROWG - a.shape[0] % ROWG
+            a = jnp.pad(a, ((0, p), (0, 0)), constant_values=fill)
+        return a
+
+    n_tiles_pad = ((n_tiles + ROWG - 1) // ROWG) * ROWG
+    cm_t = blocks["cm_t"]
+    attr_t = blocks["attr_t"]
+    if n_tiles_pad != n_tiles:
+        cm_t = jnp.pad(cm_t, ((0, (n_tiles_pad - n_tiles) * 8), (0, 0)))
+        attr_t = jnp.pad(attr_t, ((0, (n_tiles_pad - n_tiles) * k2), (0, 0)))
+
+    depth, vid, gb = pl.pallas_call(
+        _make_tile_kernel(TILE_, k2),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((ROWG, 1), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((ROWG, rounds), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ROWG * 8, rounds * _RND_LANES), lambda t: (t // ROWG, 0)),
+            pl.BlockSpec((ROWG * k2, 128), lambda t: (t // ROWG, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((ROWG, PIX_), lambda t: (t // ROWG, 0)),
+            pl.BlockSpec((ROWG, PIX_), lambda t: (t // ROWG, 0)),
+            pl.BlockSpec((ROWG * N_GB_ATTR, PIX_), lambda t: (t // ROWG, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles_pad, PIX_), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles_pad, PIX_), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles_pad * N_GB_ATTR, PIX_), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        pad_rows(counts.astype(jnp.int32)[:, None], 0),
+        jnp.stack([jnp.asarray(tx, jnp.int32), jnp.asarray(tile_base, jnp.int32)]),
+        pad_rows(blocks["near_r"], 0),
+        cm_t, attr_t,
+    )
+
+    def untile(a):
+        a = a[:n_tiles].reshape(ty, tx, TILE_, TILE_)
+        return a.transpose(0, 2, 1, 3).reshape(ty * TILE_, tx * TILE_)[:height, :width]
+
+    gbt = gb[: n_tiles * N_GB_ATTR].reshape(ty, tx, N_GB_ATTR, TILE_, TILE_)
+    gbt = gbt.transpose(0, 3, 1, 4, 2).reshape(ty * TILE_, tx * TILE_, N_GB_ATTR)
     return untile(depth), untile(vid), gbt[:height, :width]
 
 

@@ -401,6 +401,13 @@ def passthrough_groups(
         "packed_id": jnp.where(tri_mask, setup["packed_id"], -1),
         "slot_rows": None,
         "count": jnp.sum(tri_mask.astype(jnp.int32)),
+        # per-TRIANGLE bounds + nearest z for triangle-level tile binning
+        # (bin_triangles_per_tile) — the per-tile raster path
+        "tri_xmin": jnp.where(tri_mask, setup["tri_xmin"], 1e9),
+        "tri_xmax": jnp.where(tri_mask, setup["tri_xmax"], -1e9),
+        "tri_ymin": jnp.where(tri_mask, setup["tri_ymin"], 1e9),
+        "tri_ymax": jnp.where(tri_mask, setup["tri_ymax"], -1e9),
+        "tri_z": jnp.where(tri_mask, tz, -1.0),
     }
     if mat_rows is not None:
         rows_m = mat_rows[slot_material]  # (VM, 32) — table-sized gather, ~free
@@ -408,6 +415,95 @@ def passthrough_groups(
             rows_m[:, None, :], (vm, r, mat_rows.shape[-1])
         ).reshape(vm * r, mat_rows.shape[-1])
     return out
+
+
+def bin_triangles_per_tile(
+    dense: dict,
+    width: int,
+    height: int,
+    tile: int,
+    k_groups: int,
+    k2: int,
+) -> tuple[Array, Array, Array]:
+    """Per-tile TRIANGLE shortlists — the round-5 raster redesign.
+
+    The group-hit kernel evaluates every slot of every binned group per tile:
+    at sponza that is ~480 candidate slots/tile where only ~61 triangles
+    actually overlap the tile (bbox-exact, measured r5) — 85% of the dominant
+    VPU resolve was dead slots, and group/tile shape scans move it ≤5%
+    (scan_sponza r5). This stage compacts, per tile, the triangles whose OWN
+    screen bbox overlaps the tile into a dense entry list the loop-free
+    per-tile kernel consumes (`rasterize_gbuffer_tiles`). This is the closest
+    TPU analog of the reference's per-pixel HW raster touching only covered
+    tiles (`visbuffer_encode.slang`).
+
+    Two-level construction keeps every op at tractable shape:
+      1. group (meshlet) bboxes → per-tile group lists (existing compare-
+         reduce binning; `k_groups` cap);
+      2. the K·R candidate space per tile is masked by per-TRIANGLE bbox
+         overlap, then rank-compacted to `k2` dense entries with the same
+         monotone-cumsum compare-reduce (u16 ranks — k2 ≤ 1024).
+    Entry order preserves the front-to-back group order (depth-sorted culling
+    upstream), so the kernel's round early-out stays effective.
+
+    Returns (entries (T, k2) i32 — global flat slot id (g·R + r) or -1,
+    counts (T,) i32 clipped to k2, overflow () i32 — dropped tile-triangle
+    pairs; the bench gates assert it stays 0)."""
+    g_list, g_ovf = bin_meshlets_to_tiles(dense, width, height, tile, k_groups)
+    g_count, r = dense["tri_valid"].shape
+    t_n = g_list.shape[0]
+    tx = (width + tile - 1) // tile
+    gl = jnp.maximum(g_list, 0)
+
+    # per-candidate tri fields in ONE (T·K) row gather: [xmin xmax ymin ymax valid]·R
+    fields = jnp.concatenate(
+        [
+            jnp.clip(dense["tri_xmin"], 0.0, float(width)),
+            jnp.clip(dense["tri_xmax"], -1.0, float(width)),
+            jnp.clip(dense["tri_ymin"], 0.0, float(height)),
+            jnp.clip(dense["tri_ymax"], -1.0, float(height)),
+            dense["tri_valid"].astype(jnp.float32),
+        ],
+        axis=1,
+    )  # (G, 5R)
+    cand = fields[gl]  # (T, K, 5R)
+    k = g_list.shape[1]
+    cx0 = cand[:, :, 0 * r : 1 * r].reshape(t_n, k * r)
+    cx1 = cand[:, :, 1 * r : 2 * r].reshape(t_n, k * r)
+    cy0 = cand[:, :, 2 * r : 3 * r].reshape(t_n, k * r)
+    cy1 = cand[:, :, 3 * r : 4 * r].reshape(t_n, k * r)
+    cv = cand[:, :, 4 * r : 5 * r].reshape(t_n, k * r) > 0.5
+
+    tids = jnp.arange(t_n, dtype=jnp.int32)
+    tile_x0 = ((tids % tx) * tile).astype(jnp.float32)[:, None]
+    tile_y0 = ((tids // tx) * tile).astype(jnp.float32)[:, None]
+    live_k = (g_list >= 0)[:, :, None]
+    m = (
+        (cx1 >= tile_x0) & (cx0 < tile_x0 + tile)
+        & (cy1 >= tile_y0) & (cy0 < tile_y0 + tile)
+        & cv
+        & jnp.broadcast_to(live_k, (t_n, k, r)).reshape(t_n, k * r)
+    )  # (T, K·R)
+
+    cum = jnp.cumsum(m.astype(jnp.int32), axis=1)  # monotone per tile
+    cnt_raw = cum[:, -1]
+    # stage-1 group overflow also drops triangles — surface both
+    overflow = jnp.sum(jnp.maximum(cnt_raw - k2, 0)) + g_ovf
+    cnt = jnp.minimum(cnt_raw, k2)
+    # entry j's source position = first n with cum == j+1; for a monotone row
+    # that is Σ_n [cum_n < j+1] (the searchsorted-as-count trick of
+    # bin_meshlets_to_tiles, u16 ranks for k2 up to 1024)
+    ranks = jnp.arange(1, k2 + 1, dtype=jnp.uint16)
+    cum_cl = jnp.minimum(cum, k2 + 1).astype(jnp.uint16)[:, :, None]
+    pos = jnp.sum(
+        (cum_cl < ranks[None, None, :]).astype(jnp.int32), axis=1
+    )  # (T, k2)
+    have = cnt_raw[:, None] >= ranks.astype(jnp.int32)[None, :]
+    k_of = jnp.clip(pos // r, 0, k - 1)
+    r_of = pos % r
+    flat = jnp.take_along_axis(gl, k_of, axis=1) * r + r_of
+    entries = jnp.where(have, flat, -1)
+    return entries, cnt, overflow
 
 
 def bin_meshlets_to_tiles(

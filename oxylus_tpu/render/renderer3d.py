@@ -77,8 +77,18 @@ class RenderSpec:
     # post-cull triangle compaction (the reference's cull_triangles re-grouping):
     # pays a combined-row gather (~4.5 ms at 1080p caps) to remove raster dead
     # lanes. Worth it for low-fill imported scenes (sponza); primitive scenes
-    # whose baked meshlets are dense + screen-local skip it (trace r5)
+    # whose baked meshlets are dense + screen-local skip it (trace r5).
+    # Only meaningful on the "group" raster path.
     compact_raster: bool = True
+    # raster path: "tile" = per-tile TRIANGLE shortlists + loop-free rounds
+    # kernel (rasterize_gbuffer_tiles — r5 redesign: only triangles whose bbox
+    # overlaps a tile are resolved there, ~8× fewer candidate slots than the
+    # group-hit kernel at sponza); "group" = the group-hit kernel
+    # (rasterize_gbuffer_pallas), kept for the band-sharded production path
+    raster_path: str = "tile"
+    # dense triangle entries per tile on the "tile" path (multiple of 64);
+    # overflow is counted and gated by the bench — sponza/frame3d max ≈ 194
+    tris_per_tile: int = 256
     # tests only: run the Pallas G-buffer path in interpret mode on CPU so the
     # production frame graph (dense compaction, texturing, alpha masking) is
     # CI-coverable without a TPU
@@ -196,10 +206,13 @@ class RendererInstance:
         use_gbuffer_raster = spec.use_pallas and (
             platform in ("tpu", "axon") or spec.gbuffer_interpret
         )
-        # dense-group slot stride for vid maps: compaction re-groups to
-        # `raster_group`-slot groups; passthrough keeps the 64-slot source
-        # meshlets as groups
-        n_slots_r = spec.raster_group if spec.compact_raster else 64
+        # dense slot stride for vid maps: the tile path tables per-(tile, entry)
+        # with K2 entries; the group path tables per dense group slot
+        use_tile_raster = spec.raster_path == "tile"
+        if use_tile_raster:
+            n_slots_r = spec.tris_per_tile
+        else:
+            n_slots_r = spec.raster_group if spec.compact_raster else 64
         if use_gbuffer_raster:
             # G-buffer raster: attributes + material constants interpolated inside
             # the kernel (the per-pixel decode gather pass costs ~0.5 s at 1080p on
@@ -211,9 +224,15 @@ class RendererInstance:
             from ..ops.raster3d import (
                 gbuffer_from_raster,
                 pack_gbuffer_coeff_matrix,
+                pack_tile_blocks,
                 rasterize_gbuffer_pallas,
+                rasterize_gbuffer_tiles,
             )
-            from ..ops.setup3d import compact_triangles, passthrough_groups
+            from ..ops.setup3d import (
+                bin_triangles_per_tile,
+                compact_triangles,
+                passthrough_groups,
+            )
 
             mat_idx = gscene.inst_material[vm_inst]  # (VM,) per source meshlet
             if alpha_masked:
@@ -246,14 +265,33 @@ class RendererInstance:
                 mat_tab_r = None
 
         def raster_pass(vis_mask, tri_filter=None):
-            """One G-buffer raster pass: compact → pack → bin → raster.
-            Returns (depth, vid, gb, bin_overflow, slot_tables) where
-            slot_tables = (material, instance, packed_id[, mat_rows]) per dense
-            slot. `tri_filter` (VM,) restricts the pass to a meshlet subset
-            (the opaque/alpha-masked split)."""
+            """One G-buffer raster pass. Returns (depth, vid, gb, bin_overflow,
+            slot_tables) where slot_tables = (material, instance,
+            packed_id[, mat_rows]) per dense slot. `tri_filter` (VM,) restricts
+            the pass to a meshlet subset (the opaque/alpha-masked split).
+
+            Tile path (default): per-tile TRIANGLE shortlists → loop-free
+            rounds kernel; slot tables are per-(tile, entry), vid =
+            (tile << 8) | entry. Group path: compact/passthrough groups →
+            group-hit kernel (kept for band sharding)."""
             tri_mask = setup["tri_valid"] & vis_mask[:, None]
             if tri_filter is not None:
                 tri_mask = tri_mask & tri_filter[:, None]
+            if use_tile_raster:
+                dense = passthrough_groups(setup, tri_mask, mat_idx, vm_inst)
+                entries, cnts, ov = bin_triangles_per_tile(
+                    dense, w, h, spec.tile, spec.meshlets_per_tile,
+                    spec.tris_per_tile,
+                )
+                blocks = pack_tile_blocks(
+                    dense, entries, consts_m[dense["slot_material"]],
+                    mat_rows=mat_tab_r,
+                )
+                d, v, gb = rasterize_gbuffer_tiles(
+                    blocks, cnts, w, h, tile=spec.tile,
+                    interpret=spec.gbuffer_interpret,
+                )
+                return d, v, gb, ov, blocks["tables"]
             if spec.compact_raster:
                 dense = compact_triangles(
                     setup, tri_mask, mat_idx, vm_inst,

@@ -221,3 +221,122 @@ def test_gbuffer_compacted_matches_sparse(scene):
     orig = pid_tab[np.clip(flat, 0, pid_tab.size - 1)]
     match = (orig[hit_s] == np.asarray(v_s)[hit_s]).mean()
     assert match > 0.99, f"packed_id remap match {match}"
+
+
+def test_gbuffer_passthrough_matches_sparse(scene):
+    """Passthrough grouping (`passthrough_groups` — the compaction-free raster
+    path for dense primitive scenes, RenderSpec.compact_raster=False) must
+    produce the same image as rastering the raw meshlet groups: identical
+    depth/vid, identical attributes, and slot tables that resolve vids."""
+    import dataclasses
+
+    from oxylus_tpu.ops.setup3d import passthrough_groups
+    from oxylus_tpu.ops.raster3d import TILE
+
+    gscene, world, setup, vm_inst, tile_list, cam = scene
+    mats = empty_gpu_materials(4)
+    mats = dataclasses.replace(
+        mats,
+        albedo_color=mats.albedo_color.at[0].set(jnp.array([0.7, 0.3, 0.1, 1.0])),
+    )
+    consts_m = jnp.concatenate(
+        [
+            mats.albedo_color[:, :3],
+            mats.metallic_factor[:, None],
+            mats.roughness_factor[:, None],
+            mats.emissive_color,
+        ],
+        axis=1,
+    )
+    mat_idx = gscene.inst_material[vm_inst]
+
+    cm_s, at_s = pack_gbuffer_coeff_matrix(
+        setup["coeffs"], setup["attr_planes"], setup["tri_valid"], consts_m[mat_idx]
+    )
+    d_s, v_s, gb_s = rasterize_gbuffer_pallas(cm_s, at_s, tile_list, W, H, interpret=True)
+
+    dense = passthrough_groups(setup, setup["tri_valid"], mat_idx, vm_inst)
+    assert int(dense["count"]) == int(jnp.sum(setup["tri_valid"]))
+    cm_p, at_p = pack_gbuffer_coeff_matrix(
+        dense["coeffs"], dense["attr_planes"], dense["tri_valid"],
+        consts_m[dense["slot_material"]],
+    )
+    near_eo = jnp.flip(jax.lax.cummax(jnp.flip(dense["ml_near"])))
+    tl_p, _ = bin_meshlets_to_tiles(dense, W, H, TILE, 8)
+    d_p, v_p, gb_p = rasterize_gbuffer_pallas(
+        cm_p, at_p, tl_p, W, H, ml_near=near_eo, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(d_p), np.asarray(d_s))
+    np.testing.assert_array_equal(np.asarray(v_p), np.asarray(v_s))
+    hit = np.asarray(v_s) >= 0
+    a, b = np.asarray(gb_p, np.float32), np.asarray(gb_s, np.float32)
+    assert np.abs(a[hit] - b[hit]).max() < 2e-2
+    # passthrough packed_id is identity at valid slots
+    pid_tab = np.asarray(dense["packed_id"]).reshape(-1)
+    flat = (np.asarray(v_p) >> 8) * 64 + (np.asarray(v_p) & 255)
+    orig = pid_tab[np.clip(flat, 0, pid_tab.size - 1)]
+    np.testing.assert_array_equal(orig[hit], np.asarray(v_s)[hit])
+
+
+def test_tile_raster_matches_group_kernel(scene):
+    """The per-tile triangle raster (bin_triangles_per_tile → pack_tile_blocks
+    → rasterize_gbuffer_tiles — r5 redesign) must produce the same image as the
+    group-hit kernel: identical depth, identical hit mask, same attributes, and
+    per-(tile, entry) tables that resolve vids back to the sparse packed ids."""
+    import dataclasses
+
+    from oxylus_tpu.ops.raster3d import (
+        TILE,
+        pack_tile_blocks,
+        rasterize_gbuffer_tiles,
+    )
+    from oxylus_tpu.ops.setup3d import bin_triangles_per_tile, passthrough_groups
+
+    gscene, world, setup, vm_inst, tile_list, cam = scene
+    mats = empty_gpu_materials(4)
+    mats = dataclasses.replace(
+        mats,
+        albedo_color=mats.albedo_color.at[0].set(jnp.array([0.7, 0.3, 0.1, 1.0])),
+        metallic_factor=mats.metallic_factor.at[0].set(0.5),
+    )
+    consts_m = jnp.concatenate(
+        [
+            mats.albedo_color[:, :3],
+            mats.metallic_factor[:, None],
+            mats.roughness_factor[:, None],
+            mats.emissive_color,
+        ],
+        axis=1,
+    )
+    mat_idx = gscene.inst_material[vm_inst]
+
+    # group-kernel reference image
+    cm_s, at_s = pack_gbuffer_coeff_matrix(
+        setup["coeffs"], setup["attr_planes"], setup["tri_valid"], consts_m[mat_idx]
+    )
+    d_s, v_s, gb_s = rasterize_gbuffer_pallas(cm_s, at_s, tile_list, W, H, interpret=True)
+
+    # per-tile triangle path
+    K2 = 128
+    dense = passthrough_groups(setup, setup["tri_valid"], mat_idx, vm_inst)
+    entries, cnts, ovf = bin_triangles_per_tile(dense, W, H, TILE, 8, K2)
+    assert int(ovf) == 0
+    assert int(jnp.sum(cnts)) >= int(jnp.sum(setup["tri_valid"]))  # tri-tile pairs
+    blocks = pack_tile_blocks(dense, entries, consts_m[dense["slot_material"]])
+    d_t, v_t, gb_t = rasterize_gbuffer_tiles(
+        blocks, cnts, W, H, tile=TILE, interpret=True
+    )
+
+    np.testing.assert_array_equal(np.asarray(d_t), np.asarray(d_s))
+    hit_s = np.asarray(v_s) >= 0
+    hit_t = np.asarray(v_t) >= 0
+    np.testing.assert_array_equal(hit_t, hit_s)
+    a, b = np.asarray(gb_t, np.float32), np.asarray(gb_s, np.float32)
+    assert np.abs(a[hit_s] - b[hit_s]).max() < 2e-2
+    # vid = (tile << 8) | entry → per-(tile, entry) packed-id table resolves
+    # to the sparse vid at pixels with a unique winner (depth ties may differ)
+    pid_tab = np.asarray(blocks["tables"][2])
+    flat = (np.asarray(v_t) >> 8) * K2 + (np.asarray(v_t) & 255)
+    orig = pid_tab[np.clip(flat, 0, pid_tab.size - 1)]
+    match = (orig[hit_s] == np.asarray(v_s)[hit_s]).mean()
+    assert match > 0.99, f"packed_id remap match {match}"
