@@ -298,6 +298,8 @@ def _build_frame3d_runner(width=1920, height=1080, n_objects=200):
         render_spec=RenderSpec(width=width, height=height,
                                compact_raster=os.environ.get("OX_COMPACT", "0") == "1",
                                tile=int(os.environ.get("OX_TILE", "64")),
+                               tris_per_tile=int(os.environ.get("OX_K2", "192")),
+                               bin_groups_per_tile=int(os.environ.get("OX_BG", "32")),
                                meshlets_per_tile=int(os.environ.get("OX_MPT", "64"))),
         atmosphere=AtmosphereParams(), enable_shadows=True,
     )
@@ -372,7 +374,9 @@ def _build_frame5_runner(width=1920, height=1080, n_objects=150, n_boxes=255):
     runner = SceneRunner(
         s, width=width, height=height, render_mode="3d", meshes=meshes,
         render_spec=RenderSpec(width=width, height=height,
-                               compact_raster=os.environ.get("OX_COMPACT", "0") == "1"),
+                               compact_raster=os.environ.get("OX_COMPACT", "0") == "1",
+                               tris_per_tile=int(os.environ.get("OX_K2", "192")),
+                               bin_groups_per_tile=int(os.environ.get("OX_BG", "32"))),
         atmosphere=AtmosphereParams(), enable_shadows=True,
         use_megakernel=True,  # physics substeps via the Pallas throughput kernel
     )
@@ -416,8 +420,8 @@ def _build_sponza_runner(width=1920, height=1080, regen=False):
 
     cache = Path(__file__).parent / ".cache"
     cache.mkdir(exist_ok=True)
-    glb = cache / "atrium.glb"
-    baked = cache / "atrium_baked.pkl"
+    glb = cache / "atrium_v2.glb"
+    baked = cache / "atrium_baked_v2.pkl"  # v2: full material maps (normal/MR/emissive/mask) — r5
     regen = regen or os.environ.get("OX_BENCH_REBAKE") == "1"
     if regen or not baked.exists():
         import sys
@@ -458,6 +462,11 @@ def _build_sponza_runner(width=1920, height=1080, regen=False):
     import uuid as _uuid
 
     mat_uuid = [str(_uuid.UUID(int=k + 1)) for k in range(len(payload["materials"]))]
+    from oxylus_tpu.assets.material import ALPHA_MASK, ALPHA_OPAQUE
+
+    def _tex(idx):
+        return f"tex_{idx}" if idx >= 0 else ""
+
     mats = []
     for gm in payload["materials"]:
         mats.append(Material(
@@ -465,8 +474,13 @@ def _build_sponza_runner(width=1920, height=1080, regen=False):
             metallic_factor=float(gm.metallic),
             roughness_factor=float(gm.roughness),
             emissive_color=tuple(gm.emissive),
-            albedo_texture=(f"tex_{gm.base_color_texture}"
-                            if gm.base_color_texture >= 0 else ""),
+            albedo_texture=_tex(gm.base_color_texture),
+            normal_texture=_tex(gm.normal_texture),
+            metallic_roughness_texture=_tex(gm.metallic_roughness_texture),
+            emissive_texture=_tex(gm.emissive_texture),
+            occlusion_texture=_tex(gm.occlusion_texture),
+            alpha_mode=ALPHA_MASK if gm.alpha_mode == "MASK" else ALPHA_OPAQUE,
+            alpha_cutoff=float(gm.alpha_cutoff),
         ))
     gpu_mats = pack_materials(mats, rects, 256)
     material_slots = {u: k for k, u in enumerate(mat_uuid)}
@@ -554,6 +568,8 @@ def _build_sponza_runner(width=1920, height=1080, regen=False):
                                max_meshlet_instances=cap,
                                max_visible_meshlets=vm_cap,
                                raster_group=_rg, tile=_tl,
+                               tris_per_tile=int(os.environ.get("OX_K2", "256")),
+                               bin_groups_per_tile=int(os.environ.get("OX_BG", "32")),
                                meshlets_per_tile=_mpt),
         atmosphere=AtmosphereParams(), enable_shadows=True,
         material_slots=material_slots,

@@ -236,9 +236,11 @@ def build_mesh_library(rng, n_meshes: int = 120):
 # textures / materials
 # ---------------------------------------------------------------------------
 
-def _texture(rng, kind: int, size: int = 64) -> np.ndarray:
+def _height_field(rng, kind: int, size: int = 64) -> np.ndarray:
+    """Shared procedural height pattern in [0, 1] — albedo shading, the
+    normal map, and the cavity/roughness maps all derive from it so the
+    material reads as one coherent surface."""
     yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
-    base = rng.uniform(0.25, 0.9, 3)
     if kind == 0:  # checker (marble floor)
         m = ((xx // 8 + yy // 8) % 2).astype(np.float32) * 0.35 + 0.6
     elif kind == 1:  # brick courses
@@ -260,7 +262,54 @@ def _texture(rng, kind: int, size: int = 64) -> np.ndarray:
             + g[y0, x1] * (1 - fy) * fx + g[y1, x1] * fy * fx
         )
         m = 0.7 + 0.2 * v / max(abs(v).max(), 1e-9)
+    return np.clip(m, 0.0, 1.0).astype(np.float32)
+
+
+def _texture(rng, kind: int, size: int = 64, mask: bool = False) -> np.ndarray:
+    """Albedo RGBA. `mask=True` carves a lattice cutout into the alpha channel
+    (banner/screen materials — the alpha-masked raster pass)."""
+    m = _height_field(rng, kind, size)
+    base = rng.uniform(0.25, 0.9, 3)
     rgb = np.clip(m[..., None] * base[None, None, :] * 255.0, 0, 255).astype(np.uint8)
+    if mask:
+        yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+        holes = ((xx % 16 < 9) & (yy % 16 < 9)).astype(np.uint8)  # lattice
+        alpha = np.where(holes > 0, 0, 255).astype(np.uint8)[..., None]
+    else:
+        alpha = np.full((size, size, 1), 255, np.uint8)
+    return np.concatenate([rgb, alpha], axis=-1)
+
+
+def _normal_map(rng, kind: int, size: int = 64, strength: float = 2.0) -> np.ndarray:
+    """Tangent-space normal map from the height pattern's gradient (the
+    standard bump→normal derivation; +Y-up RGBA8 encoding)."""
+    h = _height_field(rng, kind, size)
+    dhdx = np.roll(h, -1, axis=1) - np.roll(h, 1, axis=1)
+    dhdy = np.roll(h, -1, axis=0) - np.roll(h, 1, axis=0)
+    n = np.stack([-dhdx * strength, -dhdy * strength, np.ones_like(h)], axis=-1)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    rgb = np.clip((n * 0.5 + 0.5) * 255.0, 0, 255).astype(np.uint8)
+    return np.concatenate([rgb, np.full((size, size, 1), 255, np.uint8)], axis=-1)
+
+
+def _mr_map(rng, kind: int, metal: float, rough: float, size: int = 64) -> np.ndarray:
+    """glTF metallic-roughness map: R = occlusion (cavity from the height
+    field — shared-rect occlusion, the glTF packing), G = roughness
+    variation around the factor, B = metallic patches."""
+    h = _height_field(rng, kind, size)
+    occ = np.clip(0.6 + 0.4 * h, 0.0, 1.0)
+    g = np.clip(rough * (0.75 + 0.5 * (1.0 - h)), 0.04, 1.0)
+    b = np.clip(metal * (h > 0.45), 0.0, 1.0) if metal > 0 else np.zeros_like(h)
+    rgba = np.stack([occ, g, b, np.ones_like(h)], axis=-1)
+    return np.clip(rgba * 255.0, 0, 255).astype(np.uint8)
+
+
+def _emissive_map(rng, size: int = 64) -> np.ndarray:
+    """Window/rune glow pattern for emissive materials."""
+    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    glow = (((xx % 20) < 8) & ((yy % 24) < 12)).astype(np.float32)
+    tint = rng.uniform(0.6, 1.0, 3)
+    rgb = np.clip(glow[..., None] * tint[None, None, :] * 255.0, 0, 255).astype(np.uint8)
     return np.concatenate([rgb, np.full((size, size, 1), 255, np.uint8)], axis=-1)
 
 
@@ -324,12 +373,34 @@ def generate_atrium_glb(path, n_meshes: int = 120, n_materials: int = 24, seed: 
     meshes.append(tuple_with_normals(tess_box(52.0, 0.4, 24.0, nsub=48)))
     nodes = _layout_atrium(rng, n_meshes)
     nodes.append((len(meshes) - 1, (0.0, -0.2, 0.0), 0.0, 1.0))
+    # hanging banners between colonnade pairs: thin tessellated sheets bound
+    # to the ALPHA-MASKED lattice materials (real Sponza's banners/foliage —
+    # the masked raster pass must appear in the official frame)
+    banner_mesh = len(meshes)
+    meshes.append(tuple_with_normals(tess_box(2.6, 1.6, 0.04, nsub=10)))
+    for i in range(8):
+        x = (i - 3.5) * 6.8
+        nodes.append((banner_mesh, (x, 2.4, float(rng.uniform(-5.4, 5.4))),
+                      float(rng.uniform(0, 6.28)), 1.0))
 
-    textures = [_texture(rng, k % 4) for k in range(n_materials)]
     mat_colors = rng.uniform(0.4, 1.0, (n_materials, 3))
     mat_rough = rng.uniform(0.25, 0.95, n_materials)
     mat_metal = np.where(rng.uniform(size=n_materials) < 0.15, 0.9, 0.0)
-    mesh_mat = [int(rng.integers(0, n_materials)) for _ in meshes]
+    # material roles: every material carries albedo+normal+MR maps; a few are
+    # emissive (lit windows); two are alpha-masked lattices (banners)
+    masked_ids = [n_materials - 1, n_materials - 2]
+    emissive_ids = [3, 11, 19][: max(1, n_materials // 8)]
+    albedo_tex = [
+        _texture(rng, k % 4, mask=(k in masked_ids)) for k in range(n_materials)
+    ]
+    normal_tex = [_normal_map(rng, k % 4) for k in range(n_materials)]
+    mr_tex = [
+        _mr_map(rng, k % 4, float(mat_metal[k]), float(mat_rough[k]))
+        for k in range(n_materials)
+    ]
+    emissive_tex = {k: _emissive_map(rng) for k in emissive_ids}
+    mesh_mat = [int(rng.integers(0, n_materials - 2)) for _ in meshes]
+    mesh_mat[banner_mesh] = masked_ids[0]
 
     # ---- build the GLB document ------------------------------------------
     bin_parts: list[bytes] = []
@@ -382,22 +453,40 @@ def generate_atrium_glb(path, n_meshes: int = 120, n_materials: int = 24, seed: 
 
     images = []
     gltf_textures = []
-    for t in textures:
-        bv = add_view(_png_bytes(t))
+
+    def add_texture(img: np.ndarray) -> int:
+        bv = add_view(_png_bytes(img))
         images.append({"bufferView": bv, "mimeType": "image/png"})
         gltf_textures.append({"source": len(images) - 1})
+        return len(gltf_textures) - 1
+
+    alb_idx = [add_texture(t) for t in albedo_tex]
+    nrm_idx = [add_texture(t) for t in normal_tex]
+    mr_idx = [add_texture(t) for t in mr_tex]
+    emi_idx = {k: add_texture(t) for k, t in emissive_tex.items()}
 
     materials = []
     for k in range(n_materials):
-        materials.append({
+        m = {
             "name": f"mat_{k}",
             "pbrMetallicRoughness": {
                 "baseColorFactor": [*[float(c) for c in mat_colors[k]], 1.0],
                 "metallicFactor": float(mat_metal[k]),
                 "roughnessFactor": float(mat_rough[k]),
-                "baseColorTexture": {"index": k},
+                "baseColorTexture": {"index": alb_idx[k]},
+                "metallicRoughnessTexture": {"index": mr_idx[k]},
             },
-        })
+            "normalTexture": {"index": nrm_idx[k]},
+            # occlusion shares the MR image's R channel (the glTF packing)
+            "occlusionTexture": {"index": mr_idx[k]},
+        }
+        if k in emi_idx:
+            m["emissiveTexture"] = {"index": emi_idx[k]}
+            m["emissiveFactor"] = [2.5, 2.2, 1.6]
+        if k in masked_ids:
+            m["alphaMode"] = "MASK"
+            m["alphaCutoff"] = 0.5
+        materials.append(m)
 
     gltf_nodes = []
     for mi, t, ry, s in nodes:

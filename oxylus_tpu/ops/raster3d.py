@@ -892,8 +892,11 @@ def pack_tile_blocks(
     co = co.at[:, 2].set(jnp.where(have.reshape(-1), co[:, 2], -1e30))
     co = co.reshape(t_n, rounds, TILE_ROUND, 5, 3)
     cm = jnp.transpose(co, (0, 1, 4, 3, 2)).reshape(t_n, rounds, 3, 5 * TILE_ROUND)
+    # rounds ride SUBLANES ((tile·round)·8-row blocks): per-round access in the
+    # kernel is a dynamic sublane ref slice at full lane width — Mosaic rejects
+    # dynamic LANE slices of values
     cm = jnp.pad(cm, ((0, 0), (0, 0), (0, 5), (0, _RND_LANES - 5 * TILE_ROUND)))
-    cm_t = jnp.transpose(cm, (0, 2, 1, 3)).reshape(t_n * 8, rounds * _RND_LANES)
+    cm_t = cm.reshape(t_n * rounds * 8, _RND_LANES)
 
     tz_e = jnp.where(have, d[:, 79].reshape(t_n, k2), -1.0)
     near_round = jnp.max(
@@ -933,9 +936,6 @@ def _make_tile_kernel(tile: int, k2: int):
         slot_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROUND, pix), 0)
         slot_code = 127 - slot_iota
 
-        # whole-tile hi/lo conversion once: (8, ROUNDS·384) → (16, ROUNDS·384)
-        blk16 = _local_hilo16(cm_ref[pl.ds(row * 8, 8), :], x0, y0)
-
         def cond_a(carry):
             r0, key, vid = carry
             dmin = jnp.min(key) & ~jnp.int32(127)
@@ -945,8 +945,9 @@ def _make_tile_kernel(tile: int, k2: int):
 
         def loop_a(carry):
             r0, key, vid = carry
-            blk = jax.lax.dynamic_slice_in_dim(
-                blk16, r0 * _RND_LANES, _RND_LANES, axis=1
+            # per-round (8, 384) block: dynamic SUBLANE ref slice, full lanes
+            blk = _local_hilo16(
+                cm_ref[pl.ds((row * rounds + r0) * 8, 8), :], x0, y0
             )  # (16, 384) bf16
             e = jax.lax.dot_general(
                 blk, pmat16,
@@ -1048,7 +1049,7 @@ def rasterize_gbuffer_tiles(
     cm_t = blocks["cm_t"]
     attr_t = blocks["attr_t"]
     if n_tiles_pad != n_tiles:
-        cm_t = jnp.pad(cm_t, ((0, (n_tiles_pad - n_tiles) * 8), (0, 0)))
+        cm_t = jnp.pad(cm_t, ((0, (n_tiles_pad - n_tiles) * rounds * 8), (0, 0)))
         attr_t = jnp.pad(attr_t, ((0, (n_tiles_pad - n_tiles) * k2), (0, 0)))
 
     depth, vid, gb = pl.pallas_call(
@@ -1058,7 +1059,7 @@ def rasterize_gbuffer_tiles(
             pl.BlockSpec((ROWG, 1), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((ROWG, rounds), lambda t: (t // ROWG, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ROWG * 8, rounds * _RND_LANES), lambda t: (t // ROWG, 0)),
+            pl.BlockSpec((ROWG * rounds * 8, _RND_LANES), lambda t: (t // ROWG, 0)),
             pl.BlockSpec((ROWG * k2, 128), lambda t: (t // ROWG, 0)),
         ],
         out_specs=[

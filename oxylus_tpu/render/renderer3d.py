@@ -89,6 +89,10 @@ class RenderSpec:
     # dense triangle entries per tile on the "tile" path (multiple of 64);
     # overflow is counted and gated by the bench — sponza/frame3d max ≈ 194
     tris_per_tile: int = 256
+    # stage-1 group-candidate cap for triangle binning: the (T, K·R) candidate
+    # mask + rank compare-reduce scale with it, so scenes whose per-tile
+    # meshlet occupancy is low (sponza max 21) halve the binning cost at 32
+    bin_groups_per_tile: int = 64
     # tests only: run the Pallas G-buffer path in interpret mode on CPU so the
     # production frame graph (dense compaction, texturing, alpha masking) is
     # CI-coverable without a TPU
@@ -280,7 +284,7 @@ class RendererInstance:
             if use_tile_raster:
                 dense = passthrough_groups(setup, tri_mask, mat_idx, vm_inst)
                 entries, cnts, ov = bin_triangles_per_tile(
-                    dense, w, h, spec.tile, spec.meshlets_per_tile,
+                    dense, w, h, spec.tile, spec.bin_groups_per_tile,
                     spec.tris_per_tile,
                 )
                 blocks = pack_tile_blocks(
