@@ -454,11 +454,12 @@ def _build_sponza_runner(width=1920, height=1080, regen=False):
             payload = pickle.load(f)
     meshes, mesh_mat, nodes = payload["meshes"], payload["mesh_mat"], payload["nodes"]
 
-    # textures → atlas; GLTF materials → packed GPU material table
-    atlas = TextureAtlas(size=1024)
-    for i, img in enumerate(payload["images"]):
-        atlas.add(f"tex_{i}", Texture(name=f"tex_{i}", pixels=img))
-    pixels, rects = atlas.build()
+    # textures → atlas sized to content (tap gathers price by atlas AREA —
+    # probe_gather r5); GLTF materials → packed GPU material table
+    pixels, rects = TextureAtlas.pack_tight({
+        f"tex_{i}": Texture(name=f"tex_{i}", pixels=img)
+        for i, img in enumerate(payload["images"])
+    })
     import uuid as _uuid
 
     mat_uuid = [str(_uuid.UUID(int=k + 1)) for k in range(len(payload["materials"]))]

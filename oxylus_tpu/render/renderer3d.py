@@ -93,6 +93,11 @@ class RenderSpec:
     # mask + rank compare-reduce scale with it, so scenes whose per-tile
     # meshlet occupancy is low (sponza max 21) halve the binning cost at 32
     bin_groups_per_tile: int = 64
+    # reduced capacities for the alpha-masked raster pass (usually a handful
+    # of banner/foliage meshlets): its prep is fixed-shape in T·K2, so a
+    # small pass at full opaque capacities would cost ~5 ms for 8 banners
+    tris_per_tile_masked: int = 128
+    bin_groups_masked: int = 16
     # tests only: run the Pallas G-buffer path in interpret mode on CPU so the
     # production frame graph (dense compaction, texturing, alpha masking) is
     # CI-coverable without a TPU
@@ -268,7 +273,7 @@ class RendererInstance:
             else:
                 mat_tab_r = None
 
-        def raster_pass(vis_mask, tri_filter=None):
+        def raster_pass(vis_mask, tri_filter=None, k2=None, k_groups=None):
             """One G-buffer raster pass. Returns (depth, vid, gb, bin_overflow,
             slot_tables) where slot_tables = (material, instance,
             packed_id[, mat_rows]) per dense slot. `tri_filter` (VM,) restricts
@@ -276,16 +281,21 @@ class RendererInstance:
 
             Tile path (default): per-tile TRIANGLE shortlists → loop-free
             rounds kernel; slot tables are per-(tile, entry), vid =
-            (tile << 8) | entry. Group path: compact/passthrough groups →
-            group-hit kernel (kept for band sharding)."""
+            (tile << 8) | entry. `k2`/`k_groups` override the pass's entry and
+            candidate capacities — the prep is fixed-shape in T·K2, so a tiny
+            pass (the 8-banner masked pass) runs at a fraction of the opaque
+            capacities, with its tables stride-padded back to the global K2.
+            Group path: compact/passthrough groups → group-hit kernel (kept
+            for band sharding)."""
             tri_mask = setup["tri_valid"] & vis_mask[:, None]
             if tri_filter is not None:
                 tri_mask = tri_mask & tri_filter[:, None]
             if use_tile_raster:
+                k2_p = k2 or spec.tris_per_tile
                 dense = passthrough_groups(setup, tri_mask, mat_idx, vm_inst)
                 entries, cnts, ov = bin_triangles_per_tile(
-                    dense, w, h, spec.tile, spec.bin_groups_per_tile,
-                    spec.tris_per_tile,
+                    dense, w, h, spec.tile,
+                    k_groups or spec.bin_groups_per_tile, k2_p,
                 )
                 blocks = pack_tile_blocks(
                     dense, entries, consts_m[dense["slot_material"]],
@@ -295,7 +305,23 @@ class RendererInstance:
                     blocks, cnts, w, h, tile=spec.tile,
                     interpret=spec.gbuffer_interpret,
                 )
-                return d, v, gb, ov, blocks["tables"]
+                tables = blocks["tables"]
+                if k2_p != n_slots_r:
+                    # stride-pad per-tile tables to the global entry stride so
+                    # flat = (vid >> 8)·n_slots_r + entry indexes uniformly
+                    # across concatenated passes
+                    def pad_tab(t, fill):
+                        t2 = t.reshape(-1, k2_p, *t.shape[1:])
+                        pad = [(0, 0)] * t2.ndim
+                        pad[1] = (0, n_slots_r - k2_p)
+                        return jnp.pad(t2, pad, constant_values=fill).reshape(
+                            -1, *t.shape[1:]
+                        )
+                    tables = tuple(
+                        pad_tab(t, -1 if i == 2 else 0)
+                        for i, t in enumerate(tables)
+                    )
+                return d, v, gb, ov, tables
             if spec.compact_raster:
                 dense = compact_triangles(
                     setup, tri_mask, mat_idx, vm_inst,
@@ -439,7 +465,11 @@ class RendererInstance:
             )
 
             vis_all = (early_vis | late_vis) if use_occlusion else vm_valid
-            d_m, v_m, gb_m, ov_m, tabs_m = raster_pass(vis_all, is_masked_vm)
+            d_m, v_m, gb_m, ov_m, tabs_m = raster_pass(
+                vis_all, is_masked_vm,
+                k2=min(spec.tris_per_tile_masked, spec.tris_per_tile),
+                k_groups=min(spec.bin_groups_masked, spec.bin_groups_per_tile),
+            )
             # flat (N, C) forms throughout — (h/2, w/2, 32) intermediates cost
             # ~1.3 ms of layout copies/slice relayouts (trace r5, see the
             # textured decode below)
