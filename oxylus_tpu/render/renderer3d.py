@@ -639,6 +639,40 @@ class RendererInstance:
         has_sun = jnp.any(is_dir)
         sun_dir = jnp.where(has_sun, lights.direction[sun_idx], jnp.array([0.0, -1.0, 0.0]))
 
+        # ---- static-frame memoization ------------------------------------
+        # Screen-space terms that are pure functions of (scene transforms,
+        # sun, camera) — the resolved shadow term, GTAO, the aerial LUT apply
+        # — are reused verbatim on frames where none of those changed (the
+        # steady state of a static scene; ~3 ms/frame combined at 1080p).
+        # The transform signature is an EXACT xor-reduce of the world-matrix
+        # bit patterns, so any moving entity recomputes everything; with
+        # buffer donation the cond's cached branch is an aliased carry, not a
+        # copy. This is the same dirty-key design as the sky-LUT/shadow-page
+        # caches (and the reference's own dirty-flag systems).
+        world_sig = jax.lax.reduce(
+            jax.lax.bitcast_convert_type(world, jnp.int32),
+            jnp.int32(0), jax.lax.bitwise_xor, (0, 1, 2),
+        )
+        static_key_now = jnp.concatenate([
+            jax.lax.bitcast_convert_type(world_sig[None], jnp.float32),
+            sun_dir, camera.position, camera.forward, camera.up,
+        ])
+        _sk = "static_term_key"
+        if _sk in prev:
+            _static_dirty = jnp.any(prev[_sk] != static_key_now)
+        else:
+            _static_dirty = None  # first frame: always compute
+        carry[_sk] = static_key_now
+
+        def _static_cached(name, compute):
+            """Memoize a static-frame term in the carry under the static key."""
+            if _static_dirty is None or name not in prev:
+                out = compute()
+            else:
+                out = jax.lax.cond(_static_dirty, compute, lambda: prev[name])
+            carry[name] = out
+            return out
+
         # ---- Atmosphere ---------------------------------------------------
         if atmosphere is not None:
             from .sky import (
@@ -776,30 +810,7 @@ class RendererInstance:
                     sh = sh * jax.image.resize(cs4, (h, w), method="linear")
                 return sh
 
-            # static-frame cache: the resolved shadow term is a pure function
-            # of (scene transforms, sun, camera) — for a frame where none of
-            # them changed (the steady state of a static scene; ~1.3 ms/frame
-            # of PCF + contact march at 1080p) reuse last frame's term. The
-            # transform signature is an EXACT xor-reduce of the world-matrix
-            # bit patterns, so any moving entity recomputes; with buffer
-            # donation the cond's false branch is an aliased carry, not a copy.
-            world_sig = jax.lax.reduce(
-                jax.lax.bitcast_convert_type(world, jnp.int32),
-                jnp.int32(0), jax.lax.bitwise_xor, (0, 1, 2),
-            )
-            shadow_key_now = jnp.concatenate([
-                jax.lax.bitcast_convert_type(world_sig[None], jnp.float32),
-                sun_dir, camera.position, camera.forward, camera.up,
-            ])
-            if "shadow_full" in prev and "shadow_key" in prev:
-                sh_moved = jnp.any(prev["shadow_key"] != shadow_key_now)
-                shadow = jax.lax.cond(
-                    sh_moved, compute_shadow_term, lambda: prev["shadow_full"]
-                )
-            else:
-                shadow = compute_shadow_term()
-            carry["shadow_full"] = shadow
-            carry["shadow_key"] = shadow_key_now
+            shadow = _static_cached("shadow_full", compute_shadow_term)
             ctx["shadow"] = shadow
 
         # ---- GTAO ---------------------------------------------------------
@@ -809,20 +820,27 @@ class RendererInstance:
         if enable_gtao:
             from .gtao import denoise_ao, gtao as gtao_fn
 
-            # half-res AO: the slice march is gather-bound (~53 ms at 1080p full
-            # res on this target — PERF_NOTES.md); ambient occlusion upsamples well
-            wp_h = _pds(gbuffer["world_pos"], 2)
-            nr_h = _pds(gbuffer["normal"], 2)
-            from ..utils import math3d as _m3
-            view_pos = _m3.mat3_dir_image(camera.view[:3, :3], wp_h) + camera.view[:3, 3]
-            view_nrm = _m3.mat3_dir_image(camera.view[:3, :3], nr_h)
-            ao = gtao_fn(
-                view_pos, view_nrm, _pds(gbuffer["hit"], 2), frame=state.frame,
-                radius=config.vbgtao_radius, thickness=config.vbgtao_thickness,
-                final_power=config.vbgtao_final_power, quality_level=config.vbgtao_quality_level,
-            )
-            ao = denoise_ao(ao, _pds(depth, 2))
-            ao = jax.image.resize(ao, (h, w), method="linear")
+            def compute_ao():
+                # half-res AO: the slice march is gather-bound (~53 ms at
+                # 1080p full res — PERF_NOTES.md); AO upsamples well. The
+                # static cache freezes the per-frame noise rotation on static
+                # frames — without a temporal accumulator the frozen pattern
+                # is strictly more stable than re-rolled noise.
+                wp_h = _pds(gbuffer["world_pos"], 2)
+                nr_h = _pds(gbuffer["normal"], 2)
+                from ..utils import math3d as _m3
+                view_pos = _m3.mat3_dir_image(camera.view[:3, :3], wp_h) + camera.view[:3, 3]
+                view_nrm = _m3.mat3_dir_image(camera.view[:3, :3], nr_h)
+                a = gtao_fn(
+                    view_pos, view_nrm, _pds(gbuffer["hit"], 2), frame=state.frame,
+                    radius=config.vbgtao_radius, thickness=config.vbgtao_thickness,
+                    final_power=config.vbgtao_final_power,
+                    quality_level=config.vbgtao_quality_level,
+                )
+                a = denoise_ao(a, _pds(depth, 2))
+                return jax.image.resize(a, (h, w), method="linear")
+
+            ao = _static_cached("ao_full", compute_ao)
             ctx["ao"] = ao
 
         # ---- Lighting -----------------------------------------------------
@@ -877,12 +895,19 @@ class RendererInstance:
             carry["aerial_lut"] = ap_vol
             carry["aerial_key"] = aerial_key_now
 
-            ap_l4, ap_t4 = apply_aerial_lut(
-                ap_vol, _pds(gbuffer["world_pos"], 8), _pds(gbuffer["hit"], 8),
-                camera.position, meters_per_km=meters_per_km,
-            )
-            ap_l = jax.image.resize(ap_l4, (h, w, 3), method="linear")
-            ap_t = jax.image.resize(ap_t4, (h, w, 3), method="linear")
+            def compute_aerial_apply():
+                ap_l4, ap_t4 = apply_aerial_lut(
+                    ap_vol, _pds(gbuffer["world_pos"], 8), _pds(gbuffer["hit"], 8),
+                    camera.position, meters_per_km=meters_per_km,
+                )
+                return (
+                    jax.image.resize(ap_l4, (h, w, 3), method="linear"),
+                    jax.image.resize(ap_t4, (h, w, 3), method="linear"),
+                )
+
+            # the per-pixel apply depends only on (geometry, camera, ap_vol) —
+            # all covered by the static key (ap_vol's own key is a subset)
+            ap_l, ap_t = _static_cached("aerial_apply", compute_aerial_apply)
             hdr = jnp.where(gbuffer["hit"][..., None], hdr * ap_t + ap_l, hdr)
         ctx["hdr"] = hdr
         ctx = self._run_cbs(RenderStage.LIGHTING, "after", ctx)

@@ -205,6 +205,85 @@ def check_gbuffer() -> None:
 
 
 # ---------------------------------------------------------------------------
+# 2b. per-tile triangle raster (the r5 shipped default) vs oracle, on-device
+# ---------------------------------------------------------------------------
+
+def check_tile_raster() -> None:
+    import dataclasses
+
+    from oxylus_tpu.assets.bake import bake_mesh
+    from oxylus_tpu.assets.material import empty_gpu_materials
+    from oxylus_tpu.ops.cull import cull_instances, cull_meshlets, expand_meshlet_instances
+    from oxylus_tpu.ops.raster3d import (
+        TILE,
+        pack_coeff_matrix,
+        pack_tile_blocks,
+        rasterize_gbuffer_tiles,
+        rasterize_reference,
+    )
+    from oxylus_tpu.ops.setup3d import (
+        bin_meshlets_to_tiles,
+        bin_triangles_per_tile,
+        passthrough_groups,
+        setup_triangles,
+    )
+    from oxylus_tpu.render.camera import camera_matrices
+    from oxylus_tpu.render.scene3d import upload_meshes
+    from tests.test_render3d import cube_mesh
+
+    W, H = 128, 96
+    gscene = upload_meshes([bake_mesh(*cube_mesh())], [(0, 0, 0)])
+    world = jnp.eye(4)[None]
+    cam = camera_matrices(
+        position=jnp.array([0.6, 0.8, 3.0]), yaw=jnp.float32(-jnp.pi / 2),
+        pitch=jnp.float32(-0.2), tilt=jnp.float32(0.0), fov_deg=jnp.float32(60.0),
+        near=jnp.float32(0.1), far=jnp.float32(100.0), zoom=jnp.float32(1.0),
+        projection_kind=jnp.int32(0), aspect=jnp.float32(W / H),
+    )
+    vis, lod = cull_instances(gscene, world, cam.frustum_planes, cam.position,
+                              jnp.float32(55.0))
+    inst, meshlet, valid = expand_meshlet_instances(gscene, vis, lod, capacity=16)
+    vm_inst, vm_ml, vm_valid, _ = cull_meshlets(
+        gscene, world, inst, meshlet, valid, cam.frustum_planes, cam.position,
+        capacity=16)
+    setup = setup_triangles(gscene, world, vm_inst, vm_ml, vm_valid,
+                            cam.view_projection, W, H)
+    mats = empty_gpu_materials(4)
+    mats = dataclasses.replace(
+        mats, albedo_color=mats.albedo_color.at[0].set(jnp.array([0.7, 0.3, 0.1, 1.0])))
+    consts_m = jnp.concatenate(
+        [mats.albedo_color[:, :3], mats.metallic_factor[:, None],
+         mats.roughness_factor[:, None], mats.emissive_color], axis=1)
+    mat_idx = gscene.inst_material[vm_inst]
+
+    K2 = 128
+    dense = passthrough_groups(setup, setup["tri_valid"], mat_idx, vm_inst)
+    entries, cnts, ovf = bin_triangles_per_tile(dense, W, H, TILE, 8, K2)
+    blocks = pack_tile_blocks(dense, entries, consts_m[dense["slot_material"]])
+    # COMPILED tile kernel — the shipped r5 default raster path
+    d_t, v_t, gb_t = rasterize_gbuffer_tiles(blocks, cnts, W, H, tile=TILE)
+
+    cm = pack_coeff_matrix(setup["coeffs"], setup["tri_valid"])
+    tile_list, _ = bin_meshlets_to_tiles(setup, W, H, TILE, 8)
+    d_ref, v_ref = rasterize_reference(cm, tile_list, W, H)
+
+    d_np, dref_np = np.asarray(d_t), np.asarray(d_ref)
+    ok_d = bool((d_np == dref_np).all())
+    _report("tile-raster/depth", ok_d,
+            f"{(d_np != dref_np).sum()} mismatched depth px vs oracle (want 0)")
+    hit_t = np.asarray(v_t) >= 0
+    hit_r = np.asarray(v_ref) >= 0
+    _report("tile-raster/coverage", bool((hit_t == hit_r).all()),
+            f"{(hit_t != hit_r).sum()} coverage mismatches (want 0)")
+    pid_tab = np.asarray(blocks["tables"][2])
+    flat = (np.asarray(v_t) >> 8) * K2 + (np.asarray(v_t) & 255)
+    orig = pid_tab[np.clip(flat, 0, pid_tab.size - 1)]
+    match = float((orig[hit_r] == np.asarray(v_ref)[hit_r]).mean()) if hit_r.any() else 1.0
+    _report("tile-raster/id-remap", match > 0.99,
+            f"packed-id remap match {match:.4f} (> 0.99), overflow={int(ovf)}")
+
+
+# ---------------------------------------------------------------------------
 # 3. flagship-scale physics: compact megakernel vs dense XLA oracle
 # ---------------------------------------------------------------------------
 
@@ -280,12 +359,14 @@ def check_physics(n_substeps: int = 600, early: int = 120) -> None:
 
 
 def main() -> None:
-    which = set(sys.argv[1:]) or {"golden", "gbuffer", "physics"}
+    which = set(sys.argv[1:]) or {"golden", "gbuffer", "tile", "physics"}
     print(f"devices: {jax.devices()}", flush=True)
     if "golden" in which:
         check_golden()
     if "gbuffer" in which:
         check_gbuffer()
+    if "tile" in which:
+        check_tile_raster()
     if "physics" in which:
         check_physics()
     if FAILURES:
