@@ -831,11 +831,44 @@ _RND_LANES = 384         # per-round lane stride: 5·64 planes padded to 3×128
                          # (dynamic lane slices of values must be 128-aligned)
 
 
+def build_tile_comb(
+    dense: dict,          # compact_triangles / passthrough_groups output
+    consts: Array,        # (G, R, 8) or (G, 8) per-slot material constants
+    mat_rows: Array | None = None,  # (M, 32) packed material rows (textured)
+) -> tuple[Array, int]:
+    """The combined per-slot row matrix every raster pass gathers from:
+    [attrB 64 | coeff 15 | tz | mat | inst | pid | mat_row n]. Built ONCE per
+    frame from the full-visibility triangle set and shared by the opaque/
+    late/masked passes (the concat materializes ~60 MB at sponza caps —
+    1.4 ms per pass, trace r5); per-pass entry lists only ever reference
+    pass-valid slots, so sharing is exact. Returns (comb (G·R, L), n_row)."""
+    g, r = dense["tri_valid"].shape
+    _, attrB = pack_gbuffer_coeff_matrix(
+        dense["coeffs"], dense["attr_planes"], dense["tri_valid"], consts
+    )  # (G·R, 64) f32
+    parts = [
+        attrB.reshape(g, r, 64),
+        dense["coeffs"].reshape(g, r, 15),
+        dense["tri_z"][..., None],
+        dense["slot_material"].astype(jnp.float32)[..., None],
+        dense["slot_instance"].astype(jnp.float32)[..., None],
+        dense["packed_id"].astype(jnp.float32)[..., None],  # < 2^24, f32-exact
+    ]
+    n_row = 0
+    if mat_rows is not None:
+        n_row = mat_rows.shape[-1]
+        rows_m = mat_rows[dense["slot_material"].reshape(-1)].reshape(g, r, n_row)
+        parts.append(rows_m)
+    lane_w = 64 + 15 + 4 + n_row
+    return jnp.concatenate(parts, axis=-1).reshape(g * r, lane_w), n_row
+
+
 def pack_tile_blocks(
     dense: dict,          # compact_triangles / passthrough_groups output
     entries: Array,       # (T, K2) global flat slot ids or -1 (bin_triangles_per_tile)
-    consts: Array,        # (G, R, 8) or (G, 8) per-slot material constants
+    consts: Array | None = None,  # (G, R, 8) or (G, 8) per-slot material constants
     mat_rows: Array | None = None,  # (M, 32) packed material rows (textured)
+    comb: tuple[Array, int] | None = None,  # prebuilt build_tile_comb output
 ):
     """Gather per-(tile, entry) kernel blocks + downstream slot tables.
 
@@ -847,8 +880,8 @@ def pack_tile_blocks(
     (T·K2)-row gather.
 
     Returns dict:
-      cm_t   (T·8, ROUNDS·384) f32 — per-tile plane matrix, rows a,b,c(+pad5),
-             lanes per round [e0·64 | e1·64 | e2·64 | zn·64 | wd·64 | pad·64]
+      cm_t   (T·ROUNDS·8, 384) f32 — per-(tile, round) plane blocks, rows
+             a,b,c(+pad5), lanes [e0·64 | e1·64 | e2·64 | zn·64 | wd·64 | pad]
       attr_t (T·K2, 128) bf16 — hi/lo phase-B rows per entry
       near_r (T, ROUNDS) i32 — suffix-max nearest-z bit patterns per round
       tables (material, instance, packed_id[, rows]) per (tile, entry)
@@ -856,29 +889,10 @@ def pack_tile_blocks(
     t_n, k2 = entries.shape
     assert k2 % TILE_ROUND == 0, "k2 must be a multiple of 64"
     rounds = k2 // TILE_ROUND
-    g, r = dense["tri_valid"].shape
-
-    _, attrB = pack_gbuffer_coeff_matrix(
-        dense["coeffs"], dense["attr_planes"], dense["tri_valid"], consts
-    )  # (G·R, 64) f32
-
-    tz = dense["tri_z"]  # (G, R) per-triangle conservative nearest z
-    parts = [
-        attrB.reshape(g, r, 64),
-        dense["coeffs"].reshape(g, r, 15),
-        tz[..., None],
-        dense["slot_material"].astype(jnp.float32)[..., None],
-        dense["slot_instance"].astype(jnp.float32)[..., None],
-        dense["packed_id"].astype(jnp.float32)[..., None],  # < 2^24, f32-exact
-    ]
-    n_row = 0
-    if mat_rows is not None:
-        n_row = mat_rows.shape[-1]
-        rows_m = mat_rows[dense["slot_material"].reshape(-1)].reshape(g, r, n_row)
-        parts.append(rows_m)
-    # per-slot row layout: [attrB 64 | coeff 15 | tz | mat | inst | pid | rows n]
-    lane_w = 64 + 15 + 4 + n_row
-    comb = jnp.concatenate(parts, axis=-1).reshape(g * r, lane_w)
+    if comb is None:
+        comb, n_row = build_tile_comb(dense, consts, mat_rows)
+    else:
+        comb, n_row = comb
 
     have = entries >= 0
     d = comb[jnp.maximum(entries, 0).reshape(-1)]  # (T·K2, L) — the one gather

@@ -417,6 +417,29 @@ def passthrough_groups(
     return out
 
 
+def passthrough_bounds(setup: dict, tri_mask: Array) -> dict:
+    """Just the fields triangle binning consumes (group + per-tri bounds,
+    validity) under a pass's triangle mask — the full `passthrough_groups`
+    masks the (VM, 64, 9, 3) coefficient/attribute tensors too (~1 ms of
+    selects per pass at sponza caps, trace r5), which per-pass binning never
+    reads when the comb matrix is shared across passes (build_tile_comb)."""
+    xmin = jnp.where(tri_mask, setup["tri_xmin"], 1e9)
+    xmax = jnp.where(tri_mask, setup["tri_xmax"], -1e9)
+    ymin = jnp.where(tri_mask, setup["tri_ymin"], 1e9)
+    ymax = jnp.where(tri_mask, setup["tri_ymax"], -1e9)
+    return {
+        "tri_valid": tri_mask,
+        "tri_xmin": xmin,
+        "tri_xmax": xmax,
+        "tri_ymin": ymin,
+        "tri_ymax": ymax,
+        "ml_xmin": jnp.min(xmin, axis=1),
+        "ml_xmax": jnp.max(xmax, axis=1),
+        "ml_ymin": jnp.min(ymin, axis=1),
+        "ml_ymax": jnp.max(ymax, axis=1),
+    }
+
+
 def bin_triangles_per_tile(
     dense: dict,
     width: int,

@@ -231,6 +231,7 @@ class RendererInstance:
             # average ~36% fill on sponza and phase A pays per (slot, pixel),
             # so dead lanes were 2.8× of the dominant raster cost (trace r4).
             from ..ops.raster3d import (
+                build_tile_comb,
                 gbuffer_from_raster,
                 pack_gbuffer_coeff_matrix,
                 pack_tile_blocks,
@@ -240,6 +241,7 @@ class RendererInstance:
             from ..ops.setup3d import (
                 bin_triangles_per_tile,
                 compact_triangles,
+                passthrough_bounds,
                 passthrough_groups,
             )
 
@@ -272,6 +274,18 @@ class RendererInstance:
                 mat_tab_r = _pmt_r(materials)
             else:
                 mat_tab_r = None
+            if use_tile_raster:
+                # the combined per-slot row matrix (attrB + coeffs + tables)
+                # is built ONCE from the full visible set and shared by the
+                # opaque/late/masked passes — the ~60 MB concat cost 1.4 ms
+                # per pass (trace r5); per-pass entries only reference
+                # pass-valid slots so sharing is exact
+                dense_full = passthrough_groups(
+                    setup, setup["tri_valid"], mat_idx, vm_inst
+                )
+                comb_shared = build_tile_comb(
+                    dense_full, consts_m[dense_full["slot_material"]], mat_tab_r
+                )
 
         def raster_pass(vis_mask, tri_filter=None, k2=None, k_groups=None):
             """One G-buffer raster pass. Returns (depth, vid, gb, bin_overflow,
@@ -292,15 +306,12 @@ class RendererInstance:
                 tri_mask = tri_mask & tri_filter[:, None]
             if use_tile_raster:
                 k2_p = k2 or spec.tris_per_tile
-                dense = passthrough_groups(setup, tri_mask, mat_idx, vm_inst)
+                bounds = passthrough_bounds(setup, tri_mask)
                 entries, cnts, ov = bin_triangles_per_tile(
-                    dense, w, h, spec.tile,
+                    bounds, w, h, spec.tile,
                     k_groups or spec.bin_groups_per_tile, k2_p,
                 )
-                blocks = pack_tile_blocks(
-                    dense, entries, consts_m[dense["slot_material"]],
-                    mat_rows=mat_tab_r,
-                )
+                blocks = pack_tile_blocks(None, entries, comb=comb_shared)
                 d, v, gb = rasterize_gbuffer_tiles(
                     blocks, cnts, w, h, tile=spec.tile,
                     interpret=spec.gbuffer_interpret,
@@ -586,41 +597,68 @@ class RendererInstance:
                 if lo_feats:
                     valid_q = (vid_q >= 0).reshape(-1, 1)
 
-                def up(x, c, shape_hw=(h2, w2), valid=None):
-                    v_ = valid_h if valid is None else valid
-                    return jax.image.resize(
-                        jnp.where(v_, x, 1.0).reshape(shape_hw + (c,)),
-                        (h, w, c), method="linear",
-                    )
-
+                # ONE packed upsample per rate: each jax.image.resize carries
+                # ~0.1 ms of fixed cost and the per-feature chain ran 6 of
+                # them (~2 ms/frame, trace r5) — concatenate every sampled
+                # factor of a rate into one (·, ·, C) resize and slice lanes
+                # at full res (bilinear is per-channel, so values are equal)
                 gbuffer = dict(gbuffer)
+                hi_parts, hi_lanes = [], {}
+                if "albedo" in hi_feats:
+                    hi_lanes["albedo"] = 0
+                    hi_parts.append(jnp.where(valid_h, tex["albedo_rgb"], 1.0))
+                if "normal" in hi_feats:
+                    hi_lanes["normal"] = sum(p.shape[-1] for p in hi_parts)
+                    hi_parts.append(jnp.where(
+                        valid_h, tex["normal_ts"], jnp.array([0.0, 0.0, 1.0])
+                    ))
+                if hi_parts:
+                    hc = sum(p.shape[-1] for p in hi_parts)
+                    hi_full = jax.image.resize(
+                        jnp.concatenate(hi_parts, -1).reshape(h2, w2, hc),
+                        (h, w, hc), method="linear",
+                    )
+                if lo_feats:
+                    lo_parts, lo_lanes = [], {}
+                    if "mr" in lo_feats:
+                        lo_lanes["mr"] = 0
+                        lo_parts.append(jnp.where(valid_q, tex_q["mr"], 1.0))
+                        lo_lanes["occ"] = 2
+                        lo_parts.append(jnp.where(valid_q, tex_q["occlusion"], 1.0))
+                    if "emissive" in lo_feats:
+                        lo_lanes["emissive"] = sum(p.shape[-1] for p in lo_parts)
+                        lo_parts.append(
+                            jnp.where(valid_q, tex_q["emissive_rgb"], 1.0)
+                        )
+                    lc = sum(p.shape[-1] for p in lo_parts)
+                    lo_full = jax.image.resize(
+                        jnp.concatenate(lo_parts, -1).reshape(hq, wq, lc),
+                        (h, w, lc), method="linear",
+                    )
                 if "albedo" in texture_features:
-                    gbuffer["albedo"] = gbuffer["albedo"] * up(tex["albedo_rgb"], 3)
+                    o = hi_lanes["albedo"]
+                    gbuffer["albedo"] = gbuffer["albedo"] * hi_full[..., o : o + 3]
                 if "mr" in texture_features:
-                    mrf = up(tex_q["mr"], 2, (hq, wq), valid_q)
-                    gbuffer["metallic"] = gbuffer["metallic"] * mrf[..., 0]
-                    gbuffer["roughness"] = gbuffer["roughness"] * mrf[..., 1]
+                    o = lo_lanes["mr"]
+                    gbuffer["metallic"] = gbuffer["metallic"] * lo_full[..., o]
+                    gbuffer["roughness"] = gbuffer["roughness"] * lo_full[..., o + 1]
                     gbuffer["occlusion"] = (
-                        gbuffer["occlusion"]
-                        * up(tex_q["occlusion"], 1, (hq, wq), valid_q)[..., 0]
+                        gbuffer["occlusion"] * lo_full[..., lo_lanes["occ"]]
                     )
                 if "emissive" in texture_features:
-                    gbuffer["emissive"] = gbuffer["emissive"] * up(
-                        tex_q["emissive_rgb"], 3, (hq, wq), valid_q
-                    )
+                    o = lo_lanes["emissive"]
+                    gbuffer["emissive"] = gbuffer["emissive"] * lo_full[..., o : o + 3]
                 if "normal" in texture_features:
                     # tangent-space normal sampled at half res, perturbation at
                     # FULL res against the full-res interpolated frame (the
                     # frame is geometry-rate; only the sampled detail is half)
-                    nts = jnp.where(
-                        valid_h, tex["normal_ts"], jnp.array([0.0, 0.0, 1.0])
-                    )
-                    nts_full = jax.image.resize(
-                        nts.reshape(h2, w2, 3), (h, w, 3), method="linear"
-                    )
+                    o = hi_lanes["normal"]
                     gbuffer["normal"] = jnp.where(
                         gbuffer["hit"][..., None],
-                        perturb_normal(gbuffer["normal"], gbuffer["tangent"], nts_full),
+                        perturb_normal(
+                            gbuffer["normal"], gbuffer["tangent"],
+                            hi_full[..., o : o + 3],
+                        ),
                         gbuffer["normal"],
                     )
         else:
