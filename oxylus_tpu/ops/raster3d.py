@@ -925,7 +925,11 @@ def pack_tile_blocks(
         jnp.where(have, d[:, 82].reshape(t_n, k2).astype(jnp.int32), -1).reshape(-1),
     )
     if n_row:
-        tables = tables + (d[:, 83 : 83 + n_row],)
+        # f16 material-row table: the per-pixel row gather is TABLE-SIZE bound
+        # (f32 390k×32 = 12.4 ms vs f16 2.1 — probe_gather r5); normalized
+        # rect coords lose ≤2^-11 relative in f16 = ≤0.31 texel at a 640
+        # atlas, inside the 1 px atlas padding and stable under the tap clamps
+        tables = tables + (d[:, 83 : 83 + n_row].astype(jnp.float16),)
     return {"cm_t": cm_t, "attr_t": attr_t, "near_r": near_r, "tables": tables}
 
 

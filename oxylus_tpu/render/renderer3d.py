@@ -491,7 +491,7 @@ class RendererInstance:
                 (v_mh >> 8) * n_slots_r + (v_mh & 255), 0, tabs_m[0].shape[0] - 1
             ).reshape(-1)
             if len(tabs_m) > 3:  # textured: rows rode the compaction gather
-                rows_m = tabs_m[3][flat_mh]
+                rows_m = tabs_m[3][flat_mh].astype(jnp.float32)
             else:
                 rows_m = _pmt(materials)[tabs_m[0][flat_mh]]
             tex_m = _smt(rows_m, _pat(atlas, dtype=jnp.bfloat16), atlas.shape[0], uv_mh, features=("albedo",))
@@ -572,7 +572,9 @@ class RendererInstance:
                     flat = jnp.clip(
                         (vid_img >> 8) * n_slots_r + (vid_img & 255), 0, n_tab - 1
                     ).reshape(-1)
-                    return slot_tables[3][flat]  # (N, 32)
+                    # table is f16 (6x faster gather — probe_gather r5);
+                    # consumers work in f32
+                    return slot_tables[3][flat].astype(jnp.float32)
 
                 mat_rows = slot_rows_at(vid_h)
                 taps = pack_atlas_taps(atlas, dtype=jnp.bfloat16)

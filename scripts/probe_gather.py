@@ -71,3 +71,22 @@ taps_tab = jnp.asarray(rng.normal(size=(A * A, 16)).astype(np.float32))
 idx = jnp.asarray(rng.integers(0, A * A, size=(518400,)).astype(np.int32))
 t = timeit(lambda c, tab, idx: tab[jnp.minimum(idx + c, A * A - 1)], taps_tab, idx)
 print(f"atlas taps (1M,16) rows=518400: {t:7.3f} ms", flush=True)
+
+# slot-row table variants (the sponza textured decode, r5): 518k-row gather
+print("\n-- slot-row table variants --")
+for tabsz, w, dt in [(131072, 32, jnp.float32), (262144, 32, jnp.float32),
+                     (393216, 32, jnp.float32), (393216, 32, jnp.float16),
+                     (393216, 24, jnp.float16), (393216, 4, jnp.int32)]:
+    tab = jnp.asarray(rng.normal(size=(tabsz, w)).astype(np.float32)).astype(dt)
+    idx = jnp.asarray(rng.integers(0, tabsz, size=(518400,)).astype(np.int32))
+    t = timeit(lambda c, tab, idx: (tab[jnp.minimum(idx + c, tabsz - 1)]).astype(jnp.float32), tab, idx)
+    print(f"table=({tabsz:7d},{w:2d}) {dt.__name__:8s}: {t:7.3f} ms", flush=True)
+# two-level: (N,4) int gather -> 256-row material table gather
+tab4 = jnp.asarray(rng.integers(0, 256, size=(393216, 4)).astype(np.int32))
+mtab = jnp.asarray(rng.normal(size=(256, 32)).astype(np.float32))
+idx = jnp.asarray(rng.integers(0, 393216, size=(518400,)).astype(np.int32))
+def two_level(c, tab4, mtab, idx):
+    r4 = tab4[jnp.minimum(idx + c, 393215)]
+    return mtab[r4[:, 0]]
+t = timeit(two_level, tab4, mtab, idx)
+print(f"two-level (w4 int + 256-row): {t:7.3f} ms", flush=True)
