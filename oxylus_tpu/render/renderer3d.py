@@ -98,6 +98,12 @@ class RenderSpec:
     # small pass at full opaque capacities would cost ~5 ms for 8 banners
     tris_per_tile_masked: int = 128
     bin_groups_masked: int = 16
+    # reduced capacities for the LATE occlusion pass: it rasters only
+    # newly-revealed geometry (typically edges around moved objects), but its
+    # prep is fixed-shape — full opaque capacities cost ~5 ms/frame on
+    # dynamic scenes (frame5 trace r5). Overflow is counted + bench-gated.
+    tris_per_tile_late: int = 128
+    bin_groups_late: int = 32
     # tests only: run the Pallas G-buffer path in interpret mode on CPU so the
     # production frame graph (dense compaction, texturing, alpha masking) is
     # CI-coverable without a TPU
@@ -410,7 +416,11 @@ class RendererInstance:
             # otherwise (the steady-state static-scene frame)
             def late_pass():
                 if use_gbuffer_raster:
-                    d2, v2, gb2, overflow2, tables2 = raster_pass(late_vis, opaque_f)
+                    d2, v2, gb2, overflow2, tables2 = raster_pass(
+                        late_vis, opaque_f,
+                        k2=min(spec.tris_per_tile_late, spec.tris_per_tile),
+                        k_groups=min(spec.bin_groups_late, spec.bin_groups_per_tile),
+                    )
                     # late vids index the late pass's dense slots: offset into
                     # the second half of the combined slot tables
                     groups_per_pass = tables2[0].shape[0] // n_slots_r

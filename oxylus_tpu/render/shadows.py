@@ -275,18 +275,74 @@ def render_shadow_clipmaps_cached(
             resident_out.append(jnp.ones_like(invalid))
         render_lvls.append(need)
 
-    def render_levels():
+    # ---- two-tier dirty-region rendering (round 5) ------------------------
+    # The per-level geometry chain (expand → cull → setup at `capacity`) is
+    # capacity-shaped: a dynamic scene whose per-frame dirty set is a few
+    # hundred meshlets (falling boxes + the floor under them) was paying the
+    # full 2048-capacity chain ×L levels every frame (~6.5 ms, frame5 trace).
+    # The SMALL tier culls against the dirty-page REGION (crop planes) at
+    # `dyn_capacity`; a conservative estimate (all meshlets of instances whose
+    # sphere overlaps the dirty bbox ≥ whatever culling keeps) gates it, so
+    # overflow is impossible — big invalidations (light snap) take the full
+    # tier. Pages outside the dirty set keep their cached texels either way.
+    dyn_capacity = min(768, capacity)
+    inst_ml = gscene.mesh_lod_meshlet_count[gscene.inst_mesh, 0]
+    crops = []
+    small_ok = []
+    c_all, r_all = spheres[0]
+    for lvl in range(n_lvls):
+        dirty = render_lvls[lvl]
+        any_d = jnp.any(dirty)
+        u_lo = jnp.min(jnp.where(dirty, page_x, jnp.inf))
+        u_hi = jnp.max(jnp.where(dirty, page_x + 1.0, -jnp.inf))
+        v_lo = jnp.min(jnp.where(dirty, page_y, jnp.inf))
+        v_hi = jnp.max(jnp.where(dirty, page_y + 1.0, -jnp.inf))
+        crops.append((any_d, u_lo, u_hi, v_lo, v_hi))
+        vp = light_vps[lvl]
+        ch = jnp.concatenate([c_all, jnp.ones_like(c_all[:, :1])], axis=-1)
+        clip = jnp.einsum("ab,ib->ia", vp, ch)
+        u = (clip[:, 0] * 0.5 + 0.5) * PAGES
+        v = (clip[:, 1] * 0.5 + 0.5) * PAGES
+        ru = r_all * jnp.linalg.norm(vp[0, :3]) * 0.5 * PAGES
+        rv = r_all * jnp.linalg.norm(vp[1, :3]) * 0.5 * PAGES
+        ov = (
+            (u + ru >= u_lo) & (u - ru <= u_hi)
+            & (v + rv >= v_lo) & (v - rv <= v_hi)
+            & gscene.inst_valid
+        )
+        est = jnp.sum(jnp.where(ov, inst_ml, 0))
+        small_ok.append(jnp.where(any_d, est <= dyn_capacity, True))
+    small_fits = jnp.all(jnp.stack(small_ok))
+
+    def render_levels(capacity_: int, use_crop: bool):
         maps = []
         for lvl in range(n_lvls):
             vp = light_vps[lvl]
             page_invalid = render_lvls[lvl]
-            planes = math3d.frustum_planes_from_mat(vp)
+            if use_crop:
+                any_d, u_lo, u_hi, v_lo, v_hi = crops[lvl]
+                # crop matrix maps the dirty NDC sub-rect to full NDC so the
+                # frustum planes cull to the dirty region; an empty dirty set
+                # degenerates to an off-screen rect (culls everything)
+                a0 = jnp.where(any_d, u_lo / PAGES * 2.0 - 1.0, 3.0)
+                a1 = jnp.where(any_d, u_hi / PAGES * 2.0 - 1.0, 3.5)
+                b0 = jnp.where(any_d, v_lo / PAGES * 2.0 - 1.0, 3.0)
+                b1 = jnp.where(any_d, v_hi / PAGES * 2.0 - 1.0, 3.5)
+                sx = 2.0 / jnp.maximum(a1 - a0, 1e-6)
+                sy = 2.0 / jnp.maximum(b1 - b0, 1e-6)
+                crop = jnp.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0],
+                                  [0, 0, 1.0, 0], [0, 0, 0, 1.0]])
+                crop = crop.at[0, 0].set(sx).at[0, 3].set(-(a1 + a0) * 0.5 * sx)
+                crop = crop.at[1, 1].set(sy).at[1, 3].set(-(b1 + b0) * 0.5 * sy)
+                planes = math3d.frustum_planes_from_mat(crop @ vp)
+            else:
+                planes = math3d.frustum_planes_from_mat(vp)
             vis = gscene.inst_valid
             lod = jnp.zeros_like(gscene.inst_mesh)
-            mi_i, mi_m, mi_v = expand_meshlet_instances(gscene, vis, lod, capacity)
+            mi_i, mi_m, mi_v = expand_meshlet_instances(gscene, vis, lod, capacity_)
             vm_i, vm_m, vm_v, _ = cull_meshlets(
                 gscene, entity_world, mi_i, mi_m, mi_v, planes, jnp.zeros(3),
-                capacity=capacity, cone_enabled=False,
+                capacity=capacity_, cone_enabled=False,
             )
             setup = setup_triangles(
                 gscene, entity_world, vm_i, vm_m, vm_v, vp, s, s, backface_enabled=False
@@ -312,9 +368,17 @@ def render_shadow_clipmaps_cached(
 
     if prev is not None and "maps" in prev:
         any_dirty = jnp.any(jnp.stack([jnp.any(pi) for pi in render_lvls]))
-        maps = jax.lax.cond(any_dirty, render_levels, lambda: prev["maps"])
+        maps = jax.lax.cond(
+            any_dirty,
+            lambda: jax.lax.cond(
+                small_fits,
+                lambda: render_levels(dyn_capacity, True),
+                lambda: render_levels(capacity, False),
+            ),
+            lambda: prev["maps"],
+        )
     else:
-        maps = render_levels()
+        maps = render_levels(capacity, False)
     carry = {
         "maps": maps,
         "vps": light_vps,
