@@ -368,14 +368,18 @@ def render_shadow_clipmaps_cached(
 
     if prev is not None and "maps" in prev:
         any_dirty = jnp.any(jnp.stack([jnp.any(pi) for pi in render_lvls]))
-        maps = jax.lax.cond(
-            any_dirty,
-            lambda: jax.lax.cond(
-                small_fits,
+        # ONE switch, not nested conds: each cond layer copies the (L, S, S)
+        # clipmap stack (~100 MB) through its result
+        branch = jnp.where(
+            any_dirty, jnp.where(small_fits, jnp.int32(1), jnp.int32(2)), 0
+        )
+        maps = jax.lax.switch(
+            branch,
+            [
+                lambda: prev["maps"],
                 lambda: render_levels(dyn_capacity, True),
                 lambda: render_levels(capacity, False),
-            ),
-            lambda: prev["maps"],
+            ],
         )
     else:
         maps = render_levels(capacity, False)
