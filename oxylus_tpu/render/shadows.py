@@ -311,78 +311,83 @@ def render_shadow_clipmaps_cached(
             & gscene.inst_valid
         )
         est = jnp.sum(jnp.where(ov, inst_ml, 0))
-        small_ok.append(jnp.where(any_d, est <= dyn_capacity, True))
-    small_fits = jnp.all(jnp.stack(small_ok))
+        small_ok.append(est <= dyn_capacity)
 
-    def render_levels(capacity_: int, use_crop: bool):
-        maps = []
-        for lvl in range(n_lvls):
-            vp = light_vps[lvl]
-            page_invalid = render_lvls[lvl]
-            if use_crop:
-                any_d, u_lo, u_hi, v_lo, v_hi = crops[lvl]
-                # crop matrix maps the dirty NDC sub-rect to full NDC so the
-                # frustum planes cull to the dirty region; an empty dirty set
-                # degenerates to an off-screen rect (culls everything)
-                a0 = jnp.where(any_d, u_lo / PAGES * 2.0 - 1.0, 3.0)
-                a1 = jnp.where(any_d, u_hi / PAGES * 2.0 - 1.0, 3.5)
-                b0 = jnp.where(any_d, v_lo / PAGES * 2.0 - 1.0, 3.0)
-                b1 = jnp.where(any_d, v_hi / PAGES * 2.0 - 1.0, 3.5)
-                sx = 2.0 / jnp.maximum(a1 - a0, 1e-6)
-                sy = 2.0 / jnp.maximum(b1 - b0, 1e-6)
-                crop = jnp.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0],
-                                  [0, 0, 1.0, 0], [0, 0, 0, 1.0]])
-                crop = crop.at[0, 0].set(sx).at[0, 3].set(-(a1 + a0) * 0.5 * sx)
-                crop = crop.at[1, 1].set(sy).at[1, 3].set(-(b1 + b0) * 0.5 * sy)
-                planes = math3d.frustum_planes_from_mat(crop @ vp)
-            else:
-                planes = math3d.frustum_planes_from_mat(vp)
-            vis = gscene.inst_valid
-            lod = jnp.zeros_like(gscene.inst_mesh)
-            mi_i, mi_m, mi_v = expand_meshlet_instances(gscene, vis, lod, capacity_)
-            vm_i, vm_m, vm_v, _ = cull_meshlets(
-                gscene, entity_world, mi_i, mi_m, mi_v, planes, jnp.zeros(3),
-                capacity=capacity_, cone_enabled=False,
-            )
-            setup = setup_triangles(
-                gscene, entity_world, vm_i, vm_m, vm_v, vp, s, s, backface_enabled=False
-            )
-            tile_list, _ = bin_meshlets_to_tiles(setup, s, s, PAGE, k_per_tile)
-            tile_list = jnp.where(page_invalid[:, None], tile_list, -1)
-            cm = _pack(setup)
-            platform = jax.devices()[0].platform
-            if platform in ("tpu", "axon"):
-                from ..ops.raster3d import rasterize_pallas
+    def render_level(lvl: int, capacity_: int, use_crop: bool):
+        vp = light_vps[lvl]
+        page_invalid = render_lvls[lvl]
+        if use_crop:
+            any_d, u_lo, u_hi, v_lo, v_hi = crops[lvl]
+            # crop matrix maps the dirty NDC sub-rect to full NDC so the
+            # frustum planes cull to the dirty region; an empty dirty set
+            # degenerates to an off-screen rect (culls everything)
+            a0 = jnp.where(any_d, u_lo / PAGES * 2.0 - 1.0, 3.0)
+            a1 = jnp.where(any_d, u_hi / PAGES * 2.0 - 1.0, 3.5)
+            b0 = jnp.where(any_d, v_lo / PAGES * 2.0 - 1.0, 3.0)
+            b1 = jnp.where(any_d, v_hi / PAGES * 2.0 - 1.0, 3.5)
+            sx = 2.0 / jnp.maximum(a1 - a0, 1e-6)
+            sy = 2.0 / jnp.maximum(b1 - b0, 1e-6)
+            crop = jnp.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0],
+                              [0, 0, 1.0, 0], [0, 0, 0, 1.0]])
+            crop = crop.at[0, 0].set(sx).at[0, 3].set(-(a1 + a0) * 0.5 * sx)
+            crop = crop.at[1, 1].set(sy).at[1, 3].set(-(b1 + b0) * 0.5 * sy)
+            planes = math3d.frustum_planes_from_mat(crop @ vp)
+        else:
+            planes = math3d.frustum_planes_from_mat(vp)
+        vis = gscene.inst_valid
+        lod = jnp.zeros_like(gscene.inst_mesh)
+        mi_i, mi_m, mi_v = expand_meshlet_instances(gscene, vis, lod, capacity_)
+        vm_i, vm_m, vm_v, _ = cull_meshlets(
+            gscene, entity_world, mi_i, mi_m, mi_v, planes, jnp.zeros(3),
+            capacity=capacity_, cone_enabled=False,
+        )
+        setup = setup_triangles(
+            gscene, entity_world, vm_i, vm_m, vm_v, vp, s, s, backface_enabled=False
+        )
+        tile_list, _ = bin_meshlets_to_tiles(setup, s, s, PAGE, k_per_tile)
+        tile_list = jnp.where(page_invalid[:, None], tile_list, -1)
+        cm = _pack(setup)
+        platform = jax.devices()[0].platform
+        if platform in ("tpu", "axon"):
+            from ..ops.raster3d import rasterize_pallas
 
-                depth, _ = rasterize_pallas(cm, tile_list, s, s)
-            else:
-                depth, _ = rasterize_reference(cm, tile_list, s, s)
+            depth, _ = rasterize_pallas(cm, tile_list, s, s)
+        else:
+            depth, _ = rasterize_reference(cm, tile_list, s, s)
 
-            pix_invalid = jnp.repeat(
-                jnp.repeat(page_invalid.reshape(PAGES, PAGES), PAGE, 0), PAGE, 1
-            )
-            if prev is not None and "maps" in prev:
-                depth = jnp.where(pix_invalid, depth, prev["maps"][lvl])
-            maps.append(depth)
-        return jnp.stack(maps)
+        pix_invalid = jnp.repeat(
+            jnp.repeat(page_invalid.reshape(PAGES, PAGES), PAGE, 0), PAGE, 1
+        )
+        if prev is not None and "maps" in prev:
+            depth = jnp.where(pix_invalid, depth, prev["maps"][lvl])
+        return depth
 
     if prev is not None and "maps" in prev:
-        any_dirty = jnp.any(jnp.stack([jnp.any(pi) for pi in render_lvls]))
-        # ONE switch, not nested conds: each cond layer copies the (L, S, S)
-        # clipmap stack (~100 MB) through its result
-        branch = jnp.where(
-            any_dirty, jnp.where(small_fits, jnp.int32(1), jnp.int32(2)), 0
-        )
-        maps = jax.lax.switch(
-            branch,
-            [
-                lambda: prev["maps"],
-                lambda: render_levels(dyn_capacity, True),
-                lambda: render_levels(capacity, False),
-            ],
-        )
+        # PER-LEVEL tier selection: the fine clipmaps around a local dynamic
+        # set take the small tier while the coarse levels (whose dirty bbox
+        # covers the whole scene) take the full tier — an all-or-nothing gate
+        # degenerated to the full tier on every dynamic frame (frame5 r5).
+        # One switch per level; each cond layer only carries ONE (S, S) map.
+        maps = []
+        for lvl in range(n_lvls):
+            branch = jnp.where(
+                jnp.any(render_lvls[lvl]),
+                jnp.where(small_ok[lvl], jnp.int32(1), jnp.int32(2)),
+                0,
+            )
+            maps.append(jax.lax.switch(
+                branch,
+                [
+                    lambda lvl=lvl: prev["maps"][lvl],
+                    lambda lvl=lvl: render_level(lvl, dyn_capacity, True),
+                    lambda lvl=lvl: render_level(lvl, capacity, False),
+                ],
+            ))
+        maps = jnp.stack(maps)
     else:
-        maps = render_levels(capacity, False)
+        maps = jnp.stack(
+            [render_level(lvl, capacity, False) for lvl in range(n_lvls)]
+        )
     carry = {
         "maps": maps,
         "vps": light_vps,
