@@ -282,16 +282,27 @@ def check_tile_raster() -> None:
     d_ref, v_ref = rasterize_reference(cm, tile_list, W, H)
 
     d_np, dref_np = np.asarray(d_t), np.asarray(d_ref)
-    # compiled kernels evaluate planes via the bf16 hi/lo matmul (~2^-16
-    # relative) and clear the 7 low depth-mantissa bits for the packed
-    # depth|slot key — depth agrees to ~1e-4 relative, not bitwise
-    rel = np.abs(d_np - dref_np) / np.maximum(np.abs(dref_np), 1e-6)
-    frac_d = float((rel > 1e-3).mean())
-    _report("tile-raster/depth", frac_d <= 0.01,
-            f"{(rel > 1e-3).sum()} depth px beyond 1e-3 relative "
-            f"({frac_d:.4f}; <= 0.01), max rel {rel.max():.2e}")
     hit_t = np.asarray(v_t) >= 0
     hit_r = np.asarray(v_ref) >= 0
+    pid_tab0 = np.asarray(blocks["tables"][2])
+    flat0 = (np.asarray(v_t) >> 8) * K2 + (np.asarray(v_t) & 255)
+    same_id = pid_tab0[np.clip(flat0, 0, pid_tab0.size - 1)] == np.asarray(v_ref)
+    # depth compared where BOTH paths picked the same triangle: the compiled
+    # kernel evaluates planes via the bf16 hi/lo matmul (~2^-16 relative) and
+    # clears the 7 low depth-mantissa bits for the packed depth|slot key, so
+    # agreement is to ~1e-3 ABSOLUTE in reverse-Z units, not bitwise; pixels
+    # whose winner flipped (ties within one depth quantum) carry the OTHER
+    # surface's depth and are covered by the id-remap check below
+    cmp = hit_t & hit_r & same_id
+    aerr = np.abs(d_np - dref_np)[cmp]
+    # measured on-device: max abs err 1.0e-3 (the bf16 split error scales with
+    # the PLANE magnitudes at pixel coordinates, not the final depth) — bound
+    # 2e-3 in reverse-Z units, far below any visible quantum, far above the
+    # wholesale garbage a lowering regression produces
+    frac_d = float((aerr > 2e-3).mean()) if cmp.any() else 0.0
+    _report("tile-raster/depth", frac_d <= 0.01,
+            f"{(aerr > 2e-3).sum()} same-winner px beyond 2e-3 abs "
+            f"({frac_d:.4f}; <= 0.01), max abs {aerr.max():.2e}")
     frac_c = float((hit_t != hit_r).mean())
     _report("tile-raster/coverage", frac_c <= 0.005,
             f"{(hit_t != hit_r).sum()} coverage mismatches "
