@@ -14,6 +14,17 @@ from oxylus_tpu.parallel.sharding import (
 )
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    # Late in a monolithic full-suite run (~270 compiled graphs in-process)
+    # the XLA:CPU compiler segfaulted inside backend_compile_and_load while
+    # compiling this module's first 8-device shard_map program (reproduced
+    # twice, r5; the module passes standalone). Dropping the live executable
+    # caches before these compiles avoids the crash state.
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture(scope="module")
 def mesh():
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
